@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables.table
+
+/** Relational operator surface (SURVEY.md §2 Part B): joins (broadcast /
+  * shuffle / semi / anti / theta), aggregations (hash, partial+final,
+  * distinct, rollup / cube / grouping sets), window functions, sorts /
+  * top-k, set ops, scalar function families.
+  *
+  * Oracle-parity note on floats: `SUM(double)` is order-dependent, and Spark
+  * and DuckDB reduce in different orders. Monetary sums therefore go through
+  * `DecimalType(28,6)` (exact, associative, commutative) and are cast back to
+  * double for a stable comparable value. Scale 6 > the data's true decimal
+  * scale (≤4), so Spark's string-based double→decimal cast and DuckDB's
+  * binary-based one agree on every row — at scale 2 they diverge on
+  * cent-level ties. (The reference's ClickHouse money columns are
+  * Decimal(18,2) at the sink boundary only, `schema.md:7-11`.)
+  */
+object Relational {
+
+  /** Exact decimal sum of a (possibly computed) double column → double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Exact decimal average → double (sum exact, one double division at the end). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Aggregation: hash agg with partial+final (Catalyst HashAggregateExec) ---
+    "q01_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // --- Scan efficiency: selective filter + narrow projection, both pushed to parquet ---
+    "q02_filtered_revenue" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // --- Join: star join; dims are broadcast (no shuffle of the fact side per dim) ---
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // --- Join: left semi (EXISTS) ---
+    "q04_semi_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val big = table(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // --- Join: left anti (NOT EXISTS) ---
+    "q05_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // --- Join: equi key + theta residual (ship strictly later than order month) ---
+    "q06_theta_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_late"), dsum(col("l_extendedprice")).as("late_value"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // --- Window: top-k per group (rank inside partition, no global sort) ---
+    "q07_topk_per_group" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    }),
+
+    // --- Window: running sum / lag / lead over event time per key ---
+    "q08_running_window" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(28, 6)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_spend"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        row_number().over(w).as("order_seq"))
+    }),
+
+    // --- Sort/limit: global top-k → TakeOrderedAndProject (no full sort at scale) ---
+    "q09_global_topk" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    }),
+
+    // --- Aggregation: rollup (hierarchical subtotals) ---
+    "q10_rollup" -> ((s, dir) => {
+      // Flattened join input first (broadcast dims), then ROLLUP via the SQL
+      // surface — the DataFrame rollup+orderBy path trips Spark's ambiguous-
+      // self-join check when grouping columns come through a join.
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("cnr_v")
+      s.sql("""
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+        FROM cnr_v
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+      """)
+    }),
+
+    // --- Aggregation: cube (all grouping combinations) ---
+    "q11_cube" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // --- Aggregation: GROUPING SETS via the SQL surface ---
+    "q12_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)
+    }),
+
+    // --- Set ops: intersect / except / union all in one result ---
+    "q13_setops" -> ((s, dir) => {
+      val cn = table(s, dir, "customer").select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+      val sn = table(s, dir, "supplier").select(col("s_nationkey").cast(IntegerType).as("nationkey"))
+      val both = cn.intersect(sn).withColumn("tag", lit("both"))
+      val custOnly = cn.except(sn).withColumn("tag", lit("customer_only"))
+      both.unionByName(custOnly).orderBy("tag", "nationkey")
+    }),
+
+    // --- Aggregation: exact distinct + multi-distinct in one pass ---
+    "q14_distinct_agg" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- Scalar functions: string family ---
+    "q15_string_funcs" -> ((s, dir) => {
+      table(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          upper(col("p_brand")).as("brand_upper"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_last_word"),
+          trim(col("p_name")).as("name_trim"),
+          replace(col("p_brand"), lit("Brand#"), lit("B")).as("brand_short"))
+        .orderBy("p_partkey")
+    }),
+
+    // --- Scalar functions: date/time family ---
+    "q16_date_funcs" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType)).as("days_to_2002"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // --- Conditionals & null handling ---
+    "q17_case_null" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 5000, "standard")
+            .otherwise("premium").as("tier"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("seg_masked"),
+          (col("c_acctbal") <=> lit(null)).as("bal_is_null"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- Semi-structured: JSON extraction + agg ---
+    "q18_json_extract" -> ((s, dir) => {
+      graft.sources.Tables.events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // --- Generator: explode array → re-aggregate (word counts) ---
+    "q19_explode_words" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+    }),
+
+    // --- Schema-align union (A25 analogue): unionByName with missing columns ---
+    "q20_union_by_name" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(
+        col("c_name").as("name"), col("c_nationkey").cast(IntegerType).as("nationkey"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"),
+        lit("customer").as("kind"))
+      val sup = table(s, dir, "supplier").select(
+        col("s_name").as("name"), col("s_nationkey").cast(IntegerType).as("nationkey"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("kind"))
+      c.unionByName(sup, allowMissingColumns = true)
+        .groupBy("kind", "nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("acctbal")).as("sum_bal"),
+          count(col("mktsegment")).as("n_with_segment"))
+        .orderBy("kind", "nationkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_filtered_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_theta_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_late,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS late_value
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q08_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders""".stripMargin,
+    "q09_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q11_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q12_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q13_setops" ->
+      """SELECT nationkey, 'both' AS tag FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS tag FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "q14_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lower,
+        |  upper(p_brand) AS brand_upper,
+        |  length(p_name) AS name_len,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_type, '(\w+)$', 1) AS type_last_word,
+        |  trim(p_name) AS name_trim,
+        |  replace(p_brand, 'Brand#', 'B') AS brand_short
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q16_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q17_case_null" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier,
+        |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+        |  (c_acctbal IS NOT DISTINCT FROM NULL) AS bal_is_null
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q18_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_explode_words" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+    "q20_union_by_name" ->
+      """SELECT kind, nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+        |  COUNT(mktsegment) AS n_with_segment
+        |FROM (
+        |  SELECT c_name AS name, c_nationkey AS nationkey, c_acctbal AS acctbal,
+        |         c_mktsegment AS mktsegment, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_name, s_nationkey, s_acctbal, NULL, 'supplier' FROM supplier)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
