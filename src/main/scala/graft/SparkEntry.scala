@@ -13,7 +13,14 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracle))
+      (operators.Relational.queries, operators.Relational.oracle),
+      (operators.EtlQueries.queries, operators.EtlQueries.oracle),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (operators.Dedup.queries, operators.Dedup.oracle),
+      (operators.Similarity.queries, operators.Similarity.oracle),
+      (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
+      (streaming.EventWindows.queries, streaming.EventWindows.oracle),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -7,7 +7,9 @@ import org.apache.spark.sql.types._
 /** Columnar re-expressions of the reference's row-wise ETL primitives
   * (SURVEY.md §2 Part A, A6–A21). Every function returns a Catalyst
   * `Column` built from codegen'd built-ins — zero row UDFs — so whole-stage
-  * codegen applies end-to-end at 100 TB scale.
+  * codegen applies end-to-end at 100 TB scale. Coercions use the `try_`
+  * forms: Spark 4 runs ANSI-on by default, and the reference's semantics
+  * (`errors='coerce'`, bad input → null) are exactly try_cast.
   *
   * Reference citations are to `/root/reference/` (RealValueAI/real-value-etl).
   */
@@ -16,18 +18,18 @@ object EtlFunctions {
   /** A6 — `pd.to_numeric(errors='coerce')`: unparsable → null.
     * Ref: src/etl/transformation.py:33-35 et al. Spark's string→double cast
     * has the same bad-input→null semantics (ANSI off). */
-  def numCoerce(c: Column): Column = c.cast(DoubleType)
+  def numCoerce(c: Column): Column = c.try_cast(DoubleType)
 
   /** A7 — `np.floor(to_numeric(x)).astype('Int64')`.
     * Ref: src/etl/transformation.py:33-35,60-62. */
-  def flooredLong(c: Column): Column = floor(c.cast(DoubleType)).cast(LongType)
+  def flooredLong(c: Column): Column = floor(c.try_cast(DoubleType)).try_cast(LongType)
 
   /** A13 — timestamp normalize: parse (bad → null) → null-fill epoch →
     * floor to second; session TZ pinned UTC so tz-strip is implicit.
     * Ref: src/etl/transformation.py:67-88,272-284,428-432. */
   def tsNormalize(c: Column): Column =
     date_trunc("second",
-      coalesce(to_timestamp(c), to_timestamp(lit("1970-01-01 00:00:00"))))
+      coalesce(try_to_timestamp(c), to_timestamp(lit("1970-01-01 00:00:00"))))
 
   /** A12 — stable surrogate key `abs(hash(x)) % 10**10`.
     * Ref: src/etl/transformation.py:101-103,418-419. The reference uses
@@ -42,12 +44,12 @@ object EtlFunctions {
     * Ref: src/etl/transformation.py:231-233,371-383. Empty match → cast null. */
   def extractId(c: Column, pattern: String): Column = {
     val m = regexp_extract(c, pattern, 1)
-    when(m === "", lit(null)).otherwise(m).cast(LongType)
+    when(m === "", lit(null)).otherwise(m).try_cast(LongType)
   }
 
   /** A14 — boolean → 1.0/0.0 flag. Ref: src/etl/transformation.py:119-124. */
   def boolFlag(c: Column): Column =
-    when(c.isNotNull && c.cast(BooleanType), lit(1.0)).otherwise(lit(0.0))
+    when(c.isNotNull && c.try_cast(BooleanType), lit(1.0)).otherwise(lit(0.0))
 
   /** A17 — tolerant Python-list-literal parse: `"['a', 'b']"` → array,
     * anything else → []. Ref: src/etl/transformation.py:204-212 (`_safe_eval`).

@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables.table
+
+/** Multimodal column handling: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus the decode / feature-extract plumbing a
+  * training-data pipeline needs.
+  *
+  * The container has no image/audio codecs, so [[StubCodecs]] provides a
+  * clearly-marked deterministic fake decoder; everything Spark-side — the
+  * media schema, partition-friendly batched `mapPartitions` decode, metadata
+  * extraction expressions — is real and tested. Swap `StubCodecs.decodeImage`
+  * for a JNI/javacv call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("checksum", StringType),
+      StructField("format", StringType))), nullable = true)))
+
+  /** Deterministic fake codecs — stand-ins for real decoders (absent in this
+    * container). Deterministic in payload bytes so tests and oracles hold. */
+  object StubCodecs {
+    /** STUB: a real implementation would parse the image header; this derives
+      * plausible dimensions deterministically from the byte length. */
+    def decodeImage(payload: Array[Byte]): (Int, Int, String) = {
+      val n = if (payload == null) 0 else payload.length
+      (n % 640 + 1, (n * 7) % 480 + 1, Seq("jpeg", "png", "webp")(n % 3))
+    }
+
+    /** STUB: frame-sample count for a fake video payload. */
+    def sampleFrames(payload: Array[Byte], everyN: Int): Int = {
+      val n = if (payload == null) 0 else payload.length
+      n / math.max(everyN, 1)
+    }
+  }
+
+  /** Synthesize a media table from documents (payload = utf-8 bytes of text).
+    * In production this is `spark.read.format("binaryFile")` or a parquet
+    * table with a binary column. */
+  def mediaFromDocuments(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id").as("asset_id"),
+      expr("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+        .as("media_type"),
+      col("text").cast(BinaryType).as("payload"))
+
+  /** Columnar metadata extraction — no decode needed, stays in codegen. */
+  def withMeta(df: DataFrame): DataFrame =
+    df.withColumn("meta", struct(
+      length(col("payload")).cast(LongType).as("n_bytes"),
+      md5(col("payload")).as("checksum"),
+      expr("CASE CAST(length(payload) % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END")
+        .as("format")))
+
+  /** Batched decode via mapPartitions over the binary column: the row shape
+    * a Pandas-UDF/`mapInPandas` equivalent would see. Partition-local, no
+    * shuffle; decoder failures yield null dims instead of failing the task. */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, fmt) = try StubCodecs.decodeImage(payload)
+          catch { case _: Exception => (-1, -1, "error") }
+          (id, w, h, fmt)
+        }
+      }
+      .toDF("asset_id", "width", "height", "format_decoded")
+    df.join(out, Seq("asset_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload + columnar metadata (bytes, checksum, format tag).
+    "mm01_media_meta" -> ((s, dir) => {
+      withMeta(mediaFromDocuments(s, dir))
+        .select(col("asset_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          col("meta.format").as("format"))
+        .orderBy("asset_id")
+    }),
+
+    // Stubbed decode through the real mapPartitions plumbing. Rows-only
+    // check (the stub is JVM-side logic, not SQL) + ScalaTest.
+    "mm02_decode_stub" -> ((s, dir) => {
+      decodeImages(mediaFromDocuments(s, dir))
+        .select("asset_id", "media_type", "width", "height", "format_decoded")
+        .orderBy("asset_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "mm01_media_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |FROM documents ORDER BY asset_id""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** As-of (backward) join: for each left row, the most recent right row with
+  * `right.ts <= left.ts` within the same key.
+  *
+  * Implementation is the union+window form: tag both sides, union, one
+  * window pass per key ordered by time carrying the last-seen right values
+  * forward, then keep left rows. This costs ONE shuffle on the key (same as
+  * any grouped window) and never materializes the per-row candidate range a
+  * range-join would — at 100 TB it behaves like a sort-merge over
+  * co-partitioned event streams, which is the plan you want.
+  */
+object AsOfJoin {
+
+  /** Generic backward as-of join on a single key and timestamp column.
+    * `left`/`right` must share `keyCol` and `tsCol`; right columns named in
+    * `carry` are propagated to matching left rows (null if no prior right
+    * row). Ties (equal ts) count the right row as visible to the left row. */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      carry: Seq[String]): DataFrame = {
+    val lTag = left.withColumn("__side", lit(1))
+    val rTag = right.withColumn("__side", lit(0))
+    val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts => "<=" semantics
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // For every purchase, the latest prior (or simultaneous) click by the
+    // same user: id, timestamp, and the purchase-click latency.
+    "aj01_asof_backward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      asofBackward(purchases, clicks, "user_id", "ts", Seq("click_ts", "click_id"))
+        .select(
+          col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+          col("click_ts").as("last_click_ts"), col("click_id").as("last_click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("latency_us"))
+        .orderBy("purchase_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "aj01_asof_backward" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts,
+        |  (SELECT arg_max(c.event_id, c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_id,
+        |  epoch_us(p.ts) - epoch_us((SELECT max(c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts)) AS latency_us
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin)
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.EtlFunctions._
+import graft.sources.Tables.table
+
+/** The reference's ETL primitives (SURVEY.md §2 Part A) exercised as declared
+  * queries over the harness testdata, each with a DuckDB oracle. The same
+  * `graft.functions.EtlFunctions` columns power the platform pipeline in
+  * `graft.etl` — this surface proves their semantics against an independent
+  * engine. */
+object EtlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6/A7 — tolerant numeric coercion + floored long cast
+    "e01_cast_coerce" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        numCoerce(col("lang")).as("lang_num"), // never numeric -> null
+        numCoerce(concat(col("n_chars").cast(StringType), lit("."),
+          (col("doc_id") % 10).cast(StringType))).as("synth_num"),
+        flooredLong(col("n_chars") / lit(7.0)).as("chars_div7"),
+        numCoerce(col("source")).as("source_num")) // 'srcN' -> null
+        .orderBy("doc_id")
+    }),
+
+    // A13 — timestamp normalize: parse, bad -> epoch, floor to second
+    "e02_ts_normalize" -> ((s, dir) => {
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        tsNormalize(col("o_orderdate").cast(StringType)).as("ts_norm"),
+        tsNormalize(col("o_orderpriority")).as("ts_bad")) // '1-URGENT' -> epoch
+        .orderBy("o_orderkey")
+    }),
+
+    // A8/A9 — URL synthesis then regex id extraction round-trip
+    "e03_url_extract" -> ((s, dir) => {
+      val base = "https://listings.example.com/offer/"
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        prefixUrl(base, col("o_orderkey").cast(StringType)).as("url"))
+        .withColumn("extracted_id", extractId(col("url"), "/offer/(\\d+)"))
+        .orderBy("o_orderkey")
+    }),
+
+    // A10/A11 — constant null-fill + fill-from-sibling-column
+    "e04_null_fill" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("Unknown")).as("seg_filled"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), col("c_name")).as("seg_or_name"),
+        coalesce(when(col("c_acctbal") < 0, col("c_acctbal")), lit(0.0)).as("neg_or_zero"))
+        .orderBy("c_custkey")
+    }),
+
+    // A17 — tolerant Python-list-literal parse
+    "e05_safe_list_parse" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        safeListParse(concat(lit("['"), col("source"), lit("', '"), col("lang"), lit("']")))
+          .as("parsed"),
+        safeListParse(col("lang")).as("malformed")) // not a list -> []
+        .withColumn("n_parsed", size(col("parsed")))
+        .withColumn("first_elem", element_at(col("parsed"), 1))
+        .orderBy("doc_id")
+    }),
+
+    // A18/A19 — higher-order array transform/filter (no explode, no UDF)
+    "e06_array_hof" -> ((s, dir) => {
+      val base = "https://img.example.com/"
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        prefixEach(base, slice(split(col("text"), " "), 1, 3)).as("photo_urls"),
+        arrayCompactStr(col("lang"), lit(null).cast(StringType), lit(""), col("source"))
+          .as("compact"))
+        .orderBy("doc_id")
+    }),
+
+    // A20 — single-key map -> JSON string
+    "e07_map_json" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        metroJson(col("lang"), col("source"), col("n_chars")).as("subway_time"))
+        .orderBy("doc_id")
+    }),
+
+    // A15/A21 + enum domains (A26) — conditional map, case norm, domain clamp
+    "e09_enum_domain" -> ((s, dir) => {
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        enumDomain(col("o_orderpriority"),
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM")).as("prio_clamped"),
+        condMap(col("o_orderstatus"), "O", "open", "settled").as("status_mapped"),
+        lower(col("o_orderpriority")).as("prio_lower"),
+        upper(col("o_orderstatus")).as("status_upper"))
+        .orderBy("o_orderkey")
+    }),
+
+    // A22 — deterministic keep-first dedup (min key per group via window)
+    "e10_dedup_keepfirst" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      table(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // A26 — final typed cast to the sink schema (decimal/float/array guards)
+    "e11_final_cast" -> ((s, dir) => {
+      table(s, dir, "orders").select(
+        col("o_orderkey").cast(LongType).as("listing_id"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        (col("o_totalprice") / 100.0).cast(FloatType).as("rate_f32"),
+        year(col("o_orderdate")).cast(ShortType).as("built_year"),
+        lit(0).cast(ByteType).as("valid"),
+        coalesce(lit(null).cast(ArrayType(DoubleType)), array().cast(ArrayType(DoubleType)))
+          .as("subway_distances"))
+        .orderBy("listing_id")
+    }),
+
+    // A12/A27 — stable surrogate keys: xxhash64-based id + RFC-4122 v5 UUID.
+    // No DuckDB oracle (no xxhash64/sha1 there): rows-only + ScalaTest vectors.
+    "e08_stable_keys" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        stableId(col("c_name")).as("name_id"),
+        uuid5Key(col("c_custkey"), lit(1)).as("uid"))
+        .orderBy("c_custkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "e01_cast_coerce" ->
+      """SELECT doc_id,
+        |  TRY_CAST(lang AS DOUBLE) AS lang_num,
+        |  TRY_CAST(CAST(n_chars AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS synth_num,
+        |  CAST(floor(n_chars / 7.0) AS BIGINT) AS chars_div7,
+        |  TRY_CAST(source AS DOUBLE) AS source_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e02_ts_normalize" ->
+      """SELECT o_orderkey,
+        |  date_trunc('second', COALESCE(TRY_CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP),
+        |                                TIMESTAMP '1970-01-01 00:00:00')) AS ts_norm,
+        |  date_trunc('second', COALESCE(TRY_CAST(o_orderpriority AS TIMESTAMP),
+        |                                TIMESTAMP '1970-01-01 00:00:00')) AS ts_bad
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e03_url_extract" ->
+      """SELECT o_orderkey,
+        |  'https://listings.example.com/offer/' || CAST(o_orderkey AS VARCHAR) AS url,
+        |  CAST(regexp_extract('https://listings.example.com/offer/' || CAST(o_orderkey AS VARCHAR),
+        |                      '/offer/(\d+)', 1) AS BIGINT) AS extracted_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e04_null_fill" ->
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'Unknown') AS seg_filled,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), c_name) AS seg_or_name,
+        |  COALESCE(CASE WHEN c_acctbal < 0 THEN c_acctbal END, 0.0) AS neg_or_zero
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "e05_safe_list_parse" ->
+      """SELECT doc_id,
+        |  [source, lang] AS parsed,
+        |  CAST([] AS VARCHAR[]) AS malformed,
+        |  2 AS n_parsed,
+        |  source AS first_elem
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e06_array_hof" ->
+      """SELECT doc_id,
+        |  list_transform(string_split(text, ' ')[1:3],
+        |                 x -> 'https://img.example.com/' || regexp_replace(x, '^/+', '')) AS photo_urls,
+        |  list_filter([lang, NULL, '', source],
+        |              x -> x IS NOT NULL AND trim(x) <> '') AS compact
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e07_map_json" ->
+      """SELECT doc_id,
+        |  '{"' || lang || '":["' || source || '","' || CAST(n_chars AS VARCHAR) || '"]}' AS subway_time
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e09_enum_domain" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+        |       THEN o_orderpriority ELSE 'Unknown' END AS prio_clamped,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'settled' END AS status_mapped,
+        |  lower(o_orderpriority) AS prio_lower,
+        |  upper(o_orderstatus) AS status_upper
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e10_dedup_keepfirst" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "e11_final_cast" ->
+      """SELECT o_orderkey AS listing_id,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  CAST(o_totalprice / 100.0 AS FLOAT4) AS rate_f32,
+        |  CAST(year(o_orderdate) AS SMALLINT) AS built_year,
+        |  CAST(0 AS TINYINT) AS valid,
+        |  CAST([] AS DOUBLE[]) AS subway_distances
+        |FROM orders ORDER BY listing_id""".stripMargin)
+}

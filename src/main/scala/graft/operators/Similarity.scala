@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.table
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - ss01: brute-force cosine top-k — the exact baseline. The (small) query
+  *    set is broadcast against the corpus scan: one pass, no shuffle of the
+  *    corpus, top-k per query via partitioned window.
+  *  - ss02: LSH-bucketed ANN — the 100 TB path. Deterministic random
+  *    hyperplanes (seeded from xxhash64) give each vector a small bucket id;
+  *    candidates come from an equi-join on bucket, so cost scales with
+  *    Σ bucket² not |Q|·N.
+  *
+  * Dot products are computed in double via higher-order functions
+  * (`zip_with` + `aggregate`) — columnar, codegen, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double-array columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def l2norm(a: String): Column =
+    expr(s"sqrt(aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+
+  /** Embeddings with float→double cast (deterministic, engine-independent). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** n_planes sign bits from deterministic hyperplanes; plane p, dim d has
+    * coefficient in [-1, 1] derived from xxhash64(p, d). */
+  def lshBucket(vCol: String, nPlanes: Int, dims: Int): Column =
+    expr(s"""aggregate(sequence(0, ${nPlanes - 1}), 0,
+      (acc, p) -> acc * 2 + CASE WHEN aggregate(sequence(0, ${dims - 1}),
+        CAST(0.0 AS DOUBLE),
+        (s2, d) -> s2 + element_at($vCol, d + 1) *
+          (CAST(pmod(xxhash64(p, d), 2001) - 1000 AS DOUBLE) / 1000.0)) > 0
+      THEN 1 ELSE 0 END)""".linesIterator.map(_.trim).mkString(" "))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-k for a small query set (vec_id < 5).
+    "ss01_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("nrm", l2norm("v"))
+      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .filter(col("query_id") < 5)
+      val joined = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // ANN via hyperplane LSH buckets: same queries, candidates restricted to
+    // the query's bucket. Rows-only check (xxhash64-seeded planes have no
+    // DuckDB mirror); ScalaTest asserts recall vs ss01 on sf0.001.
+    "ss02_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("nrm", l2norm("v"))
+        .withColumn("bucket", lshBucket("v", 6, 64))
+      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket"))
+        .filter(col("query_id") < 5)
+      val joined = q.join(e, Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+        .orderBy("query_id", "rk")
+    }),
+
+    // Embedding near-duplicate pairs: cosine above threshold, candidates
+    // blocked by label (cheap demo of blocked pair generation; the LSH
+    // bucket variant above is the unblocked-scale path).
+    "ss03_embed_neardup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", l2norm("v"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", dot("v_a", "v_b") / (col("n_a") * col("n_b")))
+        .filter(col("cos") > 0.3)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "ss01_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.v[i] * e2.v[i]))
+        |      / (q.nrm * e2.nrm) AS cos
+        |  FROM n q JOIN n e2 ON e2.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT query_id, neighbor_id, rk, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM pairs) WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    "ss03_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) > 0.3
+        |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.table
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure columnar expressions (whole-stage codegen);
+  * every rule is deterministic integer/regex arithmetic so the DuckDB
+  * oracle reproduces it bit-for-bit. */
+object TextAnalysis {
+
+  // Keep regex syntax in the common Java/RE2 subset (no lookaround).
+  // Two spellings of the same regex: Spark SQL string literals process
+  // backslash escapes ('\b' -> backspace!), DuckDB's do not.
+  private val EnStopSpark = "\\\\b(the|a|of|and|to|in|is|on|for|with)\\\\b"
+  private val EnStop = "\\b(the|a|of|and|to|in|is|on|for|with)\\b"
+  private val Punct = "[.,!?;:]"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID: stopword-density heuristic over lowered text.
+    "tx01_langid" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("words", size(split(col("text"), " ")))
+        .withColumn("en_hits", size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+        .select(
+          col("doc_id"),
+          col("en_hits"),
+          (col("en_hits") / col("words")).as("en_density"),
+          when(col("en_hits") >= 3, "en").otherwise("und").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length / punctuation / stopword / shortword ratios.
+    "tx02_quality" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("n_len", length(col("text")))
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("n_punct", size(expr(s"regexp_extract_all(text, '$Punct', 0)")))
+        .withColumn("n_stop", size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+        .withColumn("n_short", size(expr(
+          "filter(split(text, ' '), w -> length(w) <= 2)")))
+        .select(
+          col("doc_id"), col("n_len"), col("n_words"),
+          (col("n_len") / col("n_words")).as("avg_word_len"),
+          (col("n_punct") / col("n_len")).as("punct_ratio"),
+          (col("n_stop") / col("n_words")).as("stop_ratio"),
+          (col("n_short") / col("n_words")).as("short_ratio"),
+          // composite: high stopword share good, too-short words bad
+          ((col("n_stop") / col("n_words")) * 2.0
+            - (col("n_short") / col("n_words"))).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens + a BPE-ish lexical split.
+    "tx03_token_count" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), "\\s+")).as("ws_tokens"),
+          size(expr(
+            "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("lex_tokens"),
+          (length(col("text")) / lit(4.0)).as("approx_llm_tokens")) // chars/4 rule of thumb
+        .orderBy("doc_id")
+    }),
+
+    // Fingerprinting: exact content hash + order-insensitive bag hash.
+    "tx04_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(lower(trim(col("text"))).cast("binary")).as("content_fp"),
+          md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary")).as("bag_fp"))
+        .orderBy("doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "tx01_langid" ->
+      s"""SELECT doc_id, en_hits,
+         |  en_hits / words AS en_density,
+         |  CASE WHEN en_hits >= 3 THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |        len(string_split(text, ' ')) AS words,
+         |        len(regexp_extract_all(lower(text), '$EnStop')) AS en_hits
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "tx02_quality" ->
+      s"""SELECT doc_id, n_len, n_words,
+         |  n_len / n_words AS avg_word_len,
+         |  n_punct / n_len AS punct_ratio,
+         |  n_stop / n_words AS stop_ratio,
+         |  n_short / n_words AS short_ratio,
+         |  (n_stop / n_words) * 2.0 - (n_short / n_words) AS quality
+         |FROM (SELECT doc_id,
+         |        length(text) AS n_len,
+         |        len(string_split(text, ' ')) AS n_words,
+         |        len(regexp_extract_all(text, '$Punct')) AS n_punct,
+         |        len(regexp_extract_all(lower(text), '$EnStop')) AS n_stop,
+         |        len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS n_short
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "tx03_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS lex_tokens,
+        |  length(text) / 4.0 AS approx_llm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(text))) AS content_fp,
+        |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.sources.Tables
+
+/** Event-time windowing. The same `window`/`session_window` expressions run
+  * unchanged in Structured Streaming (`readStream` + `withWatermark`) — the
+  * streaming entry points live in [[EventStreams]]; these batch forms are the
+  * oracle-checkable semantics. The reference has no streaming at all
+  * (SURVEY.md §2 Part B cat. S) — this is the engine extension surface. */
+object EventWindows {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour event-time windows per event type.
+    "st01_tumbling_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Sliding windows: 1-hour length, 30-minute slide.
+    "st02_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy("window_start")
+    }),
+
+    // Session windows: 5-minute inactivity gap per user.
+    "st03_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "st01_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st02_sliding_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bkt, value FROM events),
+        |x AS (
+        |  SELECT bkt AS window_start, value FROM b
+        |  UNION ALL
+        |  SELECT bkt - INTERVAL '30 minutes' AS window_start, value FROM b)
+        |SELECT window_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st03_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL '5 minutes' AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+}
