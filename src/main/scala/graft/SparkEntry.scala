@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracle),
       (operators.EtlQueries.queries, operators.EtlQueries.oracle),
+      (operators.EtlPipelineQuery.queries, operators.EtlPipelineQuery.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar execution plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the old river bank today")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("shingles: distinct word 3-grams") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles("text").as("sh")).collect()(0).getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("lazy dog near"))
+    // 14 words → 12 shingles, all distinct here except repeated "the ..." patterns stay distinct
+    assert(sh.length == sh.distinct.length)
+  }
+
+  test("minhash estimate tracks exact jaccard") {
+    val sig = docs.select($"doc_id", Dedup.shingles("text").as("sh"))
+      .withColumn("sig", Dedup.minhashSig("sh", 64))
+    val rows = sig.collect().map(r => r.getLong(0) ->
+      (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+    def exact(a: Long, b: Long) = {
+      val (sa, sb) = (rows(a)._1, rows(b)._1)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    def est(a: Long, b: Long) = {
+      val (za, zb) = (rows(a)._2, rows(b)._2)
+      za.zip(zb).count { case (x, y) => x == y }.toDouble / za.length
+    }
+    assert(est(1, 4) == 1.0) // identical docs → identical signatures
+    assert(math.abs(est(1, 2) - exact(1, 2)) < 0.25) // 64 hashes → coarse but close
+    assert(est(1, 3) < 0.2 && exact(1, 3) < 0.05) // unrelated docs
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = docs.select($"doc_id", split($"text", " ").as("words"))
+      .withColumn("s", Dedup.simhash("words"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sh(1) == sh(4))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1), sh(2)) <= 16)
+    assert(hamming(sh(1), sh(3)) > hamming(sh(1), sh(2)))
+  }
+
+  test("minhash LSH query finds the near-dup pair without a cartesian join") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.queries("dd02_minhash_lsh")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, est) => a == 1 && b == 4 && est == 1.0 })
+    assert(pairs.exists { case (a, b, est) => a == 1 && b == 2 && est > 0.5 })
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.etl.{Canonical, Pipeline, PlatformSpecs}
+
+/** Fixture-replay E2E: tiny per-platform frames matching FIXTURES.md §A,
+  * full 3-platform pipeline, asserts on the unified 50-column output. */
+class EtlPipelineSpec extends SparkSpec {
+
+  private val fixedNow = lit("2025-01-15 12:00:00").cast("timestamp")
+
+  /** All-string frame, like the reference's dtype-less CSV reads (A1). */
+  private def strDF(cols: Seq[String], rows: Seq[Seq[String]]): DataFrame = {
+    val schema = StructType(cols.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
+  }
+
+  val domclickCols = Seq("Object ID", "Price", "Price per sqm", "Mortgage Rate",
+    "Address", "Address ID", "Area", "Rooms", "Floor", "Description",
+    "Published Date", "Updated Date", "Seller ID", "Seller Name Hash",
+    "Company Name", "Company ID", "Property Type", "Category", "House Floors",
+    "Deal Type", "Discount Status", "Discount Value", "Placement Paid",
+    "Big Card", "Pin Color", "Longitude", "Latitude", "Subway Distances",
+    "Subway Names", "Photos URLs", "Monthly Payment", "Advance Payment",
+    "Auction Status")
+
+  def domclickRaw: DataFrame = strDF(domclickCols, Seq(
+    Seq("101", "5000000", "125000", "5.5", "Москва, Арбат 1", "77001", "40", "2", "3",
+      "desc one", "2024-12-01T10:00:00.500Z", "2024-12-02 09:30:00", "9001", "abc",
+      "ООО Ромашка", "555", "flat", "living", "9", "sale", "Active", "3.5",
+      "True", "False", "1", "37.59", "55.75", "[350.0, 870.5]",
+      "['Арбатская', 'Смоленская']", "['/p/1.jpg', 'p/2.jpg']", "21000", "900000", "0"),
+    // missing required Price → dropped by A23
+    Seq("102", null, null, null, "Питер, Невский 2", null, "55", "3", "5",
+      null, "bad date", null, null, null, null, null, null, null, null, null,
+      null, null, null, null, null, null, null, "junk", null, null, null, null, null),
+    // null Company ID → filled from hash(Company Name) (A11/A12)
+    Seq("103", "7000000", "140000", "6.1", "Казань, Баумана 3", "16001", "50", "2", "7",
+      "desc three", "2024-11-20 08:00:00", "2024-11-21 08:00:00", "9002", "def",
+      "АО Василёк", null, "house", "living", "17", "sale", "None", "0",
+      "False", "True", "2", "49.12", "55.79", "[]", "[]", "[]", "0", "0", "1")))
+
+  val yandexCols = Seq("url_offer_yand", "price_offer", "square_total_offer",
+    "address_offer", "rooms_offer", "floor_offer", "description_offer",
+    "date_offer", "type_offer", "floors_house", "longitude", "latitude",
+    "metro_name", "metro_transp", "time_to_metro", "photo_list_offer",
+    "seller", "height_offer", "square_rooms_offer", "previous_price_offer")
+
+  def yandexRaw: DataFrame = strDF(yandexCols, Seq(
+    Seq("//realty.yandex.ru/offer/201/", "6000000", "48", "Москва, Тверская 5", "2", "4",
+      "y-desc", "2024-12-05 11:00:00", "NEW_FLAT", "12", "37.61", "55.76",
+      "Тверская", "walk", "7", "['/photo/a.jpg']", "AGENT", "2.7", "30", "5900000"),
+    // duplicate url → keep-first (A22)
+    Seq("//realty.yandex.ru/offer/201/", "6100000", "48", "Москва, Тверская 5", "2", "4",
+      "dup", "2024-12-06 11:00:00", "SECONDARY", "12", "37.61", "55.76",
+      null, null, null, "[]", "OWNER", "2.7", "30", "6000000"),
+    Seq("//realty.yandex.ru/offer/202/", "4500000", "35", "Москва, Ленинский 7", "1", "9",
+      "y-desc-2", "2024-12-07 12:00:00", "SECONDARY", "16", "37.58", "55.70",
+      null, null, null, "[]", "AGENCY", "2.5", "18", "4400000")))
+
+  val avitoCols = Seq("url_offer", "id_offer", "price_offer", "square_total_offer",
+    "address_offer", "rooms_offer", "floor_offer", "description_offer",
+    "date_offer", "type_offer", "sdelka_offer", "floors_house", "latitude",
+    "longitude", "metro_name1", "metro_name2", "metro_name3",
+    "distance_to_metro1", "distance_to_metro2", "distance_to_metro3",
+    "photo_list_offer", "developer_offer", "seller", "height_offer",
+    "square_rooms_offer", "renovation_offer", "built_year_offer",
+    "type_house_offer")
+
+  def avitoRaw: DataFrame = strDF(avitoCols, Seq(
+    Seq("https://avito.ru/kvartiry/301", "301", "3000000", "0", "Омск, Мира 9", "1", "2",
+      "a-desc", "2024-10-10 10:10:10", "Flat", "sale", "5", "54.99", "73.37",
+      "Маяковская", null, "", "500.5", null, "bad", "['x.jpg']", "DEVELOPER", null,
+      "2.9", "20", "ремонт", "2015", "кирпич")))
+
+  lazy val unified: DataFrame = Pipeline.run(
+    Map("domclick" -> domclickRaw, "yandex" -> yandexRaw, "avito" -> avitoRaw),
+    now = fixedNow).cache()
+
+  test("unified output has exactly the 50-column target schema") {
+    assert(unified.columns.toSeq == Canonical.snakeNames)
+    val types = unified.schema.fields.map(f => f.name -> f.dataType).toMap
+    Canonical.fields.foreach { f =>
+      assert(types(f.snake) == f.dataType, s"type of ${f.snake}")
+    }
+  }
+
+  test("row accounting: required-drop and keep-first dedup applied") {
+    // domclick: 3 - 1 dropped (missing Price); yandex: 3 - 1 dup; avito: 1
+    assert(unified.count() == 2 + 2 + 1)
+    assert(unified.filter(col("platform_id") === 1).count() == 2)
+    assert(unified.filter(col("platform_id") === 4).count() == 2)
+    assert(unified.filter(col("platform_id") === 2).count() == 1)
+  }
+
+  test("keep-first dedup kept the FIRST occurrence (A22)") {
+    val kept = unified.filter(col("listing_id") === 201).collect()(0)
+    assert(kept.getAs[String]("description") == "y-desc") // not "dup"
+    assert(kept.getAs[String]("flat_type") == "NEW_FLAT")
+  }
+
+  test("derived values: per-sqm division, url synthesis, photo prefixing") {
+    val d = unified.filter(col("listing_id") === 101).collect()(0)
+    assert(d.getAs[String]("listing_url") == "https://domclick.ru/card/101")
+    assert(d.getAs[collection.Seq[String]]("photo_urls").toSeq ==
+      Seq("https://img.dmclk.ru/p/1.jpg", "https://img.dmclk.ru/p/2.jpg"))
+    assert(d.getAs[collection.Seq[Double]]("subway_distances").toSeq == Seq(350.0, 870.5))
+    val y = unified.filter(col("listing_id") === 201).collect()(0)
+    assert(math.abs(y.getAs[Double]("price_per_sqm") - 6000000.0 / 48) < 1e-9)
+    assert(y.getAs[String]("property_type") == "layout") // NEW_FLAT → layout (A15)
+    val a = unified.filter(col("listing_id") === 301).collect()(0)
+    assert(a.getAs[Double]("price_per_sqm") == 0.0) // area=0 → guarded null → filled 0 (A16/A26)
+    assert(a.getAs[String]("seller_type") == "DEVELOPER")
+    assert(a.getAs[String]("property_type") == "flat") // 'Flat' lowered, in-domain (A21)
+    assert(a.getAs[Short]("built_year_offer") == 2015) // NOT wrapped mod 256
+    assert(a.getAs[collection.Seq[String]]("subway_names").toSeq == Seq("Маяковская")) // null/blank dropped (A19)
+    assert(a.getAs[collection.Seq[Double]]("subway_distances").toSeq == Seq(500.5)) // null/bad dropped
+  }
+
+  test("company id falls back to stable hash of company name (A11/A12)") {
+    val r = unified.filter(col("listing_id") === 103).collect()(0)
+    val cid = r.getAs[Long]("company_id")
+    assert(cid > 0 && cid < 10000000000L)
+    val direct = unified.filter(col("listing_id") === 101).collect()(0)
+    assert(direct.getAs[Long]("company_id") == 555L)
+  }
+
+  test("timestamps normalized to second precision, tz input handled (A13)") {
+    val d = unified.filter(col("listing_id") === 101).collect()(0)
+    assert(d.getAs[java.sql.Timestamp]("published_date").toString == "2024-12-01 10:00:00.0")
+    assert(unified.filter(col("created_at") =!= fixedNow).count() == 0)
+  }
+
+  test("uid is the reference UUIDv5 of listing_id_platform_id (A27)") {
+    val a = unified.filter(col("listing_id") === 301).collect()(0)
+    assert(a.getAs[String]("uid") == graft.functions.Uuid5Util.v5("301_2"))
+  }
+
+  test("enum domains clamp unknown values; fills applied (A10/A26)") {
+    val a = unified.filter(col("listing_id") === 301).collect()(0)
+    assert(a.getAs[String]("balcony_type") == "UNKNOWN")
+    val noNulls = Canonical.fields.filter(_.fill.isDefined).map(_.snake)
+    noNulls.foreach { c =>
+      assert(unified.filter(col(c).isNull).count() == 0, s"column $c has nulls")
+    }
+  }
+
+  test("merge alone is UNION ALL semantics — no cross-platform dedup (A25)") {
+    val frames = Seq(
+      Pipeline.transform(domclickRaw, PlatformSpecs.domclick, fixedNow),
+      Pipeline.transform(yandexRaw, PlatformSpecs.yandex, fixedNow))
+    val merged = Pipeline.merge(frames)
+    assert(merged.count() == frames.map(_.count()).sum)
+    assert(merged.columns.toSeq == Canonical.snakeNames)
+  }
+}
