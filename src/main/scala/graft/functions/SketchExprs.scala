@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the sketch/signature math behind the
+  * dedup operators. The same logic is expressible with higher-order
+  * functions (`transform`/`aggregate` + `xxhash64`), but HOF lambdas are
+  * interpreted per element — at sf0.1 the HOF forms spent 88 of 112 bench
+  * seconds. These JVM loops are 30-100x faster and keep the same outputs.
+  *
+  * All hashing uses Spark's own XXH64 (the engine of SQL `xxhash64`), so
+  * signatures are stable across JVMs/partitions/runs.
+  */
+object SketchExprs {
+
+  private def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUTF8String(s, seed)
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.asInstanceOf[UTF8String].toString.split(' ')
+      val out = new java.util.LinkedHashSet[String]()
+      if (words.length <= n) out.add(words.mkString(" "))
+      else {
+        var i = 0
+        val sb = new java.lang.StringBuilder(64)
+        while (i + n <= words.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          out.add(sb.toString); i += 1
+        }
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator(); var k = 0
+      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+    override def prettyName: String = "word_shingles"
+  }
+
+  /** k-permutation MinHash signature of a string array: element i is
+    * min over the array of XXH64(bytes, seed = i). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        var seed = 0
+        while (seed < k) {
+          val h = hashUtf8(s, seed)
+          if (h < sig(seed)) sig(seed) = h
+          seed += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** 64-bit SimHash of a whitespace-tokenized text: per-bit majority vote
+    * of XXH64 word hashes. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val counts = new Array[Int](64)
+      var start = 0
+      val len = text.length
+      while (start < len) {
+        var end = text.indexOf(' ', start)
+        if (end < 0) end = len
+        if (end > start) {
+          val h = hashUtf8(UTF8String.fromString(text.substring(start, end)), 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = end + 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** |a ∩ b| for two string arrays (set semantics — inputs assumed distinct,
+    * as produced by word_shingles). Matches `size(array_intersect(a, b))`
+    * and DuckDB `len(list_intersect(a, b))`. */
+  case class ArrayIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val set = new java.util.HashSet[UTF8String](a.numElements() * 2)
+      var i = 0
+      while (i < a.numElements()) { set.add(a.getUTF8String(i)); i += 1 }
+      var c = 0
+      i = 0
+      while (i < b.numElements()) { if (set.contains(b.getUTF8String(i))) c += 1; i += 1 }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "array_intersect_count"
+  }
+
+  /** Fraction of equal positions between two equal-length long arrays
+    * (MinHash signature agreement = estimated Jaccard). */
+  case class SigAgreement(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var eq = 0
+      var i = 0
+      while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+      java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "sig_agreement"
+  }
+
+  /** XXH64 of a long-array slice — band bucketing for LSH. */
+  case class LongSliceHash(child: Expression, from: Int, len: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      var h = 0L
+      var i = from
+      val end = math.min(from + len, a.numElements())
+      while (i < end) { h = XXH64.hashLong(a.getLong(i), h); i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): LongSliceHash = copy(child = c)
+    override def prettyName: String = "long_slice_hash"
+  }
+
+  /** Sorted XXH64 hashes of the distinct word n-gram shingles — the compact
+    * form for pairwise intersection (8 bytes/shingle instead of the string;
+    * 64-bit hashes make cross-doc collisions vanishingly rare). */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val inner = WordShingles(child, n)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val sh = inner.nullSafeEval(input).asInstanceOf[ArrayData]
+      val out = new Array[Long](sh.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = hashUtf8(sh.getUTF8String(i), 7L); i += 1 }
+      java.util.Arrays.sort(out)
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+    override def prettyName: String = "shingle_hashes"
+  }
+
+  /** |a ∩ b| for two SORTED long arrays via a single merge scan. */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0
+      val na = a.numElements(); val nb = b.numElements()
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_long_intersect_count"
+  }
+
+  /** Random-hyperplane LSH bucket of a double vector: nPlanes sign bits,
+    * plane p / dim d coefficient derived deterministically from XXH64. */
+  case class HyperplaneLsh(child: Expression, nPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dims = v.numElements()
+      var bucket = 0
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < dims) {
+          val h = XXH64.hashLong(d.toLong, p.toLong)
+          val coef = (java.lang.Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
+          dot += v.getDouble(d) * coef
+          d += 1
+        }
+        bucket = bucket * 2 + (if (dot > 0) 1 else 0)
+        p += 1
+      }
+      java.lang.Integer.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+    override def prettyName: String = "hyperplane_lsh"
+  }
+
+  // Column-level API
+  private def B = ColumnBridge
+  def wordShingles(c: Column, n: Int = 3): Column = B.column(WordShingles(B.expression(c), n))
+  def minhashSig(c: Column, k: Int): Column = B.column(MinHashSig(B.expression(c), k))
+  def simhash64(c: Column): Column = B.column(SimHash64(B.expression(c)))
+  def arrayIntersectCount(a: Column, b: Column): Column =
+    B.column(ArrayIntersectCount(B.expression(a), B.expression(b)))
+  def sigAgreement(a: Column, b: Column): Column =
+    B.column(SigAgreement(B.expression(a), B.expression(b)))
+  def longSliceHash(c: Column, from: Int, len: Int): Column =
+    B.column(LongSliceHash(B.expression(c), from, len))
+  def shingleHashes(c: Column, n: Int = 3): Column = B.column(ShingleHashes(B.expression(c), n))
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    B.column(SortedLongIntersectCount(B.expression(a), B.expression(b)))
+  def hyperplaneLsh(c: Column, nPlanes: Int): Column =
+    B.column(HyperplaneLsh(B.expression(c), nPlanes))
+}

@@ -34,15 +34,10 @@ object Similarity {
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  /** n_planes sign bits from deterministic hyperplanes; plane p, dim d has
-    * coefficient in [-1, 1] derived from xxhash64(p, d). */
+  /** n_planes sign bits from deterministic hyperplanes (native Catalyst
+    * expression — the HOF form pays per-element interpreted lambdas). */
   def lshBucket(vCol: String, nPlanes: Int, dims: Int): Column =
-    expr(s"""aggregate(sequence(0, ${nPlanes - 1}), 0,
-      (acc, p) -> acc * 2 + CASE WHEN aggregate(sequence(0, ${dims - 1}),
-        CAST(0.0 AS DOUBLE),
-        (s2, d) -> s2 + element_at($vCol, d + 1) *
-          (CAST(pmod(xxhash64(p, d), 2001) - 1000 AS DOUBLE) / 1000.0)) > 0
-      THEN 1 ELSE 0 END)""".linesIterator.map(_.trim).mkString(" "))
+    graft.functions.SketchExprs.hyperplaneLsh(col(vCol), nPlanes)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k for a small query set (vec_id < 5).

@@ -42,8 +42,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical docs equal; near-dups within small hamming distance") {
-    val sh = docs.select($"doc_id", split($"text", " ").as("words"))
-      .withColumn("s", Dedup.simhash("words"))
+    val sh = docs.select($"doc_id", $"text")
+      .withColumn("s", Dedup.simhash("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sh(1) == sh(4))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
