@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected queries so
+  * scan pruning (PushedFilters / ReadSchema), join strategies (broadcast vs
+  * shuffle), and whole-stage codegen spans can be reviewed.
+  * Usage: runMain graft.Explain <sfDir> [queryName ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
+    val spark = Sessions.build("graft-explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"ERROR: ${e.getMessage}") }
+      }
+    spark.stop()
+  }
+}
+
+/** One place for the engine's session defaults (Verify/Bench/Explain). */
+object Sessions {
+  def build(app: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(app)
+      // one partition per core locally; on a cluster this would scale with
+      // executors — the point is: never the 200 default for this data size
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

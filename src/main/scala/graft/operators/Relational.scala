@@ -256,6 +256,57 @@ object Relational {
         .orderBy(col("n").desc, col("word"))
     }),
 
+    // --- Aggregation: exact interpolated percentiles / median ---
+    "q21_percentiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- Subquery: uncorrelated IN ---
+    "q22_in_subquery" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v22")
+      s.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+        FROM customer_v
+        WHERE c_custkey IN (SELECT o_custkey FROM orders_v22 WHERE o_totalprice > 400000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """)
+    }),
+
+    // --- Subquery: correlated scalar (decorrelated by Catalyst to a join) ---
+    "q23_corr_scalar_subquery" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v23")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v23")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice,
+               (SELECT MAX(l_extendedprice) FROM lineitem_v23
+                WHERE l_orderkey = o_orderkey) AS max_item_price
+        FROM orders_v23 ORDER BY o_orderkey
+      """)
+    }),
+
+    // --- Pivot: status columns per priority ---
+    "q24_pivot" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .orderBy("o_orderpriority")
+    }),
+
+    // --- Cross join (tiny dims only — intentional cartesian) ---
+    "q25_cross_join" -> ((s, dir) => {
+      val r = table(s, dir, "region").select("r_name")
+      val st = table(s, dir, "orders").select("o_orderstatus").distinct()
+      r.crossJoin(st).orderBy("r_name", "o_orderstatus")
+    }),
+
     // --- Schema-align union (A25 analogue): unionByName with missing columns ---
     "q20_union_by_name" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(
@@ -406,6 +457,32 @@ object Relational {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_in_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q23_corr_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT MAX(l_extendedprice) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_item_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q24_pivot" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
     "q20_union_by_name" ->
       """SELECT kind, nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,

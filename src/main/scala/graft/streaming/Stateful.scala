@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators over `KeyValueGroupedDataset` —
+  * the extension surface for semantics Spark's built-in windowed
+  * aggregations can't express (reference has no streaming at all;
+  * SURVEY.md §2 Part B cat. S).
+  *
+  * State is per-key and partition-local after the groupByKey shuffle, so
+  * these scale horizontally exactly like any keyed aggregation. */
+object Stateful {
+
+  case class UserCounts(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Running per-user event counts via mapGroupsWithState: on every
+    * micro-batch, merge the batch's events into persistent per-user state
+    * and emit the updated totals (output mode Update). */
+  def runningUserCounts(events: DataFrame): Dataset[UserCounts] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserCounts, UserCounts](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String)], state: GroupState[UserCounts]) =>
+          val prev = state.getOption.getOrElse(UserCounts(user, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          batch.foreach { case (_, et) => n += 1; if (et == "purchase") p += 1 }
+          val next = UserCounts(user, n, p)
+          state.update(next)
+          next
+      }
+  }
+
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Event-time sessionization with an inactivity gap via
+    * flatMapGroupsWithState + event-time timeout: a session closes (and is
+    * emitted) when the watermark passes its last event + gap. */
+  def sessionize(events: DataFrame, gapMs: Long, watermark: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    case class S(start: Long, last: Long, n: Long)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: close and emit the open session
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single(Session(user, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(last), n))
+          } else {
+            val times = batch.map(_._2.getTime).toSeq.sorted
+            var sessions = List.empty[Session]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some((start, last, n)) if t - last < gapMs => Some((start, t, n + 1))
+                case Some((start, last, n)) =>
+                  sessions ::= Session(user, new java.sql.Timestamp(start),
+                    new java.sql.Timestamp(last), n)
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            sessions.reverseIterator
+          }
+      }
+  }
+}

@@ -48,6 +48,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamedRows.nonEmpty)
   }
 
+  test("mapGroupsWithState running counts equal batch counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-st").toString
+    val ev = Tables.events(spark, sf001).select("user_id", "event_type", "ts")
+    ev.write.mode("overwrite").parquet(tmp)
+
+    val streamed = graft.streaming.Stateful.runningUserCounts(
+      spark.readStream.schema(ev.schema).parquet(tmp))
+    val q = streamed.writeStream.format("memory").queryName("st_counts")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT user_id, max(n_events), max(n_purchases) FROM st_counts GROUP BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = ev.groupBy("user_id")
+      .agg(count(lit(1)), count(when(col("event_type") === "purchase", 1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions at the gap") {
+    import spark.implicits._
+    val gapMs = 5 * 60 * 1000L
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:02:00")),
+      (1L, ts("2024-01-01 10:20:00")), // new session after 18-min gap
+      (2L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    // batch-mode flatMapGroupsWithState: one "batch", no timeouts fire — the
+    // closed (first) session of user 1 is emitted; open tails stay in state.
+    val out = graft.streaming.Stateful.sessionize(ev, gapMs).collect()
+    assert(out.length == 1)
+    assert(out(0).user_id == 1L && out(0).n_events == 2L)
+    assert(out(0).session_start == ts("2024-01-01 10:00:00"))
+    assert(out(0).session_end == ts("2024-01-01 10:02:00"))
+  }
+
   test("stateful dedup within watermark drops replayed event ids") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-dd").toString
     val ev = Tables.events(spark, sf001).select("event_id", "ts", "event_type")
