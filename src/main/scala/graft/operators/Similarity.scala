@@ -90,9 +90,33 @@ object Similarity {
         .filter(col("cos") > 0.3)
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
-    }))
+    }),
+
+    "ss04_label_centroids" -> centroidQuery)
+
+  // --- Per-label centroids: partial+final aggregate over exploded dims.
+  // (The typed Aggregator form lives in functions/VectorAgg.scala and is
+  // equivalence-tested in VectorAggSpec; this built-in form is the
+  // oracle-checkable one.)
+  private def centroidQuery: (SparkSession, String) => DataFrame = (s, dir) => {
+    table(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double") / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+  }
 
   val oracle: Map[String, String] = Map(
+    "ss04_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(*) AS centroid,
+        |  COUNT(*) AS n
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ss01_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

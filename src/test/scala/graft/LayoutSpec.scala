@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain equi-join on a skewed key") {
+    // heavily skewed: 90% of left rows share one key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))
+      .toDF("k", "payload")
+    val right = (1L to 2000L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val plain = left.join(right, Seq("k")).select("k", "payload", "attr")
+      .collect().map(_.toSeq).toSet
+    val salted = Layout.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+      .select("k", "payload", "attr")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 2000)
+  }
+
+  test("bucketed tables join with no exchange and no sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      // fresh in-memory catalog per JVM, but the warehouse dir persists
+      Seq("orders_b", "lineitem_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft-warehouse/$t"))
+      }
+      val o = spark.read.parquet(s"$sf001/orders.parquet")
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      Layout.writeBucketed(o, "orders_b", Seq("o_orderkey"), 8)
+      Layout.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", Seq("o_orderkey"), 8)
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"plan should be shuffle-free:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"), "scans should use the bucketing")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
