@@ -42,9 +42,13 @@ object Pipeline {
       case None => raw
     }
     // Column derivations: one wide select of the spec's expressions.
+    val present = raw.columns.toSet
+    val exprs =
+      if (spec.passthrough) spec.exprs.filter { case (pretty, _) => present(pretty) }
+      else spec.exprs
     val derived = deduped.select(
       Canonical.fields.collect {
-        case f if spec.exprs.contains(f.pretty) => spec.exprs(f.pretty).as(f.pretty)
+        case f if exprs.contains(f.pretty) => exprs(f.pretty).as(f.pretty)
       } :+ lit(spec.platformId).as("platform_id") :+ now.as("created_at"): _*)
     // A23 — required-field filter.
     spec.required.foldLeft(derived)((df, c) => df.filter(col(c).isNotNull))

@@ -21,7 +21,10 @@ final case class PlatformSpec(
     dedupKey: Option[String],
     /** A23 — rows missing any of these canonical columns are dropped. */
     required: Seq[String],
-    exprs: Map[String, Column])
+    exprs: Map[String, Column],
+    /** passthrough specs (Cian) only select raw columns actually present —
+      * the merger adds the rest as typed nulls. */
+    passthrough: Boolean = false)
 
 object PlatformSpecs {
 
@@ -154,6 +157,7 @@ object PlatformSpecs {
     platformId = 3,
     dedupKey = None,
     required = Seq("Object ID"),
+    passthrough = true,
     exprs = Canonical.fields.collect {
       case f if f.snake != "uid" && f.snake != "created_at" && f.snake != "platform_id" =>
         f.pretty -> col(f.pretty).try_cast(f.dataType)

@@ -307,6 +307,29 @@ object Relational {
       r.crossJoin(st).orderBy("r_name", "o_orderstatus")
     }),
 
+    // --- Approximate aggregates: HLL distinct + quantile sketch. Rows-only
+    // check (sketch internals are engine-specific; exact counterparts are
+    // oracle-checked in q14/q21) ---
+    "q26_approx_aggs" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- Deterministic seeded sample (rows-only: sampling is engine-
+    // specific; determinism across reruns is what matters at scale) ---
+    "q27_seeded_sample" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("o_orderstatus")
+    }),
+
     // --- Schema-align union (A25 analogue): unionByName with missing columns ---
     "q20_union_by_name" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(

@@ -149,6 +149,23 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("cian passthrough: near-canonical columns survive the pipeline") {
+    // Cian has no transformer in the reference (abstract raises; default
+    // 'skip'); our engine treats its canonical-shaped input as passthrough.
+    val cianRaw = strDF(
+      Seq("Object ID", "Price", "Area", "Rooms", "Address", "Deal Type"),
+      Seq(Seq("901", "2500000", "33", "1", "Тула, Ленина 1", "sale")))
+    val out = Pipeline.run(Map("cian" -> cianRaw), now = fixedNow)
+    assert(out.count() == 1)
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("listing_id") == 901L)
+    assert(r.getAs[Double]("price") == 2500000.0)
+    assert(r.getAs[Short]("platform_id") == 3)
+    assert(r.getAs[String]("deal_type") == "sale")
+    assert(r.getAs[String]("uid") == graft.functions.Uuid5Util.v5("901_3"))
+    assert(out.columns.toSeq == Canonical.snakeNames)
+  }
+
   test("merge alone is UNION ALL semantics — no cross-platform dedup (A25)") {
     val frames = Seq(
       Pipeline.transform(domclickRaw, PlatformSpecs.domclick, fixedNow),

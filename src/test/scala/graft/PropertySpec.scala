@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.EtlFunctions._
+
+/** Property checks (SURVEY.md §5.2): coercions are total (never throw),
+  * structural invariants of union/dedup/filter hold for arbitrary inputs.
+  * Runs on the shared local session via ScalaCheck's sbt integration. */
+object EtlProperties extends Properties("graft.etl") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val anyStrings: Gen[List[String]] =
+    Gen.listOfN(20, Gen.oneOf(
+      Gen.alphaNumStr, Gen.numStr,
+      Gen.oneOf("", " ", "3.5", "-1e3", "NaN", "2024-01-01", "['a','b']", "[", "null"),
+      Gen.asciiPrintableStr))
+
+  property("numCoerce and tsNormalize never throw on arbitrary strings") =
+    Prop.forAllNoShrink(anyStrings) { xs =>
+      val df = xs.toDF("x")
+        .select(numCoerce($"x").as("n"), tsNormalize($"x").as("t"),
+          flooredLong($"x").as("f"), safeListParse($"x").as("l"))
+      df.collect().length == xs.length // totality: every row produced
+    }
+
+  property("union of N frames preserves total row count") =
+    Prop.forAllNoShrink(Gen.listOfN(4, Gen.chooseNum(0, 30))) { sizes =>
+      val frames = sizes.map(n => (0 until n).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+      frames.reduce(_.unionByName(_)).count() == sizes.sum
+    }
+
+  property("keep-first dedup output is <= input and has distinct keys") =
+    Prop.forAllNoShrink(Gen.listOfN(40, Gen.chooseNum(0, 8))) { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (k.toLong, i) }.toDF("url", "ord")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("url").orderBy("ord")
+      val out = df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      val n = out.count()
+      n <= keys.length && n == keys.distinct.length
+    }
+
+  property("required-field filter output has no nulls in the required column") =
+    Prop.forAllNoShrink(Gen.listOfN(30, Gen.option(Gen.alphaNumStr))) { xs =>
+      val df = xs.map(o => Tuple1(o.orNull)).toDF("req")
+      df.filter($"req".isNotNull).filter($"req".isNull).count() == 0L
+    }
+}

@@ -87,6 +87,50 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).session_end == ts("2024-01-01 10:02:00"))
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = java.nio.file.Files.createTempDirectory("late-src").toString
+    val out = java.nio.file.Files.createTempDirectory("late-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("late-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+
+    // Two checkpointed AvailableNow runs = two genuine micro-batch epochs
+    // with the watermark persisted between them.
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum("value").as("s"), count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("s"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // epoch 1: on-time events; watermark advances to 12:00 - 10min = 11:50
+    Seq((ts("2024-01-01 10:10:00"), 1.0), (ts("2024-01-01 12:00:00"), 2.0))
+      .toDF("ts", "value").repartition(1).write.mode("append").parquet(src)
+    runOnce()
+    // epoch 2: one event 90 min LATE (10:20 < watermark 11:50) + one on-time
+    Seq((ts("2024-01-01 10:20:00"), 100.0), (ts("2024-01-01 12:30:00"), 4.0))
+      .toDF("ts", "value").repartition(1).write.mode("append").parquet(src)
+    runOnce()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2)))
+    val w10 = rows.find(_._1.startsWith("2024-01-01 10:00"))
+    // the 10:00 window is finalized with ONLY the on-time event — the late
+    // 100.0 was dropped by the watermark
+    assert(w10.isDefined && w10.get._2 == 1.0 && w10.get._3 == 1L,
+      s"late event leaked into a closed window: ${rows.mkString(", ")}")
+  }
+
   test("stateful dedup within watermark drops replayed event ids") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-dd").toString
     val ev = Tables.events(spark, sf001).select("event_id", "ts", "event_type")
