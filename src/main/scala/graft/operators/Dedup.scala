@@ -43,19 +43,29 @@ object Dedup {
         .orderBy("keep_id")
     }),
 
-    // n-gram Jaccard near-dup on blocked pairs (block = lang+source).
+    // n-gram Jaccard near-dup via a shingle INVERTED INDEX (block =
+    // lang+source): explode 64-bit shingle hashes, equi-join on
+    // (block, hash) so candidate pairs exist ONLY for documents that share
+    // at least one shingle, and |∩| falls out of a count aggregation —
+    // no array ever crosses the pair stage, no per-pair set work. Pairs
+    // with an empty intersection (jaccard 0 < threshold) never material-
+    // ize at all, which is the property that matters at 100 TB.
     "dd03_ngram_jaccard" -> ((s, dir) => {
-      // Pairwise work uses sorted 64-bit shingle hashes: 8 bytes/shingle in
-      // the shuffle and an O(n) merge scan per pair instead of string sets.
       val d = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
           SketchExprs.shingleHashes(col("text"), 3).as("sh"))
-      val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("lang", "source"))
+      val ex = d.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("h"))
+      val a = ex.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_a"))
+      val b = ex.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_b"))
+      val inter = a.join(b, Seq("lang", "source", "h"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("inter", SketchExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
-        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).cast("int").as("inter"))
+      val sizes = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
         .withColumn("jaccard", col("inter") / col("uni"))
         .filter(col("jaccard") >= 0.05)
         .select("id_a", "id_b", "inter", "uni", "jaccard")
@@ -90,6 +100,51 @@ object Dedup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Duplicate-cluster assignment: exact-jaccard edges (≥ 0.05, blocked by
+    // lang+source as in dd03) → connected components via iterative min-label
+    // propagation. The loop is DRIVER-CONTROLLED but every iteration is a
+    // distributed join — the standard large-scale CC pattern; iterations are
+    // bounded by the cluster diameter (log n with doubling, tiny here).
+    "dd05_dup_clusters" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          SketchExprs.shingleHashes(col("text"), 3).as("sh"))
+      val ex = d.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("h"))
+      val a = ex.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_a"))
+      val b = ex.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_b"))
+      val inter = a.join(b, Seq("lang", "source", "h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).cast("int").as("inter"))
+      val sizes = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val edges = inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.05)
+        .select("id_a", "id_b")
+        .cache()
+      val undirected = edges.unionByName(
+        edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+      var labels = undirected.select(col("id_a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 15) {
+        val neighborMin = undirected
+          .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
+          .groupBy(col("id_a").as("doc_id"))
+          .agg(min("cluster_id").as("nbr_min"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.orderBy("doc_id")
+    }),
+
     // SimHash near-dup: 64-bit signatures, 4×16-bit bands, hamming ≤ 12.
     // Rows-only check (xxhash64); ScalaTest covers signature properties.
     "dd04_simhash" -> ((s, dir) => {
@@ -118,6 +173,26 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dd05_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dd03_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

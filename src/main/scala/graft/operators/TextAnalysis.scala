@@ -66,6 +66,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // PII-style redaction: regex masking of emails / phone-like numbers /
+    // long digit runs (the text side of a training-data scrubbing pass).
+    "tx05_redact" -> ((s, dir) => {
+      // inputs have no real PII; synthesize some deterministically
+      table(s, dir, "documents")
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact me at user"), col("doc_id"), lit("@mail.example.com or +7 915 "),
+          col("n_chars"), lit("-"), col("doc_id")))
+        .select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("dirty"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>").as("clean"),
+          (col("dirty") =!= regexp_replace(col("dirty"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")).as("had_email"))
+        .orderBy("doc_id")
+    }),
+
     // Fingerprinting: exact content hash + order-insensitive bag hash.
     "tx04_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -105,6 +124,19 @@ object TextAnalysis {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS lex_tokens,
         |  length(text) / 4.0 AS approx_llm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx05_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact me at user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or +7 915 ' || CAST(n_chars AS VARCHAR)
+        |      || '-' || CAST(doc_id AS VARCHAR) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean,
+        |  dirty <> regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS had_email
+        |FROM d ORDER BY doc_id""".stripMargin,
     "tx04_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(text))) AS content_fp,
