@@ -36,7 +36,27 @@ object AsOfJoin {
     carried.filter(col("__side") === 1).drop("__side")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Range join: equi key + time-band residual. The equi key (user_id)
+    * carries the shuffle; the band predicate is evaluated as a cheap
+    * residual inside the hash join — never a cartesian/BNL join. At 100 TB
+    * with no equi key you'd bucket both sides by time window first. */
+  val rangeJoinQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rj01_time_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+          clicks("c_ts") >= purchases("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          clicks("c_ts") <= purchases("p_ts"), "left")
+        .groupBy("purchase_id")
+        .agg(count(col("c_ts")).as("clicks_30m_before"))
+        .orderBy("purchase_id")
+    }))
+
+  private val asofQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For every purchase, the latest prior (or simultaneous) click by the
     // same user: id, timestamp, and the purchase-click latency.
     "aj01_asof_backward" -> ((s, dir) => {
@@ -54,7 +74,17 @@ object AsOfJoin {
         .orderBy("purchase_id")
     }))
 
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    asofQueries ++ rangeJoinQueries
+
   val oracle: Map[String, String] = Map(
+    "rj01_time_range_join" ->
+      """SELECT p.event_id AS purchase_id,
+        |  (SELECT COUNT(*) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts) AS clicks_30m_before
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "aj01_asof_backward" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
         |  (SELECT max(c.ts) FROM events c

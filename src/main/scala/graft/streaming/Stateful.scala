@@ -45,7 +45,6 @@ object Stateful {
   def sessionize(events: DataFrame, gapMs: Long, watermark: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    case class S(start: Long, last: Long, n: Long)
     events.withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
