@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -14,6 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted per element — at sf0.1 the HOF forms spent 88 of 112 bench
   * seconds. These JVM loops are 30-100x faster and keep the same outputs.
   *
+  * Each expression implements `doGenCode` as a static call into the eval
+  * helpers below (Scala object methods get static forwarders), so they
+  * participate in whole-stage codegen instead of breaking the stage the way
+  * `CodegenFallback` would.
+  *
   * All hashing uses Spark's own XXH64 (the engine of SQL `xxhash64`), so
   * signatures are stable across JVMs/partitions/runs.
   */
@@ -22,221 +27,254 @@ object SketchExprs {
   private def hashUtf8(s: UTF8String, seed: Long): Long =
     XXH64.hashUTF8String(s, seed)
 
+  // ---------- static eval helpers (called from generated code) ----------
+
   /** Distinct word n-gram shingles of a whitespace-tokenized text. */
-  case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val words = input.asInstanceOf[UTF8String].toString.split(' ')
-      val out = new java.util.LinkedHashSet[String]()
-      if (words.length <= n) out.add(words.mkString(" "))
-      else {
-        var i = 0
-        val sb = new java.lang.StringBuilder(64)
-        while (i + n <= words.length) {
-          sb.setLength(0)
-          var j = 0
-          while (j < n) {
-            if (j > 0) sb.append(' ')
-            sb.append(words(i + j)); j += 1
-          }
-          out.add(sb.toString); i += 1
+  def evalWordShingles(input: UTF8String, n: Int): ArrayData = {
+    val words = input.toString.split(' ')
+    val out = new java.util.LinkedHashSet[String]()
+    if (words.length <= n) out.add(words.mkString(" "))
+    else {
+      var i = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (i + n <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        out.add(sb.toString); i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator(); var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** k-permutation MinHash signature: element i = min XXH64(shingle, seed=i). */
+  def evalMinhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var seed = 0
+      while (seed < k) {
+        val h = hashUtf8(s, seed)
+        if (h < sig(seed)) sig(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash: per-bit majority vote of XXH64 word hashes. */
+  def evalSimhash64(input: UTF8String): Long = {
+    val text = input.toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val len = text.length
+    while (start < len) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) {
+        val h = hashUtf8(UTF8String.fromString(text.substring(start, end)), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
         }
       }
-      val arr = new Array[Any](out.size)
-      val it = out.iterator(); var k = 0
-      while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
-      new GenericArrayData(arr)
+      start = end + 1
     }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** |a ∩ b| for string arrays (set semantics; inputs distinct). Matches
+    * `size(array_intersect(a, b))` / DuckDB `len(list_intersect(a, b))`. */
+  def evalArrayIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val set = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { set.add(a.getUTF8String(i)); i += 1 }
+    var c = 0
+    i = 0
+    while (i < b.numElements()) { if (set.contains(b.getUTF8String(i))) c += 1; i += 1 }
+    c
+  }
+
+  /** Fraction of equal positions of two equal-length long arrays. */
+  def evalSigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  /** XXH64 of a long-array slice — band bucketing for LSH. */
+  def evalLongSliceHash(a: ArrayData, from: Int, len: Int): Long = {
+    var h = 0L
+    var i = from
+    val end = math.min(from + len, a.numElements())
+    while (i < end) { h = XXH64.hashLong(a.getLong(i), h); i += 1 }
+    h
+  }
+
+  /** Sorted XXH64 hashes of distinct word n-gram shingles — the compact form
+    * for pairwise intersection (8 bytes/shingle; 64-bit hashes make
+    * cross-doc collisions vanishingly rare). */
+  def evalShingleHashes(input: UTF8String, n: Int): ArrayData = {
+    val sh = evalWordShingles(input, n)
+    val out = new Array[Long](sh.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = hashUtf8(sh.getUTF8String(i), 7L); i += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** |a ∩ b| for two SORTED long arrays via a single merge scan. */
+  def evalSortedLongIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    var i = 0; var j = 0; var c = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Random-hyperplane LSH bucket: nPlanes sign bits, coefficients derived
+    * deterministically from XXH64(dim, plane). */
+  def evalHyperplaneLsh(v: ArrayData, nPlanes: Int): Int = {
+    val dims = v.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < dims) {
+        val h = XXH64.hashLong(d.toLong, p.toLong)
+        val coef = (java.lang.Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
+        dot += v.getDouble(d) * coef
+        d += 1
+      }
+      bucket = bucket * 2 + (if (dot > 0) 1 else 0)
+      p += 1
+    }
+    bucket
+  }
+
+  // ---------- expressions (codegen = static call into the helpers) ----------
+
+  private val Self = "graft.functions.SketchExprs"
+
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      evalWordShingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalWordShingles($c, $n)")
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
     override def prettyName: String = "word_shingles"
   }
 
-  /** k-permutation MinHash signature of a string array: element i is
-    * min over the array of XXH64(bytes, seed = i). */
-  case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val sig = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i)
-        var seed = 0
-        while (seed < k) {
-          val h = hashUtf8(s, seed)
-          if (h < sig(seed)) sig(seed) = h
-          seed += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalMinhashSig(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalMinhashSig($c, $k)")
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
     override def prettyName: String = "minhash_sig"
   }
 
-  /** 64-bit SimHash of a whitespace-tokenized text: per-bit majority vote
-    * of XXH64 word hashes. */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[UTF8String].toString
-      val counts = new Array[Int](64)
-      var start = 0
-      val len = text.length
-      while (start < len) {
-        var end = text.indexOf(' ', start)
-        if (end < 0) end = len
-        if (end > start) {
-          val h = hashUtf8(UTF8String.fromString(text.substring(start, end)), 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        start = end + 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(evalSimhash64(input.asInstanceOf[UTF8String]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalSimhash64($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
     override def prettyName: String = "simhash64"
   }
 
-  /** |a ∩ b| for two string arrays (set semantics — inputs assumed distinct,
-    * as produced by word_shingles). Matches `size(array_intersect(a, b))`
-    * and DuckDB `len(list_intersect(a, b))`. */
-  case class ArrayIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class ArrayIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val set = new java.util.HashSet[UTF8String](a.numElements() * 2)
-      var i = 0
-      while (i < a.numElements()) { set.add(a.getUTF8String(i)); i += 1 }
-      var c = 0
-      i = 0
-      while (i < b.numElements()) { if (set.contains(b.getUTF8String(i))) c += 1; i += 1 }
-      java.lang.Integer.valueOf(c)
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Integer.valueOf(
+        evalArrayIntersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalArrayIntersectCount($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
     override def prettyName: String = "array_intersect_count"
   }
 
-  /** Fraction of equal positions between two equal-length long arrays
-    * (MinHash signature agreement = estimated Jaccard). */
-  case class SigAgreement(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class SigAgreement(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var eq = 0
-      var i = 0
-      while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
-      java.lang.Double.valueOf(if (n == 0) 0.0 else eq.toDouble / n)
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(
+        evalSigAgreement(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalSigAgreement($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
     override def prettyName: String = "sig_agreement"
   }
 
-  /** XXH64 of a long-array slice — band bucketing for LSH. */
-  case class LongSliceHash(child: Expression, from: Int, len: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class LongSliceHash(child: Expression, from: Int, len: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val a = input.asInstanceOf[ArrayData]
-      var h = 0L
-      var i = from
-      val end = math.min(from + len, a.numElements())
-      while (i < end) { h = XXH64.hashLong(a.getLong(i), h); i += 1 }
-      java.lang.Long.valueOf(h)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(evalLongSliceHash(input.asInstanceOf[ArrayData], from, len))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalLongSliceHash($c, $from, $len)")
     override protected def withNewChildInternal(c: Expression): LongSliceHash = copy(child = c)
     override def prettyName: String = "long_slice_hash"
   }
 
-  /** Sorted XXH64 hashes of the distinct word n-gram shingles — the compact
-    * form for pairwise intersection (8 bytes/shingle instead of the string;
-    * 64-bit hashes make cross-doc collisions vanishingly rare). */
-  case class ShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
-    private val inner = WordShingles(child, n)
+  case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val sh = inner.nullSafeEval(input).asInstanceOf[ArrayData]
-      val out = new Array[Long](sh.numElements())
-      var i = 0
-      while (i < out.length) { out(i) = hashUtf8(sh.getUTF8String(i), 7L); i += 1 }
-      java.util.Arrays.sort(out)
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      evalShingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalShingleHashes($c, $n)")
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
     override def prettyName: String = "shingle_hashes"
   }
 
-  /** |a ∩ b| for two SORTED long arrays via a single merge scan. */
   case class SortedLongIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      var i = 0; var j = 0; var c = 0
-      val na = a.numElements(); val nb = b.numElements()
-      while (i < na && j < nb) {
-        val x = a.getLong(i); val y = b.getLong(j)
-        if (x == y) { c += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      java.lang.Integer.valueOf(c)
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Integer.valueOf(
+        evalSortedLongIntersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalSortedLongIntersectCount($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
     override def prettyName: String = "sorted_long_intersect_count"
   }
 
-  /** Random-hyperplane LSH bucket of a double vector: nPlanes sign bits,
-    * plane p / dim d coefficient derived deterministically from XXH64. */
-  case class HyperplaneLsh(child: Expression, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class HyperplaneLsh(child: Expression, nPlanes: Int) extends UnaryExpression {
     override def dataType: DataType = IntegerType
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val dims = v.numElements()
-      var bucket = 0
-      var p = 0
-      while (p < nPlanes) {
-        var dot = 0.0
-        var d = 0
-        while (d < dims) {
-          val h = XXH64.hashLong(d.toLong, p.toLong)
-          val coef = (java.lang.Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
-          dot += v.getDouble(d) * coef
-          d += 1
-        }
-        bucket = bucket * 2 + (if (dot > 0) 1 else 0)
-        p += 1
-      }
-      java.lang.Integer.valueOf(bucket)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(evalHyperplaneLsh(input.asInstanceOf[ArrayData], nPlanes))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalHyperplaneLsh($c, $nPlanes)")
     override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
     override def prettyName: String = "hyperplane_lsh"
   }
 
-  // Column-level API
+  // ---------- Column-level API ----------
+
   private def B = ColumnBridge
   def wordShingles(c: Column, n: Int = 3): Column = B.column(WordShingles(B.expression(c), n))
   def minhashSig(c: Column, k: Int): Column = B.column(MinHashSig(B.expression(c), k))
