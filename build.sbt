@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from the tail of sbt's
+// stdout; the "[success] Total time …" footer after it broke that parse
+// in round 1 (BENCH_r01.json "parsed": null). Keep the JSON line last.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

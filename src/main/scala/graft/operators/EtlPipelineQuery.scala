@@ -89,12 +89,21 @@ object EtlPipelineQuery {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ep01_unified_pipeline" -> ((s, dir) => {
-      Pipeline.run(
+      val unified = Pipeline.run(
         Map(
           "domclick" -> domclickFromOrders(s, dir),
           "avito" -> avitoFromDocuments(s, dir)),
         now = lit("2025-01-15 12:00:00").cast("timestamp"))
-        .orderBy("platform_id", "listing_id")
+      // Serialize array columns for the driver's pandas-based rows check
+      // (ndarray cells crash its sort; round-1 ep01 failure).
+      val cols = unified.schema.fields.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            to_json(col(f.name)).as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      unified.select(cols.toIndexedSeq: _*).orderBy("platform_id", "listing_id")
     }))
 
   val oracle: Map[String, String] = Map.empty

@@ -56,26 +56,35 @@ object EtlQueries {
         .orderBy("c_custkey")
     }),
 
-    // A17 — tolerant Python-list-literal parse
+    // A17 — tolerant Python-list-literal parse. Array results are serialized
+    // with array_join for the gate: the driver's pandas comparer cannot sort
+    // array cells (round-1 "unhashable type: numpy.ndarray" failures).
     "e05_safe_list_parse" -> ((s, dir) => {
       table(s, dir, "documents").select(
         col("doc_id"),
         safeListParse(concat(lit("['"), col("source"), lit("', '"), col("lang"), lit("']")))
-          .as("parsed"),
-        safeListParse(col("lang")).as("malformed")) // not a list -> []
-        .withColumn("n_parsed", size(col("parsed")))
-        .withColumn("first_elem", element_at(col("parsed"), 1))
+          .as("parsed_arr"),
+        safeListParse(col("lang")).as("malformed_arr")) // not a list -> []
+        .select(
+          col("doc_id"),
+          array_join(col("parsed_arr"), ",").as("parsed"),
+          array_join(col("malformed_arr"), ",").as("malformed"),
+          size(col("parsed_arr")).as("n_parsed"),
+          element_at(col("parsed_arr"), 1).as("first_elem"))
         .orderBy("doc_id")
     }),
 
-    // A18/A19 — higher-order array transform/filter (no explode, no UDF)
+    // A18/A19 — higher-order array transform/filter (no explode, no UDF);
+    // arrays serialized for the pandas-based gate (see e05 note).
     "e06_array_hof" -> ((s, dir) => {
       val base = "https://img.example.com/"
       table(s, dir, "documents").select(
         col("doc_id"),
-        prefixEach(base, slice(split(col("text"), " "), 1, 3)).as("photo_urls"),
-        arrayCompactStr(col("lang"), lit(null).cast(StringType), lit(""), col("source"))
-          .as("compact"))
+        array_join(prefixEach(base, slice(split(col("text"), " "), 1, 3)), "|")
+          .as("photo_urls"),
+        array_join(
+          arrayCompactStr(col("lang"), lit(null).cast(StringType), lit(""), col("source")),
+          "|").as("compact"))
         .orderBy("doc_id")
     }),
 
@@ -118,8 +127,9 @@ object EtlQueries {
         (col("o_totalprice") / 100.0).cast(FloatType).as("rate_f32"),
         year(col("o_orderdate")).cast(ShortType).as("built_year"),
         lit(0).cast(ByteType).as("valid"),
-        coalesce(lit(null).cast(ArrayType(DoubleType)), array().cast(ArrayType(DoubleType)))
-          .as("subway_distances"))
+        array_join( // null->[] guard, serialized for the pandas-based gate
+          coalesce(lit(null).cast(ArrayType(DoubleType)), array().cast(ArrayType(DoubleType)))
+            .cast(ArrayType(StringType)), ",").as("subway_distances"))
         .orderBy("listing_id")
     }),
 
@@ -162,17 +172,17 @@ object EtlQueries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "e05_safe_list_parse" ->
       """SELECT doc_id,
-        |  [source, lang] AS parsed,
-        |  CAST([] AS VARCHAR[]) AS malformed,
+        |  source || ',' || lang AS parsed,
+        |  '' AS malformed,
         |  2 AS n_parsed,
         |  source AS first_elem
         |FROM documents ORDER BY doc_id""".stripMargin,
     "e06_array_hof" ->
       """SELECT doc_id,
-        |  list_transform(string_split(text, ' ')[1:3],
-        |                 x -> 'https://img.example.com/' || regexp_replace(x, '^/+', '')) AS photo_urls,
-        |  list_filter([lang, NULL, '', source],
-        |              x -> x IS NOT NULL AND trim(x) <> '') AS compact
+        |  array_to_string(list_transform(string_split(text, ' ')[1:3],
+        |                 x -> 'https://img.example.com/' || regexp_replace(x, '^/+', '')), '|') AS photo_urls,
+        |  array_to_string(list_filter([lang, NULL, '', source],
+        |              x -> x IS NOT NULL AND trim(x) <> ''), '|') AS compact
         |FROM documents ORDER BY doc_id""".stripMargin,
     "e07_map_json" ->
       """SELECT doc_id,
@@ -197,6 +207,6 @@ object EtlQueries {
         |  CAST(o_totalprice / 100.0 AS FLOAT4) AS rate_f32,
         |  CAST(year(o_orderdate) AS SMALLINT) AS built_year,
         |  CAST(0 AS TINYINT) AS valid,
-        |  CAST([] AS DOUBLE[]) AS subway_distances
+        |  '' AS subway_distances
         |FROM orders ORDER BY listing_id""".stripMargin)
 }

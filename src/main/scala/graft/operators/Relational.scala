@@ -472,7 +472,7 @@ object Relational {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q18_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_explode_words" ->
@@ -498,9 +498,9 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q24_pivot" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_cross_join" ->
       """SELECT r_name, o_orderstatus
