@@ -133,13 +133,16 @@ object Dedup {
           .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
           .groupBy(col("id_a").as("doc_id"))
           .agg(min("cluster_id").as("nbr_min"))
+        // Carry the previous label through the select so the convergence
+        // check is a filter over the SAME cached frame — one action and one
+        // fewer join per iteration than joining next against old labels.
         val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("cluster_id").as("prev"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
           .cache()
-        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-          .filter(col("cluster_id") =!= col("old")).count()
-        labels = next
+        changed = next.filter(col("cluster_id") =!= col("prev")).count()
+        labels.unpersist() // superseded now that next is materialized
+        labels = next.select("doc_id", "cluster_id")
         iter += 1
       }
       labels.orderBy("doc_id")
