@@ -133,6 +133,36 @@ object EtlQueries {
         .orderBy("listing_id")
     }),
 
+    // A4 — latest-partition discovery as a distributed query: parse
+    // `offers_data/{platform}_{yyyyMMdd}.csv` listing keys (synthesized
+    // deterministically from orders), regex out platform+date, max(date) per
+    // platform — the reference's only aggregation
+    // (src/utils/checking_s3_data.py:57-92). The driver-side control-plane
+    // twin over a real file listing is etl.Pipeline.resolveDates.
+    "e12_latest_partition" -> ((s, dir) => {
+      val platforms = array(lit("domclick"), lit("yandex"), lit("avito"), lit("cian"))
+      val keys = table(s, dir, "orders").select(
+        concat(lit("offers_data/"),
+          element_at(platforms, (col("o_orderkey") % 4 + 1).cast(IntegerType)),
+          lit("_"), date_format(col("o_orderdate"), "yyyyMMdd"), lit(".csv")).as("key"))
+      keys.select(
+        regexp_extract(col("key"), "^offers_data/(\\w+)_(\\d{8})\\.csv$", 1).as("platform"),
+        regexp_extract(col("key"), "^offers_data/(\\w+)_(\\d{8})\\.csv$", 2).as("dt"))
+        .groupBy("platform")
+        .agg(max("dt").as("latest_date"), count(lit(1)).as("n_files"))
+        .orderBy("platform")
+    }),
+
+    // A14/A16 — boolean→flag projection and guarded division.
+    "e13_flag_division" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        boolFlag(when(col("c_custkey") % 2 === 0, "True").otherwise("False")).as("paid_flag"),
+        boolFlag(lit(null).cast(StringType)).as("null_flag"), // null -> 0.0
+        safeDiv(col("c_acctbal"), (col("c_custkey") % 7).cast(DoubleType)).as("bal_per_unit"))
+        .orderBy("c_custkey")
+    }),
+
     // A12/A27 — stable surrogate keys: xxhash64-based id + RFC-4122 v5 UUID.
     // No DuckDB oracle (no xxhash64/sha1 there): rows-only + ScalaTest vectors.
     "e08_stable_keys" -> ((s, dir) => {
@@ -208,5 +238,22 @@ object EtlQueries {
         |  CAST(year(o_orderdate) AS SMALLINT) AS built_year,
         |  CAST(0 AS TINYINT) AS valid,
         |  '' AS subway_distances
-        |FROM orders ORDER BY listing_id""".stripMargin)
+        |FROM orders ORDER BY listing_id""".stripMargin,
+    "e12_latest_partition" ->
+      """WITH keys AS (
+        |  SELECT 'offers_data/' ||
+        |    (['domclick','yandex','avito','cian'])[CAST(o_orderkey % 4 + 1 AS INT)] ||
+        |    '_' || strftime(o_orderdate, '%Y%m%d') || '.csv' AS key
+        |  FROM orders)
+        |SELECT regexp_extract(key, '^offers_data/(\w+)_(\d{8})\.csv$', 1) AS platform,
+        |  MAX(regexp_extract(key, '^offers_data/(\w+)_(\d{8})\.csv$', 2)) AS latest_date,
+        |  COUNT(*) AS n_files
+        |FROM keys GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e13_flag_division" ->
+      """SELECT c_custkey,
+        |  CAST(CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS paid_flag,
+        |  CAST(0.0 AS DOUBLE) AS null_flag,
+        |  CASE WHEN CAST(c_custkey % 7 AS DOUBLE) > 0
+        |       THEN c_acctbal / CAST(c_custkey % 7 AS DOUBLE) END AS bal_per_unit
+        |FROM customer ORDER BY c_custkey""".stripMargin)
 }

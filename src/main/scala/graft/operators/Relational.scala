@@ -300,6 +300,30 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // --- Join: full outer over pre-aggregated sides (nulls on both edges,
+    // coalesced key). Pre-aggregating BEFORE the join keeps the shuffled
+    // sides at |distinct keys| rows — the scale-correct order. ---
+    "q28_outer_join" -> ((s, dir) => {
+      val cn = table(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      val sn = table(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("nk_c") === col("nk_s"), "full_outer")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // --- Generator: posexplode (ordinality-preserving flatten) ---
+    "q29_posexplode" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 3)).as(Seq("pos", "word")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // --- Cross join (tiny dims only — intentional cartesian) ---
     "q25_cross_join" -> ((s, dir) => {
       val r = table(s, dir, "region").select("r_name")
@@ -506,6 +530,21 @@ object Relational {
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
         |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q28_outer_join" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust,
+        |  COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+    "q29_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |  string_split(text, ' ')[CAST(i AS INT)] AS word
+        |FROM documents, range(1, 4) t(i)
+        |WHERE i <= len(string_split(text, ' '))
+        |ORDER BY doc_id, pos""".stripMargin,
     "q20_union_by_name" ->
       """SELECT kind, nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,

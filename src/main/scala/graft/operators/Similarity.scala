@@ -92,7 +92,45 @@ object Similarity {
         .orderBy("id_a", "id_b")
     }),
 
-    "ss04_label_centroids" -> centroidQuery)
+    "ss04_label_centroids" -> centroidQuery,
+
+    // IVF-Flat ANN — the other 100 TB scale path (ss02 is the LSH one).
+    // Coarse quantizer: per-label centroids (computed distributedly, tiny,
+    // broadcast). Every vector is assigned to its nearest cell (argmax
+    // cosine over the broadcast centroid set — a broadcast join, no corpus
+    // shuffle); each query probes its nprobe=3 nearest cells, so candidate
+    // cost scales with nprobe/k of the corpus, not the corpus. Rows-only
+    // check (ScalaTest asserts recall ~ probed fraction vs exact ss01 —
+    // these embeddings are near-isotropic, so that IS the IVF tradeoff).
+    "ss05_ivf_ann" -> ((s, dir) => {
+      val nprobe = 3
+      val e = emb(s, dir).withColumn("nrm", l2norm("v"))
+      val cents = table(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
+        .groupBy("label", "dim").agg(avg("x").as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
+        .select(col("label").as("cell"), expr("transform(entries, e -> e.c)").as("cv"))
+        .withColumn("cnrm", l2norm("cv"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot("v", "cv") / (col("nrm") * col("cnrm")))
+        .withColumn("r", row_number().over(wAssign))
+      val cells = assigned.filter(col("r") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      val q = assigned.filter(col("vec_id") < 5 && col("r") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell"))
+      val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      q.join(cells, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+        .orderBy("query_id", "rk")
+    }))
 
   // --- Per-label centroids: partial+final aggregate over exploded dims.
   // (The typed Aggregator form lives in functions/VectorAgg.scala and is
