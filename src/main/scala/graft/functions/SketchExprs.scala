@@ -151,6 +151,27 @@ object SketchExprs {
     c
   }
 
+  /** Sequential-order dot product of two double arrays. Bitwise-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)` (and
+    * to DuckDB's list_sum over the same products) — same left-fold order —
+    * so oracle hashes are unaffected by the swap to this JVM loop. */
+  def evalDotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Sequential-order L2 norm (sqrt of left-fold sum of squares). */
+  def evalL2Norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
   /** Random-hyperplane LSH bucket: nPlanes sign bits, coefficients derived
     * deterministically from XXH64(dim, plane). */
   def evalHyperplaneLsh(v: ArrayData, nPlanes: Int): Int = {
@@ -263,6 +284,28 @@ object SketchExprs {
     override def prettyName: String = "sorted_long_intersect_count"
   }
 
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(
+        evalDotProduct(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalDotProduct($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_product"
+  }
+
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(evalL2Norm(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalL2Norm($c)")
+    override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+    override def prettyName: String = "l2_norm"
+  }
+
   case class HyperplaneLsh(child: Expression, nPlanes: Int) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
@@ -290,4 +333,7 @@ object SketchExprs {
     B.column(SortedLongIntersectCount(B.expression(a), B.expression(b)))
   def hyperplaneLsh(c: Column, nPlanes: Int): Column =
     B.column(HyperplaneLsh(B.expression(c), nPlanes))
+  def dotProduct(a: Column, b: Column): Column =
+    B.column(DotProduct(B.expression(a), B.expression(b)))
+  def l2Norm(c: Column): Column = B.column(L2Norm(B.expression(c)))
 }

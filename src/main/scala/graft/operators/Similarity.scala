@@ -16,17 +16,21 @@ import graft.sources.Tables.table
   *    candidates come from an equi-join on bucket, so cost scales with
   *    Σ bucket² not |Q|·N.
   *
-  * Dot products are computed in double via higher-order functions
-  * (`zip_with` + `aggregate`) — columnar, codegen, no UDF.
+  * Dot products and norms are native codegen'd Catalyst expressions
+  * (`SketchExprs.DotProduct`/`L2Norm`) — a single JVM loop per row; the
+  * equivalent `zip_with`+`aggregate` HOF form pays an interpreted lambda
+  * call per element. Values are bitwise identical (same left-fold order).
   */
 object Similarity {
 
-  /** Sequential-order dot product of two double-array columns. */
+  /** Sequential-order dot product of two double-array columns — a native
+    * codegen'd Catalyst expression ([[graft.functions.SketchExprs.DotProduct]]);
+    * the HOF form (`aggregate(zip_with(...))`) computes the identical value
+    * but pays an interpreted lambda call per element. */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.SketchExprs.dotProduct(col(a), col(b))
 
-  def l2norm(a: String): Column =
-    expr(s"sqrt(aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+  def l2norm(a: String): Column = graft.functions.SketchExprs.l2Norm(col(a))
 
   /** Embeddings with float→double cast (deterministic, engine-independent). */
   private def emb(s: SparkSession, dir: String): DataFrame =

@@ -13,6 +13,21 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_._1).view
       .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
 
+  test("native dot/l2norm are bitwise equal to the HOF fold") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("w", expr("reverse(v)"))
+    val cmp = e.select(
+      (Similarity.dot("v", "w") <=>
+        expr("aggregate(zip_with(v, w, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .as("dot_eq"),
+      (Similarity.l2norm("v") <=>
+        expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"))
+        .as("nrm_eq"))
+    assert(cmp.filter(!col("dot_eq") || !col("nrm_eq")).count() == 0)
+  }
+
   test("ivf ann returns at most 10 ranked neighbors per query") {
     val got = topk("ss05_ivf_ann")
     assert(got.nonEmpty)
