@@ -82,6 +82,24 @@ object Multimodal {
     df.join(out, Seq("asset_id"))
   }
 
+  /** Frame sampling for video assets through the same partition-local
+    * batched plumbing as [[decodeImages]] — the `mapInPandas` row shape. */
+  def sampleVideoFrames(df: DataFrame, everyN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("media_type") === "video")
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val n = try StubCodecs.sampleFrames(payload, everyN)
+          catch { case _: Exception => -1 }
+          (id, n)
+        }
+      }
+      .toDF("asset_id", "n_frames")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload + columnar metadata (bytes, checksum, format tag).
     "mm01_media_meta" -> ((s, dir) => {
@@ -99,6 +117,14 @@ object Multimodal {
       decodeImages(mediaFromDocuments(s, dir))
         .select("asset_id", "media_type", "width", "height", "format_decoded")
         .orderBy("asset_id")
+    }),
+
+    // Frame sampling (every 8th "frame" of the fake payload). The stub's
+    // arithmetic (bytes / 8) is SQL-expressible, so this one IS
+    // oracle-checked end-to-end through the mapPartitions path.
+    "mm03_frame_sample" -> ((s, dir) => {
+      sampleVideoFrames(mediaFromDocuments(s, dir), 8)
+        .orderBy("asset_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -108,5 +134,10 @@ object Multimodal {
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS checksum,
         |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-        |FROM documents ORDER BY asset_id""".stripMargin)
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "mm03_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) // 8 AS INT) AS n_frames
+        |FROM documents
+        |WHERE doc_id % 3 = 2 ORDER BY asset_id""".stripMargin)
 }

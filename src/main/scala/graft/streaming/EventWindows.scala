@@ -46,9 +46,27 @@ object EventWindows {
           col("session_window.end").as("session_end"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // At-least-once replay dedup, batch twin of the streaming
+    // dropDuplicatesWithinWatermark path (StreamingSpec): re-deliver a
+    // deterministic subset of events, dedup on event_id, aggregate.
+    // Duplicate rows are byte-identical, so the keep-any semantics of
+    // dropDuplicates stay deterministic.
+    "st04_replay_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "ts", "user_id", "value")
+      val replayed = ev.unionByName(ev.filter(col("event_id") % 10 === 0))
+      replayed.dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }))
 
   val oracle: Map[String, String] = Map(
+    "st04_replay_dedup" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "st01_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
