@@ -124,8 +124,13 @@ object Dedup {
         .cache()
       val undirected = edges.unionByName(
         edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
-      var labels = undirected.select(col("id_a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")).cache()
+      // Seed labels with min(self, min neighbor) — the first propagation
+      // round fused into one aggregation (vs distinct + join + groupBy).
+      var labels = undirected
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min(col("id_b")).as("nbr_min"))
+        .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster_id"))
+        .cache()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 15) {
