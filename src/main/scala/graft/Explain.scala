@@ -30,6 +30,8 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(app)
+      // custom expressions as SQL functions (uuid5, dot_product, ...)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // one partition per core locally; on a cluster this would scale with
       // executors — the point is: never the 200 default for this data size
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{SketchExprs, Uuid5Util}
+
+/** The custom expressions exposed as SQL functions through
+  * `spark.sql.extensions=graft.GraftExtensions`. */
+class FunctionRegistrySpec extends SparkSpec {
+
+  test("custom expressions are callable from SQL") {
+    val r = spark.sql("""
+      SELECT uuid5('42_1') AS u,
+             dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+             l2_norm(array(3.0D, 4.0D)) AS nrm,
+             simhash64('hello world') AS sh,
+             sig_agreement(array(1L, 2L), array(1L, 3L)) AS agree,
+             size(word_shingles('a b c d', 3)) AS nsh,
+             size(minhash_sig(word_shingles('a b c d'), 16)) AS k
+    """).collect()(0)
+    assert(r.getAs[String]("u") == Uuid5Util.v5("42_1"))
+    assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[Double]("nrm") == 5.0)
+    assert(r.getAs[Long]("sh") ==
+      SketchExprs.evalSimhash64(UTF8String.fromString("hello world")))
+    assert(r.getAs[Double]("agree") == 0.5)
+    assert(r.getAs[Int]("nsh") == 2)
+    assert(r.getAs[Int]("k") == 16)
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(word_shingles('a b'), CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal integer"))
+  }
+}
