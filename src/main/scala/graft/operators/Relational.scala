@@ -316,6 +316,24 @@ object Relational {
         .orderBy("nationkey")
     }),
 
+    // --- Window: ranking family (rank / dense_rank / percent_rank / ntile /
+    // first_value) — q07/q08 cover row_number, running sums, lag/lead ---
+    "q30_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          percent_rank().over(w).as("prk"),
+          ntile(4).over(w).as("quartile"),
+          first_value(col("o_orderkey"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("top_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // --- Generator: posexplode (ordinality-preserving flatten) ---
     "q29_posexplode" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -539,6 +557,18 @@ object Relational {
         |     (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
         |  ON c.nk = s.nk
         |ORDER BY nationkey""".stripMargin,
+    "q30_rank_family" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(rank() OVER w AS INT) AS rk,
+        |  CAST(dense_rank() OVER w AS INT) AS drk,
+        |  percent_rank() OVER w AS prk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(o_orderkey) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q29_posexplode" ->
       """SELECT doc_id, CAST(i - 1 AS INT) AS pos,
         |  string_split(text, ' ')[CAST(i AS INT)] AS word

@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scan-efficiency assertions: partition pruning on a partitioned layout —
+  * at 100 TB this is the difference between reading one directory and
+  * reading the lake. (Predicate pushdown to parquet row groups is asserted
+  * via graft.Explain's PushedFilters output; q02 is the oracle query.) */
+class PruningSpec extends SparkSpec {
+
+  test("partitionBy layout prunes non-matching partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    Tables.table(spark, sf001, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").parquet(s"$dir/orders")
+
+    val read = spark.read.parquet(s"$dir/orders").filter(col("status") === "O")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:"), s"no PartitionFilters in:\n$scan")
+    assert(scan.contains("= O)"), s"status=O not in partition filters:\n$scan")
+
+    // And the pruned read returns exactly the rows of the pruned key.
+    val expected = Tables.table(spark, sf001, "orders")
+      .filter(col("o_orderstatus") === "O").count()
+    assert(read.count() == expected)
+  }
+}
