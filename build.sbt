@@ -15,6 +15,9 @@ run / fork := true
 // stdout; the "[success] Total time …" footer after it broke that parse
 // in round 1 (BENCH_r01.json "parsed": null). Keep the JSON line last.
 Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — silence the
+// false-positive unused-key lint so it doesn't pollute driver logs.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
