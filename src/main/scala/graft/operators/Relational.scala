@@ -334,6 +334,26 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // --- Aggregation extras: count_if, min_by/max_by, grouped string-agg.
+    // min_by/max_by keys are zero-padded printf composites (price, orderkey)
+    // so ties break deterministically and identically in both engines. ---
+    "q31_agg_extras" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("count_if(o_totalprice > 200000)").as("n_big"),
+          expr("""min_by(o_orderkey,
+                    format_string('%020.6f', o_totalprice) || '-' ||
+                    format_string('%010d', o_orderkey))""").as("cheapest_order"),
+          expr("""max_by(o_orderkey,
+                    format_string('%020.6f', o_totalprice) || '-' ||
+                    format_string('%010d', o_orderkey))""").as("priciest_order"),
+          expr("""array_join(array_sort(
+                    collect_list(CAST(o_orderkey AS STRING))
+                      FILTER (WHERE o_orderkey % 1000 = 0)), ',')""").as("sample_keys"))
+        .orderBy("o_orderstatus")
+    }),
+
     // --- Generator: posexplode (ordinality-preserving flatten) ---
     "q29_posexplode" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -557,6 +577,16 @@ object Relational {
         |     (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
         |  ON c.nk = s.nk
         |ORDER BY nationkey""".stripMargin,
+    "q31_agg_extras" ->
+      """SELECT o_orderstatus,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  arg_min(o_orderkey, printf('%020.6f', o_totalprice) || '-' ||
+        |                      printf('%010d', o_orderkey)) AS cheapest_order,
+        |  arg_max(o_orderkey, printf('%020.6f', o_totalprice) || '-' ||
+        |                      printf('%010d', o_orderkey)) AS priciest_order,
+        |  COALESCE(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
+        |             FILTER (WHERE o_orderkey % 1000 = 0), '') AS sample_keys
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_rank_family" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST(rank() OVER w AS INT) AS rk,
