@@ -54,5 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(a(1), "long_slice_hash", 2), intArg(a(2), "long_slice_hash", 3)))
     reg("hyperplane_lsh", 2 to 2)(a =>
       SketchExprs.HyperplaneLsh(a(0), intArg(a(1), "hyperplane_lsh", 2)))
+    reg("word_ngrams", 2 to 2)(a => // generator: usable in SELECT / LATERAL VIEW
+      graft.functions.WordNgrams(a(0), intArg(a(1), "word_ngrams", 2)))
   }
 }

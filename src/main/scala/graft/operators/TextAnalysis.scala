@@ -93,9 +93,26 @@ object TextAnalysis {
           md5(lower(trim(col("text"))).cast("binary")).as("content_fp"),
           md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary")).as("bag_fp"))
         .orderBy("doc_id")
+    }),
+
+    // N-gram expansion through the custom Generator (UDTF) — one row per
+    // word trigram with its position, no intermediate array per row.
+    "tx06_ngram_generate" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0) // keep gate output modest
+        .select(col("doc_id"),
+          graft.functions.WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+        .orderBy("doc_id", "pos")
     }))
 
   val oracle: Map[String, String] = Map(
+    "tx06_ngram_generate" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |  array_to_string(string_split(text, ' ')[i:i+2], ' ') AS ngram
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) AS i
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |ORDER BY doc_id, pos""".stripMargin,
     "tx01_langid" ->
       s"""SELECT doc_id, en_hits,
          |  en_hits / words AS en_density,

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.WordNgrams
+
+/** Custom Generator (UDTF): word n-grams with ordinals. */
+class WordNgramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("generates one row per trigram with its position") {
+    val out = Seq((1L, "a b c d"), (2L, "x y"), (3L, "solo"))
+      .toDF("id", "text")
+      .select(col("id"), WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 0, "a b c"), (1L, 1, "b c d")))
+  }
+
+  test("generator equals the explode(word_shingles) form on real text") {
+    val docs = graft.sources.Tables.table(spark, sf001, "documents").limit(50)
+    val gen = docs.select(col("doc_id"), WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // word_shingles dedups; compare against raw trigram count instead.
+    val raw = docs.select(col("doc_id"),
+      greatest(size(split(col("text"), " ")) - 2, lit(0)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(gen.keySet.subsetOf(raw.keySet))
+    gen.foreach { case (id, n) => assert(n == raw(id), s"doc $id") }
+  }
+
+  test("word_ngrams is SQL-callable via the extension registry") {
+    val rows = spark.sql("SELECT word_ngrams('a b c', 2)").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "a b"), (1, "b c")))
+  }
+}
