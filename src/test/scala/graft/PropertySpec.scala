@@ -47,4 +47,36 @@ object EtlProperties extends Properties("graft.etl") {
       val df = xs.map(o => Tuple1(o.orNull)).toDF("req")
       df.filter($"req".isNotNull).filter($"req".isNull).count() == 0L
     }
+
+  private val vecs: Gen[(List[Double], List[Double])] = for {
+    n <- Gen.chooseNum(1, 16)
+    a <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+    b <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+  } yield (a, b)
+
+  property("dot product is symmetric and l2 norm is non-negative") =
+    Prop.forAllNoShrink(vecs) { case (a, b) =>
+      import graft.functions.SketchExprs
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        SketchExprs.dotProduct($"a", $"b").as("ab"),
+        SketchExprs.dotProduct($"b", $"a").as("ba"),
+        SketchExprs.l2Norm($"a").as("na")).collect()(0)
+      // per-element multiplication commutes, so symmetry holds BITWISE
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)) && r.getDouble(2) >= 0.0
+    }
+
+  property("word n-gram generator emits max(0, words - n + 1) rows") =
+    Prop.forAllNoShrink(for {
+      words <- Gen.listOfN(6, Gen.identifier.suchThat(_.nonEmpty)).map(_.take(6))
+      n <- Gen.chooseNum(1, 4)
+    } yield (words, n)) { case (words, n) =>
+      val text = words.mkString(" ")
+      val rows = Seq(Tuple1(text)).toDF("text")
+        .select(graft.functions.WordNgrams($"text", n).as(Seq("pos", "ngram")))
+        .collect()
+      rows.length == math.max(0, words.length - n + 1) &&
+        rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i }
+    }
 }
