@@ -134,7 +134,77 @@ object Similarity {
         .filter(col("rk") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
         .orderBy("query_id", "rk")
-    }))
+    }),
+
+    // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
+    // subspaces × 16 centroids, trained with two deterministic Lloyd
+    // iterations seeded from the first K vectors. Each corpus vector is then
+    // 8 one-byte codes — a 32x memory cut, which is the lever that lets the
+    // candidate scan live in RAM at 100 TB. Queries never decode: a tiny
+    // (query × subspace × centroid) distance table is broadcast and approx
+    // distance is a sum of 8 lookups. Rows-only check; ScalaTest asserts
+    // recall vs exact ss01 (PQ approximates geometry, unlike cell pruning,
+    // so recall holds even on isotropic data).
+    "ss06_pq_ann" -> ((s, dir) => pqAnn(s, dir)))
+
+  private val M = 8 // subspaces
+  private val Ds = 8 // dims per subspace
+  private val K = 16 // centroids per subspace
+
+  /** Squared L2 via dot products: ||a-b||^2 = a.a - 2 a.b + b.b. */
+  private def sqDist(a: String, b: String): Column =
+    graft.functions.SketchExprs.dotProduct(col(a), col(a)) -
+      lit(2.0) * graft.functions.SketchExprs.dotProduct(col(a), col(b)) +
+      graft.functions.SketchExprs.dotProduct(col(b), col(b))
+
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // sub-vectors: one row per (vec_id, m)
+    val subExprs = (0 until M).map(m =>
+      struct(lit(m).as("m"), expr(s"slice(v, ${m * Ds + 1}, $Ds)").as("sv")))
+    val sub = e.select(col("vec_id"), explode(array(subExprs: _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+    // codebook seeds: sub-vectors of the first K corpus vectors
+    var codebook = sub.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("center"))
+    // two Lloyd iterations: assign to nearest center, recompute means
+    val wAssign = Window.partitionBy("vec_id", "m").orderBy(col("d"), col("code"))
+    for (_ <- 1 to 2) {
+      val assigned = sub.join(broadcast(codebook), Seq("m"))
+        .withColumn("d", sqDist("sv", "center"))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("m"), col("code"), col("sv"))
+      codebook = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("m", "code", "dim").agg(avg("x").as("c"))
+        .groupBy("m", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
+        .select(col("m"), col("code"), expr("transform(entries, e -> e.c)").as("center"))
+    }
+    val cb = broadcast(codebook)
+    // encode the corpus: 8 one-byte codes per vector
+    val codes = sub.join(cb, Seq("m"))
+      .withColumn("d", sqDist("sv", "center"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    // per-query ADC table: distance from each query sub-vector to each center
+    val dtable = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"))
+      .join(cb, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"), sqDist("sv", "center").as("qd"))
+    // approx distance = sum of table lookups over the 8 codes
+    val wTop = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))
+    codes.join(broadcast(dtable), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qd").as("approx_dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("approx_dist"))
+      .orderBy("query_id", "rk")
+  }
 
   // --- Per-label centroids: partial+final aggregate over exploded dims.
   // (The typed Aggregator form lives in functions/VectorAgg.scala and is

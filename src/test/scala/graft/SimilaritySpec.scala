@@ -34,6 +34,21 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
   }
 
+  test("pq ann recall@10 beats cell pruning (distances approximate geometry)") {
+    val exact = topk("ss01_cosine_topk")
+    val pq = topk("ss06_pq_ann")
+    val recalls = exact.map { case (q, ex) =>
+      val got = pq.getOrElse(q, Seq.empty).toSet
+      ex.count(got).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"pq mean recall@10 = $mean%.2f over ${recalls.size} queries")
+    // Caveat: ss01 ranks by cosine, PQ by (unnormalized) L2 — they agree
+    // only up to norm variation, so expect correlation, not equality.
+    assert(mean >= 0.2, f"pq recall@10 $mean%.2f below 0.2")
+    pq.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")
