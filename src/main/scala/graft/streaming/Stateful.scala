@@ -81,4 +81,20 @@ object Stateful {
           }
       }
   }
+
+  /** Watermarked stream-stream interval join: each right-side event joins
+    * the left-side events of the same key within the preceding
+    * `windowMinutes`. Both watermarks plus the time bound let the planner
+    * evict buffered state once the watermark passes — state stays
+    * proportional to the interval, not the stream. Columns are expected
+    * pre-renamed (l_key/l_ts vs r_key/r_ts) so the same helper serves any
+    * pair of streams. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String, windowMinutes: Int): DataFrame = {
+    val l = left.withWatermark("l_ts", watermark)
+    val r = right.withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_key = r_key AND
+         |l_ts BETWEEN r_ts - INTERVAL $windowMinutes MINUTES AND r_ts""".stripMargin))
+  }
 }

@@ -152,4 +152,39 @@ class StreamingSpec extends SparkSpec {
     val n = spark.sql("SELECT * FROM dd_test").collect()(0).getLong(0)
     assert(n == ev.count()) // duplicates from the second file dropped
   }
+
+  test("watermarked stream-stream interval join equals the batch join") {
+    val ev = Tables.events(spark, sf001).cache()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("purchase_id"))
+    val lDir = java.nio.file.Files.createTempDirectory("ssj-l").toString
+    val rDir = java.nio.file.Files.createTempDirectory("ssj-r").toString
+    clicks.write.mode("overwrite").parquet(lDir)
+    purchases.write.mode("overwrite").parquet(rDir)
+
+    val joined = graft.streaming.Stateful.intervalJoin(
+      spark.readStream.schema(clicks.schema).parquet(lDir),
+      spark.readStream.schema(purchases.schema).parquet(rDir),
+      watermark = "30 minutes", windowMinutes = 10)
+    val q = joined.select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.sql("SELECT * FROM ssj_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.Stateful.intervalJoin(clicks, purchases,
+      watermark = "30 minutes", windowMinutes = 10) // watermark is a no-op in batch
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    assert(batch.nonEmpty) // the interval actually matched something
+  }
 }
