@@ -145,7 +145,27 @@ object Similarity {
     // distance is a sum of 8 lookups. Rows-only check; ScalaTest asserts
     // recall vs exact ss01 (PQ approximates geometry, unlike cell pruning,
     // so recall holds even on isotropic data).
-    "ss06_pq_ann" -> ((s, dir) => pqAnn(s, dir)))
+    "ss06_pq_ann" -> ((s, dir) => pqAnn(s, dir)),
+
+    // Two-stage retrieve + re-rank: PQ/ADC proposes 50 candidates from the
+    // compressed index, exact cosine re-ranks only those 50 — the
+    // production ANN shape: full-precision vectors are touched for 50/N of
+    // the corpus per query, yet the final ordering is exact over whatever
+    // the candidate stage surfaced. Rows-only + recall test (>= ss06).
+    "ss07_pq_rerank" -> ((s, dir) => {
+      val cands = pqTopK(s, dir, 50).select(col("query_id"), col("neighbor_id"))
+      val e = emb(s, dir).withColumn("nrm", l2norm("v"))
+      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      cands.join(broadcast(q), Seq("query_id"))
+        .join(c, Seq("neighbor_id"))
+        .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+        .orderBy("query_id", "rk")
+    }))
 
   private val M = 8 // subspaces
   private val Ds = 8 // dims per subspace
@@ -157,7 +177,9 @@ object Similarity {
       lit(2.0) * graft.functions.SketchExprs.dotProduct(col(a), col(b)) +
       graft.functions.SketchExprs.dotProduct(col(b), col(b))
 
-  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = pqTopK(s, dir, 10)
+
+  private def pqTopK(s: SparkSession, dir: String, topK: Int): DataFrame = {
     val e = emb(s, dir)
     // sub-vectors: one row per (vec_id, m)
     val subExprs = (0 until M).map(m =>
@@ -201,7 +223,7 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(sum("qd").as("approx_dist"))
       .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 10)
+      .filter(col("rk") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("approx_dist"))
       .orderBy("query_id", "rk")
   }

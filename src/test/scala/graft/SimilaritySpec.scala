@@ -49,6 +49,20 @@ class SimilaritySpec extends SparkSpec {
     pq.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
   }
 
+  test("pq + exact re-rank recall@10 is at least the raw pq recall") {
+    val exact = topk("ss01_cosine_topk")
+    def recall(m: Map[Long, Seq[Long]]): Double = {
+      val rs = exact.map { case (q, ex) =>
+        ex.count(m.getOrElse(q, Seq.empty).toSet).toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val pq = recall(topk("ss06_pq_ann"))
+    val rr = recall(topk("ss07_pq_rerank"))
+    info(f"recall@10: raw pq $pq%.2f, re-ranked $rr%.2f")
+    assert(rr >= pq, f"re-ranking lowered recall: $rr%.2f < $pq%.2f")
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")
