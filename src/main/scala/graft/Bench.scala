@@ -19,10 +19,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the whole line well inside the driver's
-    // output-tail capture (round 1 clipped the line's head at full
-    // double precision → "parsed": null).
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Centisecond precision keeps the whole line well inside the driver's
+    // output-tail capture at 72+ queries (round 1 clipped the line's head
+    // at full double precision → "parsed": null).
+    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
