@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeBridge}
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractDataType
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -154,39 +155,66 @@ object SketchExprs {
   /** Sequential-order dot product of two double arrays. Bitwise-identical to
     * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)` (and
     * to DuckDB's list_sum over the same products) — same left-fold order —
-    * so oracle hashes are unaffected by the swap to this JVM loop. */
+    * so oracle hashes are unaffected by the swap to this JVM loop.
+    *
+    * Length mismatch throws (the HOF form silently yields NULL); null
+    * elements are NOT checked in the hot loop — arrays must be null-free,
+    * which every engine call site guarantees (`transform(..., CAST)` over
+    * non-null embeddings). This is the documented divergence from the HOF
+    * form's NULL-propagating semantics. */
   def evalDotProduct(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
 
-  /** Sequential-order L2 norm (sqrt of left-fold sum of squares). */
-  def evalL2Norm(a: ArrayData): Double = {
+  /** Sequential-order sum of squares (the sqrt-free L2 building block;
+    * bitwise-identical to evalDotProduct(a, a) — same left fold). */
+  def evalL2NormSquared(a: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
-    math.sqrt(acc)
+    acc
   }
 
-  /** Random-hyperplane LSH bucket: nPlanes sign bits, coefficients derived
-    * deterministically from XXH64(dim, plane). */
-  def evalHyperplaneLsh(v: ArrayData, nPlanes: Int): Int = {
+  /** Sequential-order L2 norm (sqrt of left-fold sum of squares). */
+  def evalL2Norm(a: ArrayData): Double = math.sqrt(evalL2NormSquared(a))
+
+  /** Hyperplane coefficient matrix [plane][dim], derived deterministically
+    * from XXH64(dim, planeIndex) and memoized per (offset, nPlanes, dims):
+    * the round-2 form recomputed the XXH64 per dim×plane for EVERY row. The
+    * cache is tiny (nPlanes×dims doubles) and JVM-wide, so executors pay the
+    * derivation once per process, not once per row. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def planeMatrix(nPlanes: Int, offset: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((offset, nPlanes, dims), _ =>
+      Array.tabulate(nPlanes, dims) { (p, d) =>
+        val h = XXH64.hashLong(d.toLong, (offset + p).toLong)
+        (java.lang.Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
+      })
+
+  /** Random-hyperplane LSH bucket: nPlanes sign bits from planes
+    * [offset, offset + nPlanes). offset=0 reproduces the round-2 buckets
+    * bitwise; distinct offsets give the independent hash tables a
+    * multi-table ANN/near-dup blocker needs. */
+  def evalHyperplaneLsh(v: ArrayData, nPlanes: Int, offset: Int): Int = {
     val dims = v.numElements()
+    val m = planeMatrix(nPlanes, offset, dims)
     var bucket = 0
     var p = 0
     while (p < nPlanes) {
+      val row = m(p)
       var dot = 0.0
       var d = 0
-      while (d < dims) {
-        val h = XXH64.hashLong(d.toLong, p.toLong)
-        val coef = (java.lang.Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
-        dot += v.getDouble(d) * coef
-        d += 1
-      }
+      while (d < dims) { dot += v.getDouble(d) * row(d); d += 1 }
       bucket = bucket * 2 + (if (dot > 0) 1 else 0)
       p += 1
     }
@@ -284,7 +312,13 @@ object SketchExprs {
     override def prettyName: String = "sorted_long_intersect_count"
   }
 
-  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  // Typed inputs: the SQL-registered surface (dot_product(...) etc.) must
+  // fail at ANALYSIS time on wrong-typed args, not with a runtime
+  // ClassCastException from the eval helper.
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any =
       java.lang.Double.valueOf(
@@ -296,7 +330,8 @@ object SketchExprs {
     override def prettyName: String = "dot_product"
   }
 
-  case class L2Norm(child: Expression) extends UnaryExpression {
+  case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(input: Any): Any =
       java.lang.Double.valueOf(evalL2Norm(input.asInstanceOf[ArrayData]))
@@ -306,12 +341,28 @@ object SketchExprs {
     override def prettyName: String = "l2_norm"
   }
 
-  case class HyperplaneLsh(child: Expression, nPlanes: Int) extends UnaryExpression {
+  /** Squared L2 norm: one array pass, no sqrt — the optimizer rewrites
+    * `dot_product(x, x)` to this (see [[graft.GraftExtensions]]), halving
+    * the array reads in e.g. the PQ distance expansion ||a-b||². */
+  case class L2NormSquared(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(evalL2NormSquared(input.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalL2NormSquared($c)")
+    override protected def withNewChildInternal(c: Expression): L2NormSquared = copy(child = c)
+    override def prettyName: String = "l2_norm_squared"
+  }
+
+  case class HyperplaneLsh(child: Expression, nPlanes: Int, offset: Int = 0)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = IntegerType
     override def nullSafeEval(input: Any): Any =
-      java.lang.Integer.valueOf(evalHyperplaneLsh(input.asInstanceOf[ArrayData], nPlanes))
+      java.lang.Integer.valueOf(evalHyperplaneLsh(input.asInstanceOf[ArrayData], nPlanes, offset))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"$Self.evalHyperplaneLsh($c, $nPlanes)")
+      defineCodeGen(ctx, ev, c => s"$Self.evalHyperplaneLsh($c, $nPlanes, $offset)")
     override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
     override def prettyName: String = "hyperplane_lsh"
   }
@@ -331,9 +382,10 @@ object SketchExprs {
   def shingleHashes(c: Column, n: Int = 3): Column = B.column(ShingleHashes(B.expression(c), n))
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     B.column(SortedLongIntersectCount(B.expression(a), B.expression(b)))
-  def hyperplaneLsh(c: Column, nPlanes: Int): Column =
-    B.column(HyperplaneLsh(B.expression(c), nPlanes))
+  def hyperplaneLsh(c: Column, nPlanes: Int, offset: Int = 0): Column =
+    B.column(HyperplaneLsh(B.expression(c), nPlanes, offset))
   def dotProduct(a: Column, b: Column): Column =
     B.column(DotProduct(B.expression(a), B.expression(b)))
   def l2Norm(c: Column): Column = B.column(L2Norm(B.expression(c)))
+  def l2NormSquared(c: Column): Column = B.column(L2NormSquared(B.expression(c)))
 }

@@ -47,10 +47,14 @@ object AsOfJoin {
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"))
-      purchases.join(clicks,
-          purchases("user_id") === clicks("user_id") &&
-          clicks("c_ts") >= purchases("p_ts") - expr("INTERVAL 30 MINUTES") &&
-          clicks("c_ts") <= purchases("p_ts"), "left")
+      // Both sides descend from the same `events` scan: explicit aliases keep
+      // the join condition unambiguous instead of leaning on Spark's
+      // dataset-id self-join repair (which logs a trivially-true-predicate
+      // warning and silently degrades if a select ever breaks the lineage).
+      purchases.alias("p").join(clicks.alias("c"),
+          col("p.user_id") === col("c.user_id") &&
+          col("c.c_ts") >= col("p.p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c.c_ts") <= col("p.p_ts"), "left")
         .groupBy("purchase_id")
         .agg(count(col("c_ts")).as("clicks_30m_before"))
         .orderBy("purchase_id")

