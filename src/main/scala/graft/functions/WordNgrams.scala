@@ -32,7 +32,11 @@ case class WordNgrams(child: Expression, n: Int)
     val t = child.eval(input)
     if (t == null) Nil
     else {
-      val words = t.asInstanceOf[UTF8String].toString.split(' ')
+      // limit -1 keeps trailing empty tokens: Spark's split(text, " ") and
+      // DuckDB's string_split both preserve them, and the tx06 oracle plus
+      // the explode-based equivalence test compare against those semantics.
+      // (Scala's char-overload split(' ') silently drops trailing empties.)
+      val words = t.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (words.length < n) Nil
       else new Iterator[InternalRow] {
         private var i = 0

@@ -33,6 +33,39 @@ object Dedup {
   /** 64-bit SimHash of a whitespace-tokenized text column. */
   def simhash(textCol: String): Column = SketchExprs.simhash64(col(textCol))
 
+  /** Capped-postings inverted index over shingle hashes: per block
+    * (lang, source), shingles whose document frequency exceeds `cap` are
+    * dropped BEFORE the pair join. A shingle shared by k documents makes a
+    * k² bucket in the candidate join — an uncapped stop-word-like shingle is
+    * the skew killer at 100 TB (one hot key owns the stage). With the cap,
+    * every bucket is ≤ cap², so the join's worst key is bounded by a
+    * constant the operator controls, not by the corpus.
+    *
+    * Returns the capped postings list (doc_id, lang, source, h). */
+  def cappedPostings(s: SparkSession, dir: String, cap: Long): DataFrame = {
+    val ex = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(SketchExprs.shingleHashes(col("text"), 3)).as("h"))
+    val keep = ex.groupBy("lang", "source", "h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select("lang", "source", "h")
+    ex.join(keep, Seq("lang", "source", "h"))
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing ≥1 kept shingle, with the capped
+    * intersection size — the dd06 building block, also used by the
+    * shrink-assertion test. */
+  def cappedCandidatePairs(s: SparkSession, dir: String, cap: Long): DataFrame = {
+    val kept = cappedPostings(s, dir, cap)
+    val a = kept.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_a"))
+    val b = kept.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_b"))
+    a.join(b, Seq("lang", "source", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("int").as("inter"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
     "dd01_exact_dedup" -> ((s, dir) => {
@@ -68,6 +101,26 @@ object Dedup {
         .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
         .withColumn("jaccard", col("inter") / col("uni"))
         .filter(col("jaccard") >= 0.05)
+        .select("id_a", "id_b", "inter", "uni", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // dd03 with the 100 TB skew guard: shingles with document frequency
+    // > 2 per (lang, source) block are dropped before the pair join, and
+    // jaccard is computed over the CAPPED shingle sets (sizes counted from
+    // the same postings list). Threshold 0.02 so the capped representation
+    // is exercised (cap changes both |∩| and |∪|). dd03 stays bit-stable.
+    "dd06_capped_jaccard" -> ((s, dir) => {
+      val cap = 2L
+      val kept = cappedPostings(s, dir, cap)
+      val inter = cappedCandidatePairs(s, dir, cap)
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+        .withColumn("jaccard", col("inter") / col("uni"))
+        .filter(col("jaccard") >= 0.02)
         .select("id_a", "id_b", "inter", "uni", "jaccard")
         .orderBy("id_a", "id_b")
     }),
@@ -126,11 +179,12 @@ object Dedup {
         edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
       // Seed labels with min(self, min neighbor) — the first propagation
       // round fused into one aggregation (vs distinct + join + groupBy).
-      var labels = undirected
+      var cached = undirected
         .groupBy(col("id_a").as("doc_id"))
         .agg(min(col("id_b")).as("nbr_min"))
         .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster_id"))
         .cache()
+      var labels = cached
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 15) {
@@ -146,11 +200,18 @@ object Dedup {
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
           .cache()
         changed = next.filter(col("cluster_id") =!= col("prev")).count()
-        labels.unpersist() // superseded now that next is materialized
+        // Unpersist the CACHED handle: `labels` itself is a projection of it
+        // after the first round, and unpersist on a projection is a no-op —
+        // the round-2 form leaked one cached frame per iteration.
+        cached.unpersist()
+        cached = next
         labels = next.select("doc_id", "cluster_id")
         iter += 1
       }
-      labels.orderBy("doc_id")
+      val out = labels.orderBy("doc_id")
+      undirected.unpersist()
+      edges.unpersist()
+      out
     }),
 
     // SimHash near-dup: 64-bit signatures, 4×16-bit bands, hamming ≤ 12.
@@ -201,6 +262,34 @@ object Dedup {
         |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id)
         |SELECT id AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dd06_capped_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS h FROM d),
+        |keep AS (
+        |  SELECT lang, source, h FROM ex GROUP BY 1, 2, 3 HAVING COUNT(*) <= 2),
+        |kept AS (
+        |  SELECT ex.doc_id, ex.lang, ex.source, ex.h
+        |  FROM ex JOIN keep USING (lang, source, h)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS INT) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter,
+        |  CAST(sa.n_sh + sb.n_sh - inter AS INT) AS uni,
+        |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.02
+        |ORDER BY id_a, id_b""".stripMargin,
     "dd03_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

@@ -169,6 +169,27 @@ object EtlQueries {
         .orderBy("c_custkey")
     }),
 
+    // A1 (CSV source) — declared-schema CSV scan, exercised end-to-end:
+    // supplier is round-tripped through an on-disk CSV (header, quoting,
+    // long/string/int/double typing) and read back via Tables.csv. The
+    // oracle reads the parquet table directly, so the gate proves the CSV
+    // reader reproduces the typed source exactly — the property the
+    // reference's S3-CSV extraction path relies on. The write is a tiny
+    // driver-side side effect at plan-build time; the returned plan scans
+    // the CSV.
+    "e14_csv_scan" -> ((s, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_e14_csv").getAbsolutePath
+      table(s, dir, "supplier")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      graft.sources.Tables.csv(s, path, StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType))))
+        .orderBy("s_suppkey")
+    }),
+
     // A12/A27 — stable surrogate keys: xxhash64-based id + RFC-4122 v5 UUID.
     // No DuckDB oracle (no xxhash64/sha1 there): rows-only + ScalaTest vectors.
     "e08_stable_keys" -> ((s, dir) => {
@@ -180,6 +201,8 @@ object EtlQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "e14_csv_scan" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "e01_cast_coerce" ->
       """SELECT doc_id,
         |  TRY_CAST(lang AS DOUBLE) AS lang_num,

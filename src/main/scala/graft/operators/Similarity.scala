@@ -39,9 +39,11 @@ object Similarity {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
   /** n_planes sign bits from deterministic hyperplanes (native Catalyst
-    * expression — the HOF form pays per-element interpreted lambdas). */
-  def lshBucket(vCol: String, nPlanes: Int, dims: Int): Column =
-    graft.functions.SketchExprs.hyperplaneLsh(col(vCol), nPlanes)
+    * expression — the HOF form pays per-element interpreted lambdas).
+    * `offset` selects an independent plane set, giving the multiple hash
+    * tables a production LSH blocker uses to recover recall. */
+  def lshBucket(vCol: String, nPlanes: Int, dims: Int, offset: Int = 0): Column =
+    graft.functions.SketchExprs.hyperplaneLsh(col(vCol), nPlanes, offset)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k for a small query set (vec_id < 5).
@@ -96,6 +98,21 @@ object Similarity {
         .orderBy("id_a", "id_b")
     }),
 
+    // ss03's semantics with a scale-safe blocker: candidates are pairs that
+    // collide in ANY of 2 independent 8-plane LSH tables, so the worst
+    // block is ~n/256 of the corpus and shrinks as planes are added —
+    // unlike the label block, whose size grows LINEARLY with the corpus
+    // (ss03 stays as the oracle-checkable demo of blocked pair generation;
+    // this is the shape you'd run at 100 TB). Rows-only (xxhash64-seeded
+    // planes); SimilaritySpec asserts recall vs the exact all-pairs set.
+    "ss08_lsh_neardup" -> ((s, dir) =>
+      lshBlockedPairs(s, dir)
+        .withColumn("cos", dot("v_a", "v_b") / (col("n_a") * col("n_b")))
+        .filter(col("cos") > 0.3)
+        .select("id_a", "id_b", "cos")
+        .distinct()
+        .orderBy("id_a", "id_b")),
+
     "ss04_label_centroids" -> centroidQuery,
 
     // IVF-Flat ANN — the other 100 TB scale path (ss02 is the LSH one).
@@ -109,18 +126,27 @@ object Similarity {
     "ss05_ivf_ann" -> ((s, dir) => {
       val nprobe = 3
       val e = emb(s, dir).withColumn("nrm", l2norm("v"))
+      // Centroid components go through the Decimal(28,6) sum (not avg):
+      // bitwise-reproducible across engines regardless of partial-agg
+      // order, which is what makes this query DuckDB-oracle-checkable
+      // (ss02/ss06 stay rows-only because xxhash64 has no DuckDB mirror).
       val cents = table(s, dir, "embeddings")
         .select(col("label"),
           posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
-        .groupBy("label", "dim").agg(avg("x").as("c"))
+        .groupBy("label", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double") / count(lit(1))).as("c"))
         .groupBy("label")
         .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("entries"))
         .select(col("label").as("cell"), expr("transform(entries, e -> e.c)").as("cv"))
         .withColumn("cnrm", l2norm("cv"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+      // cache: both the cell inventory and the probe list scan `assigned`;
+      // uncached, the centroid broadcast join + window would run twice.
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("ccos", dot("v", "cv") / (col("nrm") * col("cnrm")))
         .withColumn("r", row_number().over(wAssign))
+        .cache()
       val cells = assigned.filter(col("r") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       val q = assigned.filter(col("vec_id") < 5 && col("r") <= nprobe)
@@ -155,7 +181,12 @@ object Similarity {
     "ss07_pq_rerank" -> ((s, dir) => {
       val cands = pqTopK(s, dir, 50).select(col("query_id"), col("neighbor_id"))
       val e = emb(s, dir).withColumn("nrm", l2norm("v"))
-      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      // Filter the query side EXPLICITLY before broadcast: the restriction
+      // to query ids < 5 otherwise lives only inside cands, and nothing
+      // guarantees constraint inference pushes it through that aggregate —
+      // without it the whole corpus lands in the broadcast hash relation.
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
       val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
       cands.join(broadcast(q), Seq("query_id"))
@@ -166,6 +197,33 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
         .orderBy("query_id", "rk")
     }))
+
+  /** ss08's candidate stage: vector pairs colliding in ANY of `tables`
+    * independent `planes`-plane LSH tables (equi-join on (table, bucket) —
+    * never a cartesian). Exposed so the spec can measure the candidate-set
+    * contraction directly. */
+  def lshBlockedPairs(s: SparkSession, dir: String,
+      tables: Int = 2, planes: Int = 8): DataFrame = {
+    val e = emb(s, dir).withColumn("nrm", l2norm("v"))
+    val bandStructs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket("v", planes, 64, t * planes).as("bucket"))
+    }
+    val banded = e
+      .select(col("vec_id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bb.tbl"), col("bb.bucket"))
+    val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Distinct candidate pairs the ss08 blocker generates — the number the
+    * cosine verifier actually pays for (vs n(n-1)/2 all-pairs). */
+  def lshCandidatePairCount(s: SparkSession, dir: String,
+      tables: Int = 2, planes: Int = 8): Long =
+    lshBlockedPairs(s, dir, tables, planes).select("id_a", "id_b").distinct().count()
 
   private val M = 8 // subspaces
   private val Ds = 8 // dims per subspace
@@ -268,6 +326,45 @@ object Similarity {
         |SELECT query_id, neighbor_id, rk, cos FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        |  FROM pairs) WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // Mirrors ss05 exactly: decimal-summed centroid components (order-
+    // independent), sequential-fold dot products, identical tie-breaks.
+    "ss05_ivf_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |cd AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+        |cn AS (
+        |  SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        |  FROM cents),
+        |assigned AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, 65), i -> n.v[i] * cn.cv[i]))
+        |        / (n.nrm * cn.cnrm) DESC, cn.cell) AS r
+        |  FROM n CROSS JOIN cn),
+        |cells AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE r = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+        |  FROM assigned WHERE vec_id < 5 AND r <= 3),
+        |pairs AS (
+        |  SELECT q.query_id, c2.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.qv[i] * c2.v[i]))
+        |      / (q.qnrm * c2.nrm) AS cos
+        |  FROM q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.query_id)
+        |SELECT query_id, vec_id AS neighbor_id, rk, cos FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
         |  FROM pairs) WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "ss03_embed_neardup" ->
       """WITH e AS (

@@ -51,6 +51,36 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1), sh(3)) > hamming(sh(1), sh(2)))
   }
 
+  test("shingle df cap shrinks the candidate-pair set (dd06 skew guard)") {
+    val uncapped = Dedup.cappedCandidatePairs(spark, sf001, Long.MaxValue).count()
+    val capped = Dedup.cappedCandidatePairs(spark, sf001, 2L).count()
+    info(s"candidate pairs: uncapped $uncapped, df<=2 $capped")
+    assert(capped < uncapped,
+      s"cap removed nothing: $capped vs $uncapped")
+    // The capped query still surfaces near-dup pairs on the real testdata.
+    assert(Dedup.queries("dd06_capped_jaccard")(spark, sf001).count() > 0)
+  }
+
+  test("capped jaccard agrees with uncapped when no shingle exceeds the cap") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupcap").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // Doc 1 and 4 are identical, so their shingles have df 2..3; with a cap
+    // of 3 nothing is dropped and dd06 must agree pairwise with dd03's
+    // uncapped jaccard on the shared pairs above dd06's lower threshold.
+    val capped = Dedup.cappedCandidatePairs(spark, tmp, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val uncapped = Dedup.cappedCandidatePairs(spark, tmp, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(capped == uncapped)
+    // With cap 1, the duplicated docs' shared shingles (df >= 2) all drop,
+    // so pair (1,4) loses its entire intersection.
+    val cap1 = Dedup.cappedCandidatePairs(spark, tmp, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cap1.contains((1L, 4L)))
+  }
+
   test("minhash LSH query finds the near-dup pair without a cartesian join") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))

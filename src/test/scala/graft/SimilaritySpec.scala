@@ -63,6 +63,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rr >= pq, f"re-ranking lowered recall: $rr%.2f < $pq%.2f")
   }
 
+  test("lsh-blocked near-dup (ss08): exact subset of all-pairs, bounded candidates") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", Similarity.l2norm("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot("v_a", "v_b") / (col("n_a") * col("n_b")))
+      .filter(col("cos") > 0.3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.queries("ss08_lsh_neardup")(spark, sf001)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Every emitted pair is verified by exact cosine, so precision is 1 by
+    // construction — assert it anyway (guards the blocking join's columns).
+    assert(got.subsetOf(exact), s"ss08 emitted non-near-dup pairs: ${got -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else got.size.toDouble / exact.size
+    info(f"ss08 recall = $recall%.3f (${got.size}/${exact.size} pairs)")
+    // These embeddings are near-isotropic: surviving pairs sit just above
+    // cos 0.3 (~72°), where 8-plane collision probability is ~1.6% per
+    // table — so blocked recall is LOW here by the math of LSH, not by a
+    // bug. Assert the blocker finds a nonzero slice and that candidate
+    // generation actually contracted the search space.
+    assert(got.nonEmpty, "LSH blocking found no pairs at all")
+    val n = e.count()
+    val candidates = Similarity.lshCandidatePairCount(spark, sf001)
+    info(s"ss08 candidate pairs: $candidates of ${n * (n - 1) / 2} all-pairs")
+    assert(candidates < n * (n - 1) / 2 / 10,
+      s"candidate set $candidates is not <10% of all-pairs")
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")
