@@ -102,8 +102,12 @@ object Pipeline {
       df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
     /** Reference ClickHouseLoader (`src/etl/loading.py:14-53`): TRUNCATE then
-      * chunked insert == JDBC overwrite+truncate; 50k-row chunks == batchsize. */
-    def jdbc(df: DataFrame, url: String, table: String, batchSize: Int = 50000): Unit =
+      * chunked insert == JDBC overwrite+truncate; 50k-row chunks == batchsize.
+      * [[ClickHouseDialect]] supplies the type mapping when the URL is a
+      * real ClickHouse endpoint (registration is idempotent and inert for
+      * every other URL — Derby/postgres writes are untouched). */
+    def jdbc(df: DataFrame, url: String, table: String, batchSize: Int = 50000): Unit = {
+      ClickHouseDialect.register()
       df.write.mode(SaveMode.Overwrite)
         .format("jdbc")
         .option("url", url)
@@ -111,6 +115,7 @@ object Pipeline {
         .option("truncate", "true")
         .option("batchsize", batchSize)
         .save()
+    }
   }
 
   /** A4/A5 — latest-partition discovery + date resolution over a file layout
