@@ -354,6 +354,39 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // --- Subquery: correlated EXISTS / NOT EXISTS (Catalyst decorrelates
+    // to a semi join + anti join over the same scan — both key shuffles,
+    // no per-row subquery execution) ---
+    "q32_exists_subquery" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("customer_v32")
+      table(s, dir, "orders").createOrReplaceTempView("orders_v32")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer_v32 c
+        WHERE EXISTS (SELECT 1 FROM orders_v32 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v32 o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey
+      """)
+    }),
+
+    // --- Window: RANGE frame (value-based, peer-inclusive — unlike q08's
+    // ROWS frame). Frame membership depends only on the order value, so
+    // the result is deterministic under ties; the sum goes through decimal
+    // for engine-reproducible addition. ---
+    "q33_range_frame" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-50000L, 0L)
+      o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_within_50k"),
+        sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w)
+          .cast(DoubleType).as("band_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // --- Generator: posexplode (ordinality-preserving flatten) ---
     "q29_posexplode" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -587,6 +620,22 @@ object Relational {
         |  COALESCE(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
         |             FILTER (WHERE o_orderkey % 1000 = 0), '') AS sample_keys
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q33_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  count(*) OVER w AS n_within_50k,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS band_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q30_rank_family" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST(rank() OVER w AS INT) AS rk,

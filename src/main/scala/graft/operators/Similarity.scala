@@ -235,6 +235,14 @@ object Similarity {
       lit(2.0) * graft.functions.SketchExprs.dotProduct(col(a), col(b)) +
       graft.functions.SketchExprs.dotProduct(col(b), col(b))
 
+  /** Codebook training sample size. Lloyd iterations over ALL sub-vectors
+    * would re-scan the corpus per iteration — at 100 TB the codebook (128
+    * tiny centroids) carries nowhere near that much information, so train
+    * on a deterministic prefix sample and encode everything with the result
+    * (the standard PQ practice). 2048 vectors × 8 sub-vectors is ~100
+    * points per centroid — plenty; recall is asserted in SimilaritySpec. */
+  private val TrainN = 2048
+
   private def pqAnn(s: SparkSession, dir: String): DataFrame = pqTopK(s, dir, 10)
 
   private def pqTopK(s: SparkSession, dir: String, topK: Int): DataFrame = {
@@ -244,13 +252,15 @@ object Similarity {
       struct(lit(m).as("m"), expr(s"slice(v, ${m * Ds + 1}, $Ds)").as("sv")))
     val sub = e.select(col("vec_id"), explode(array(subExprs: _*)).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+    val train = sub.filter(col("vec_id") < TrainN)
     // codebook seeds: sub-vectors of the first K corpus vectors
     var codebook = sub.filter(col("vec_id") < K)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sv").as("center"))
-    // two Lloyd iterations: assign to nearest center, recompute means
+    // two Lloyd iterations over the training sample: assign to nearest
+    // center, recompute means
     val wAssign = Window.partitionBy("vec_id", "m").orderBy(col("d"), col("code"))
     for (_ <- 1 to 2) {
-      val assigned = sub.join(broadcast(codebook), Seq("m"))
+      val assigned = train.join(broadcast(codebook), Seq("m"))
         .withColumn("d", sqDist("sv", "center"))
         .withColumn("r", row_number().over(wAssign))
         .filter(col("r") === 1)
