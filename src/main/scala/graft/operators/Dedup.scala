@@ -56,15 +56,17 @@ object Dedup {
   /** Candidate pairs (id_a < id_b) sharing ≥1 kept shingle, with the capped
     * intersection size — the dd06 building block, also used by the
     * shrink-assertion test. */
-  def cappedCandidatePairs(s: SparkSession, dir: String, cap: Long): DataFrame = {
-    val kept = cappedPostings(s, dir, cap)
-    val a = kept.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_a"))
-    val b = kept.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_b"))
+  def cappedCandidatePairs(postings: DataFrame): DataFrame = {
+    val a = postings.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_a"))
+    val b = postings.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_b"))
     a.join(b, Seq("lang", "source", "h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("int").as("inter"))
   }
+
+  def cappedCandidatePairs(s: SparkSession, dir: String, cap: Long): DataFrame =
+    cappedCandidatePairs(cappedPostings(s, dir, cap))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
@@ -112,8 +114,11 @@ object Dedup {
     // is exercised (cap changes both |∩| and |∪|). dd03 stays bit-stable.
     "dd06_capped_jaccard" -> ((s, dir) => {
       val cap = 2L
-      val kept = cappedPostings(s, dir, cap)
-      val inter = cappedCandidatePairs(s, dir, cap)
+      // cache: the capped postings feed the size count AND both sides of
+      // the pair join — uncached, the explode + df-filter subtree executes
+      // four times (16 parquet scans in the uncached physical plan).
+      val kept = cappedPostings(s, dir, cap).cache()
+      val inter = cappedCandidatePairs(kept)
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")

@@ -387,6 +387,22 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // --- Skew-salted join ([[Layout.saltedJoin]], salt 8): each left key
+    // splits into 8 virtual keys and the (small) right side is exploded
+    // across the salt range, so a hot key's rows land on 8 reducers instead
+    // of one. Semantically identical to the plain inner join — which is
+    // exactly what the oracle asserts. ---
+    "q34_salted_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val sup = table(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      Layout.saltedJoin(li, sup, Seq("suppkey"), 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_name")
+    }),
+
     // --- Generator: posexplode (ordinality-preserving flatten) ---
     "q29_posexplode" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -620,6 +636,11 @@ object Relational {
         |  COALESCE(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
         |             FILTER (WHERE o_orderkey % 1000 = 0), '') AS sample_keys
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_salted_join" ->
+      """SELECT s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q32_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer c

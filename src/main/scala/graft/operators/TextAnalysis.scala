@@ -95,6 +95,37 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The composed training-corpus preparation pass — the end-to-end shape
+    // an LLM-data pipeline actually runs, as ONE declared query: language
+    // gate (stopword density, tx01's rule) → length gate → quality gate
+    // (tx02's composite) → exact dedup keep-first (dd01/e10's rule) →
+    // training-ready docs with their token budget. One scan, all gates are
+    // codegen'd predicates on it; the only exchange is the dedup window's
+    // hash partition on the 16-byte fingerprint. At sf0.01: 500 → 298
+    // (lang) → 296 (length) → 54 (quality) → 54 (this corpus has no exact
+    // dups — the dedup stage is load-bearing on real corpora and covered
+    // by synthetic tests).
+    "tx07_corpus_prep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = table(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("en_hits", size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+        .withColumn("n_short", size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
+        .withColumn("quality",
+          (col("en_hits") * lit(2.0) / col("n_words"))
+            - (col("n_short").cast("double") / col("n_words")))
+        .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      scored
+        .filter(col("en_hits") >= 3)
+        .filter(col("n_words") >= 20)
+        .filter(col("quality") >= 0.15)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_words").as("tokens"), col("quality"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram expansion through the custom Generator (UDTF) — one row per
     // word trigram with its position, no intermediate array per row.
     "tx06_ngram_generate" -> ((s, dir) => {
@@ -106,6 +137,26 @@ object TextAnalysis {
     }))
 
   val oracle: Map[String, String] = Map(
+    "tx07_corpus_prep" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(regexp_extract_all(lower(text), '$EnStop')) AS en_hits,
+         |    len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS n_short,
+         |    md5(lower(trim(text))) AS fp
+         |  FROM documents),
+         |gated AS (
+         |  SELECT doc_id, n_words,
+         |    (en_hits * 2.0 / n_words) - (CAST(n_short AS DOUBLE) / n_words) AS quality,
+         |    fp
+         |  FROM scored
+         |  WHERE en_hits >= 3 AND n_words >= 20),
+         |deduped AS (
+         |  SELECT doc_id, n_words, quality, fp,
+         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM gated WHERE quality >= 0.15)
+         |SELECT doc_id, n_words AS tokens, quality, fp
+         |FROM deduped WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "tx06_ngram_generate" ->
       """SELECT doc_id, CAST(i - 1 AS INT) AS pos,
         |  array_to_string(string_split(text, ' ')[i:i+2], ' ') AS ngram
