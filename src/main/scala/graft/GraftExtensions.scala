@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
 
     ext.injectOptimizerRule(_ => SelfDotRewrite)
+    // Whole-operator extension: backward as-of join as a first-class
+    // physical operator (logical node + strategy + exec, graft.plans).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
 
     reg("uuid5", 1 to 1)(a => graft.functions.Uuid5(a.head))
     reg("dot_product", 2 to 2)(a => SketchExprs.DotProduct(a(0), a(1)))

@@ -61,6 +61,25 @@ object AsOfJoin {
     }))
 
   private val asofQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Same backward-as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    // ([[graft.plans.AsOfJoinExec]]: co-partition on user_id, (key, time)
+    // sort, single forward merge with O(1) state) instead of the
+    // union+window form, with a 30-minute tolerance. Emits the matched
+    // click time only — deterministic under equal-timestamp ties, which
+    // keeps the DuckDB oracle exact.
+    "aj02_asof_exec" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("last_click_ts"))
+      graft.plans.AsOfJoinPlan.asofExec(
+          purchases, clicks.withColumnRenamed("c_user", "user_id"),
+          keys = Seq("user_id"), leftTimeCol = "p_ts", rightTimeCol = "last_click_ts",
+          valueCols = Seq("last_click_ts"), toleranceUs = Some(30L * 60 * 1000 * 1000))
+        .select("purchase_id", "p_ts", "last_click_ts")
+        .orderBy("purchase_id")
+    }),
     // For every purchase, the latest prior (or simultaneous) click by the
     // same user: id, timestamp, and the purchase-click latency.
     "aj01_asof_backward" -> ((s, dir) => {
@@ -82,6 +101,13 @@ object AsOfJoin {
     asofQueries ++ rangeJoinQueries
 
   val oracle: Map[String, String] = Map(
+    "aj02_asof_exec" ->
+      """SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes') AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "rj01_time_range_join" ->
       """SELECT p.event_id AS purchase_id,
         |  (SELECT COUNT(*) FROM events c

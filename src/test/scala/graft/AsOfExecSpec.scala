@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.plans.AsOfJoinPlan
+import graft.sources.Tables
+
+/** The custom as-of physical operator ([[graft.plans.AsOfJoinExec]]):
+  * plan shape, equivalence with the union+window form on real data, and
+  * edge semantics on crafted rows. */
+class AsOfExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def lefts = Seq(
+    (1L, 10L, ts("2026-01-01 10:00:00")),
+    (1L, 11L, ts("2026-01-01 12:00:00")),
+    (2L, 20L, ts("2026-01-01 09:00:00")), // key with no right rows
+    (3L, 30L, ts("2026-01-01 08:00:00"))) // before every right row
+    .toDF("k", "lid", "lt")
+
+  private def rights = Seq(
+    (1L, ts("2026-01-01 09:59:00")),
+    (1L, ts("2026-01-01 10:00:00")), // tie with left 10 => visible
+    (1L, ts("2026-01-01 11:30:00")),
+    (3L, ts("2026-01-01 09:00:00")))
+    .toDF("k", "rt")
+
+  test("physical plan contains AsOfJoinExec with sorted co-partitioned children") {
+    val df = AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"))
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in explain output
+    assert(plan.contains("AsOfJoin"), s"operator missing:\n$plan")
+    assert(plan.contains("Sort"), s"EnsureRequirements added no sort:\n$plan")
+    assert(plan.contains("Exchange"), s"EnsureRequirements added no exchange:\n$plan")
+  }
+
+  test("backward semantics: latest visible right row, ties visible, outer nulls") {
+    val got = AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"))
+      .select("lid", "rt").collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got(10L).contains(ts("2026-01-01 10:00:00"))) // tie counts
+    assert(got(11L).contains(ts("2026-01-01 11:30:00")))
+    assert(got(20L).isEmpty) // no right rows for key
+    assert(got(30L).isEmpty) // every right row is later
+  }
+
+  test("tolerance bounds the lookback") {
+    val got = AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"),
+        toleranceUs = Some(60L * 1000 * 1000)) // 1 minute
+      .select("lid", "rt").collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got(10L).contains(ts("2026-01-01 10:00:00"))) // 0s back
+    assert(got(11L).isEmpty) // 11:30 is 30m back > 1m tolerance
+  }
+
+  test("equivalent to the union+window form on real event data") {
+    val ev = Tables.events(spark, sf001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+    val viaWindow = AsOfJoin.asofBackward(
+        purchases.withColumnRenamed("ts", "ts").withColumn("ts", col("ts")),
+        clicks, "user_id", "ts", Seq("click_ts"))
+      .select(col("purchase_id"), col("click_ts"))
+    val viaExec = AsOfJoinPlan.asofExec(
+        purchases.withColumnRenamed("ts", "p_ts"),
+        clicks.select(col("user_id"), col("click_ts")),
+        Seq("user_id"), "p_ts", "click_ts", Seq("click_ts"))
+      .select(col("purchase_id"), col("click_ts"))
+    assert(viaWindow.exceptAll(viaExec).isEmpty && viaExec.exceptAll(viaWindow).isEmpty,
+      "union+window and AsOfJoinExec disagree")
+    assert(viaExec.count() == purchases.count()) // left-outer: every purchase kept
+  }
+
+  test("empty right side yields all-null carries") {
+    val got = AsOfJoinPlan.asofExec(lefts, rights.filter(col("k") < 0),
+        Seq("k"), "lt", "rt", Seq("rt"))
+      .select("rt").collect()
+    assert(got.length == 4 && got.forall(_.isNullAt(0)))
+  }
+}
