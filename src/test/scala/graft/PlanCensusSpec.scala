@@ -1,0 +1,37 @@
+package graft
+
+/** Automated census over EVERY declared query's physical plan at sf0.001 —
+  * the scale guard the README asserts: no accidental cartesian products,
+  * and nested-loop joins only where a broadcast cross join is the
+  * intentional algorithm. A new query that trips this either gets a real
+  * join key or an explicit entry here with a reason. */
+class PlanCensusSpec extends SparkSpec {
+
+  // Intentional BroadcastNestedLoopJoin sites: tiny-side cross joins whose
+  // cost is |small| * |large| by design (exact top-k baseline, centroid
+  // assignment, 15-row dimension cross).
+  private val allowedBnlj = Set(
+    "q25_cross_join", // region x order-status: 5 x 3 rows
+    "ss01_cosine_topk", // exact brute-force baseline (ANN paths replace it)
+    "ss05_ivf_ann") // corpus x 10 broadcast centroids
+
+  test("no cartesian products; nested-loop joins only where intended") {
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf001).queryExecution.executedPlan.toString
+    }
+    val cartesian = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+    val badBnlj = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(n) => n
+    }
+    assert(badBnlj.isEmpty, s"unexpected nested-loop joins in: $badBnlj")
+    // and the allowlist itself stays honest: entries that stop using BNLJ
+    // should be removed
+    val stale = allowedBnlj -- plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    assert(stale.isEmpty, s"allowlist entries no longer BNLJ: $stale")
+  }
+}
