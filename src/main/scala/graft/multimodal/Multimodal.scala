@@ -43,6 +43,38 @@ object Multimodal {
       val n = if (payload == null) 0 else payload.length
       n / math.max(everyN, 1)
     }
+
+    /** STUB: a real implementation would decode + bilinear-resample; this
+      * "resize" emits the target dims and a deterministically-bounded
+      * payload size (min(orig, 3 bytes/px budget / 64)). */
+    def resizeImage(payload: Array[Byte], w: Int, h: Int): (Int, Int, Long) = {
+      val n = if (payload == null) 0L else payload.length.toLong
+      (w, h, math.min(n, (w.toLong * h * 3) / 64))
+    }
+
+    /** STUB feature extractor: a real one would run a vision/audio encoder;
+      * this derives an 8-dim descriptor from byte statistics (length, mean,
+      * min, max, and 4 quarter-sums) — deterministic in the payload, so the
+      * spec can recompute it exactly. */
+    def extractFeatures(payload: Array[Byte]): Array[Double] = {
+      if (payload == null || payload.isEmpty) return Array.fill(8)(0.0)
+      val n = payload.length
+      var sum = 0L
+      var mn = 255
+      var mx = 0
+      val quarters = new Array[Long](4)
+      var i = 0
+      while (i < n) {
+        val b = payload(i) & 0xff
+        sum += b
+        if (b < mn) mn = b
+        if (b > mx) mx = b
+        quarters(i * 4 / n) += b
+        i += 1
+      }
+      Array(n.toDouble, sum.toDouble / n, mn.toDouble, mx.toDouble,
+        quarters(0).toDouble, quarters(1).toDouble, quarters(2).toDouble, quarters(3).toDouble)
+    }
   }
 
   /** Synthesize a media table from documents (payload = utf-8 bytes of text).
@@ -100,7 +132,54 @@ object Multimodal {
       .toDF("asset_id", "n_frames")
   }
 
+  /** Stub resize through the batched partition-local plumbing. */
+  def resizeImages(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("media_type") === "image")
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rw, rh, nb) = try StubCodecs.resizeImage(payload, w, h)
+          catch { case _: Exception => (-1, -1, -1L) }
+          (id, rw, rh, nb)
+        }
+      }
+      .toDF("asset_id", "width", "height", "resized_bytes")
+  }
+
+  /** Stub feature extraction (the media→embedding bridge): each asset gets
+    * a fixed-width double vector, the shape the similarity operators
+    * (ss01–ss08) consume — media in, ANN-ready vectors out. */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val f = try StubCodecs.extractFeatures(payload)
+          catch { case _: Exception => Array.fill(8)(-1.0) }
+          (id, f)
+        }
+      }
+      .toDF("asset_id", "features")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stub resize through the real batched plumbing. The stub's size
+    // arithmetic is SQL-expressible, so the whole path is oracle-checked.
+    "mm04_resize" -> ((s, dir) => {
+      resizeImages(mediaFromDocuments(s, dir), 224, 224).orderBy("asset_id")
+    }),
+
+    // Media → fixed-width feature vector (the embedding bridge into the
+    // ss* ANN operators). Rows-only (byte loop isn't SQL); MultimodalSpec
+    // recomputes the descriptor exactly.
+    "mm05_features" -> ((s, dir) => {
+      extractFeatures(mediaFromDocuments(s, dir)).orderBy("asset_id")
+    }),
     // Binary payload + columnar metadata (bytes, checksum, format tag).
     "mm01_media_meta" -> ((s, dir) => {
       withMeta(mediaFromDocuments(s, dir))
@@ -128,6 +207,10 @@ object Multimodal {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mm04_resize" ->
+      """SELECT doc_id AS asset_id, 224 AS width, 224 AS height,
+        |  least(octet_length(encode(text)), (224 * 224 * 3) // 64) AS resized_bytes
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""".stripMargin,
     "mm01_media_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -15,6 +15,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq("jpeg", "png", "webp").contains(r.getString(2)))
   }
 
+  test("resize plumbing: target dims, byte budget bounded by original") {
+    val resized = Multimodal.resizeImages(Multimodal.mediaFromDocuments(spark, sf001), 224, 224)
+    val orig = Multimodal.mediaFromDocuments(spark, sf001)
+      .select(col("asset_id"), length(col("payload")).cast("long").as("n"))
+    val joined = resized.join(orig, "asset_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224)
+      val budget = 224L * 224 * 3 / 64
+      assert(r.getAs[Long]("resized_bytes") == math.min(r.getAs[Long]("n"), budget))
+    }
+  }
+
+  test("feature extraction matches an exact in-test recomputation") {
+    val docs = graft.sources.Tables.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf001))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats.size == docs.size)
+    docs.foreach { case (id, text) =>
+      val expected = Multimodal.StubCodecs.extractFeatures(text.getBytes("UTF-8"))
+      assert(feats(id) == expected.toSeq, s"asset $id feature mismatch")
+    }
+    // the vector is ANN-ready: fixed width, finite values
+    feats.values.foreach(v => assert(v.length == 8 && v.forall(d => !d.isNaN)))
+  }
+
   test("decode plumbing: deterministic stub dims via mapPartitions") {
     val decoded = Multimodal.decodeImages(Multimodal.mediaFromDocuments(spark, sf001))
     val rows = decoded.select("asset_id", "width", "height", "format_decoded")

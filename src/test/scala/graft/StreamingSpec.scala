@@ -48,6 +48,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamedRows.nonEmpty)
   }
 
+  test("foreachBatch bridges the stream into the batch JDBC sink") {
+    // The production load path for a streaming pipeline: per micro-batch,
+    // reuse the SAME batch sink (Pipeline.Sinks-style JDBC write) — here an
+    // idempotent-by-append Derby table, proving streaming output composes
+    // with the engine's sink layer rather than needing a parallel one.
+    val tmp = java.nio.file.Files.createTempDirectory("stream-fb").toString
+    val ev = Tables.events(spark, sf001)
+      .select("event_id", "user_id", "event_type")
+    ev.write.mode("overwrite").parquet(tmp)
+    val url = "jdbc:derby:memory:fbsink;create=true"
+
+    val q = spark.readStream.schema(ev.schema).parquet(tmp)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("jdbc").option("url", url).option("dbtable", "fb_events")
+          .save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val loaded = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "fb_events").load()
+    assert(loaded.count() == ev.count())
+    assert(loaded.select(sum(col("event_id"))).head.getLong(0) ==
+      ev.select(sum(col("event_id"))).head.getLong(0))
+  }
+
   test("mapGroupsWithState running counts equal batch counts") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-st").toString
     val ev = Tables.events(spark, sf001).select("user_id", "event_type", "ts")
