@@ -67,6 +67,37 @@ object EtlProperties extends Properties("graft.etl") {
         java.lang.Double.doubleToLongBits(r.getDouble(1)) && r.getDouble(2) >= 0.0
     }
 
+  // Random (key, time) streams: duplicate keys, duplicate timestamps, keys
+  // present on only one side — the degenerate shapes a merge-join as-of
+  // implementation can get wrong at the boundaries.
+  private val asofInputs = for {
+    nl <- Gen.chooseNum(0, 25)
+    nr <- Gen.chooseNum(0, 25)
+    lks <- Gen.listOfN(nl, Gen.chooseNum(0L, 5L))
+    lts <- Gen.listOfN(nl, Gen.chooseNum(0L, 40L))
+    rks <- Gen.listOfN(nr, Gen.chooseNum(0L, 5L))
+    rts <- Gen.listOfN(nr, Gen.chooseNum(0L, 40L))
+  } yield (lks.zip(lts), rks.zip(rts))
+
+  property("AsOfJoinExec equals a reference scan for arbitrary key/time streams") =
+    Prop.forAllNoShrink(asofInputs) { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("lid", "k", "lt")
+      val right = rs.map { case (k, t) => (k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("k", "rt")
+      val got = graft.plans.AsOfJoinPlan
+        .asofExec(left, right, Seq("k"), "lt", "rt", Seq("rt"))
+        .select("lid", "rt").collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(1)).map(_.getTime)).toMap
+      // reference: independent per-left-row scan over the raw inputs
+      val expected = ls.zipWithIndex.map { case ((k, t), i) =>
+        val times = rs.collect { case (rk, rt) if rk == k && rt <= t => rt }
+        i.toLong -> (if (times.isEmpty) None else Some(times.max * 1000))
+      }.toMap
+      got == expected
+    }
+
   property("word n-gram generator emits max(0, words - n + 1) rows") =
     Prop.forAllNoShrink(for {
       words <- Gen.listOfN(6, Gen.identifier.suchThat(_.nonEmpty)).map(_.take(6))
