@@ -96,6 +96,23 @@ class SimilaritySpec extends SparkSpec {
       s"candidate set $candidates is not <10% of all-pairs")
   }
 
+  test("lsh blocking recall grows with table count (the recall knob works)") {
+    import org.apache.spark.sql.functions._
+    def pairs(tables: Int): Set[(Long, Long)] =
+      Similarity.lshBlockedPairs(spark, sf001, tables = tables, planes = 8)
+        .withColumn("cos", Similarity.dot("v_a", "v_b") / (col("n_a") * col("n_b")))
+        .filter(col("cos") > 0.3)
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t1 = pairs(1)
+    val t2 = pairs(2)
+    val t4 = pairs(4)
+    info(s"pairs found: 1 table ${t1.size}, 2 tables ${t2.size}, 4 tables ${t4.size}")
+    // more tables can only add candidate collisions, never remove them
+    assert(t1.subsetOf(t2) && t2.subsetOf(t4))
+    assert(t4.size > t1.size, "4 tables found nothing beyond 1 table")
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")
