@@ -18,6 +18,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // builders may .cache() intra-query-shared frames (dd06/ss05);
+      // dropping them here bounds storage memory to one query's caches
+      // over the 80+ query run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

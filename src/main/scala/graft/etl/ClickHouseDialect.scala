@@ -56,15 +56,25 @@ object ClickHouseDialect extends JdbcDialect {
   }
 
   override def getCatalystType(sqlType: Int, typeName: String, size: Int,
-      md: MetadataBuilder): Option[DataType] = typeName match {
-    // ClickHouse's unsigned ints need one size up to fit in Catalyst's
-    // signed types; DateTime comes back as VARCHAR through some drivers.
-    case "UInt8" => Some(ShortType)
-    case "UInt16" => Some(IntegerType)
-    case "UInt32" => Some(LongType)
-    case "UInt64" => Some(DecimalType(20, 0))
-    case t if t.startsWith("DateTime") => Some(TimestampType)
-    case _ => None
+      md: MetadataBuilder): Option[DataType] = {
+    // Nullable columns report as `Nullable(T)` — and pre-created DWH tables
+    // are exactly where nullable columns live (see the nullability caveat
+    // above), so unwrap before matching or the mainline readback path would
+    // silently fall through to the driver default.
+    val t =
+      if (typeName.startsWith("Nullable(") && typeName.endsWith(")"))
+        typeName.substring("Nullable(".length, typeName.length - 1)
+      else typeName
+    t match {
+      // ClickHouse's unsigned ints need one size up to fit in Catalyst's
+      // signed types.
+      case "UInt8" => Some(ShortType)
+      case "UInt16" => Some(IntegerType)
+      case "UInt32" => Some(LongType)
+      case "UInt64" => Some(DecimalType(20, 0))
+      case s if s.startsWith("DateTime") => Some(TimestampType)
+      case _ => None
+    }
   }
 
   override def quoteIdentifier(colName: String): String =

@@ -72,9 +72,9 @@ object AsOfJoin {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("last_click_ts"))
+        .select(col("user_id"), col("ts").as("last_click_ts"))
       graft.plans.AsOfJoinPlan.asofExec(
-          purchases, clicks.withColumnRenamed("c_user", "user_id"),
+          purchases, clicks,
           keys = Seq("user_id"), leftTimeCol = "p_ts", rightTimeCol = "last_click_ts",
           valueCols = Seq("last_click_ts"), toleranceUs = Some(30L * 60 * 1000 * 1000))
         .select("purchase_id", "p_ts", "last_click_ts")

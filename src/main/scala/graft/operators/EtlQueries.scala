@@ -178,8 +178,10 @@ object EtlQueries {
     // driver-side side effect at plan-build time; the returned plan scans
     // the CSV.
     "e14_csv_scan" -> ((s, dir) => {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_e14_csv").getAbsolutePath
+      // per-process dir: a fixed path would let a concurrent run (bench +
+      // verify) overwrite the CSV mid-scan of the other's returned plan
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e14_csv_${ProcessHandle.current().pid()}").getAbsolutePath
       table(s, dir, "supplier")
         .write.mode("overwrite").option("header", "true").csv(path)
       graft.sources.Tables.csv(s, path, StructType(Seq(

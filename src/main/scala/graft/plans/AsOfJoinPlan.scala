@@ -106,15 +106,18 @@ case class AsOfJoinExec(
         val lKey = lKeyProj(lRow)
         val lt = lTimeProj(lRow)
         val lTimeVal = if (lt.isNullAt(0)) Long.MinValue else lt.getLong(0)
-        // advance the right stream up to (lKey, lTimeVal]
-        var advance = lTimeVal != Long.MinValue
+        // SQL equi-key semantics: a null key never equals anything — a
+        // left row with a null key cannot match, and null-key right rows
+        // are discarded (the natural row ordering would otherwise compare
+        // null == null, which is a sort order, not a join predicate).
+        var advance = lTimeVal != Long.MinValue && !lKey.anyNull
         while (advance) {
           val r = nextRight()
           if (r == null) advance = false
           else {
             val rKey = rKeyProj(r)
             val c = keyOrd.compare(rKey, lKey)
-            if (c < 0) () // right key behind the current left key: discard
+            if (c < 0 || rKey.anyNull) () // behind the left key, or null key: discard
             else if (c > 0) { pending = r; advance = false }
             else {
               val rt = rTimeProj(r)
@@ -125,7 +128,7 @@ case class AsOfJoinExec(
             }
           }
         }
-        val matched = candRow != null &&
+        val matched = candRow != null && !lKey.anyNull &&
           keyOrd.compare(candKey, lKey) == 0 &&
           lTimeVal != Long.MinValue &&
           tolUs.forall(t => candTime >= lTimeVal - t)
@@ -165,6 +168,14 @@ object AsOfJoinPlan {
           s"asofExec: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     val clash = valueCols.toSet.intersect(lp.output.map(_.name).toSet)
     require(clash.isEmpty, s"asofExec: value columns collide with left side: $clash")
+    // The exec reads event times through UnsafeRow.getLong — anything not
+    // long-backed (DateType stores an int; a pre-1970 date would read as a
+    // huge positive long) must be rejected here, at analysis time.
+    Seq(attr(lp, leftTimeCol), attr(rp, rightTimeCol)).foreach { a =>
+      require(a.dataType == org.apache.spark.sql.types.TimestampType ||
+        a.dataType == org.apache.spark.sql.types.LongType,
+        s"asofExec: time column '${a.name}' must be TIMESTAMP or BIGINT, got ${a.dataType}")
+    }
     PlanBridge.ofRows(left.sparkSession,
       AsOfJoinNode(lp, rp,
         keys.map(attr(lp, _)), keys.map(attr(rp, _)),

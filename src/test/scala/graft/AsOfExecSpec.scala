@@ -76,6 +76,28 @@ class AsOfExecSpec extends SparkSpec {
     assert(viaExec.count() == purchases.count()) // left-outer: every purchase kept
   }
 
+  test("null keys never match (SQL equi-key semantics, not sort-order equality)") {
+    val l = Seq((Option(1L), 1L, ts("2026-01-01 10:00:00")),
+        (Option.empty[Long], 2L, ts("2026-01-01 10:00:00")))
+      .toDF("k", "lid", "lt")
+    val r = Seq((Option(1L), ts("2026-01-01 09:00:00")),
+        (Option.empty[Long], ts("2026-01-01 09:30:00")))
+      .toDF("k", "rt")
+    val got = AsOfJoinPlan.asofExec(l, r, Seq("k"), "lt", "rt", Seq("rt"))
+      .select("lid", "rt").collect()
+      .map(row => row.getLong(0) -> Option(row.getTimestamp(1))).toMap
+    assert(got(1L).contains(ts("2026-01-01 09:00:00"))) // real key matches
+    assert(got(2L).isEmpty) // null key matches nothing — not the null-key right row
+  }
+
+  test("non-long-backed time columns are rejected at build time") {
+    val l = lefts.withColumn("ld", to_date(col("lt")))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofExec(l, rights, Seq("k"), "ld", "rt", Seq("rt"))
+    }
+    assert(e.getMessage.contains("must be TIMESTAMP or BIGINT"))
+  }
+
   test("empty right side yields all-null carries") {
     val got = AsOfJoinPlan.asofExec(lefts, rights.filter(col("k") < 0),
         Seq("k"), "lt", "rt", Seq("rt"))

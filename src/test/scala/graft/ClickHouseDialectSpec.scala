@@ -53,6 +53,12 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(cat("UInt64").contains(DecimalType(20, 0)))
     assert(cat("DateTime64(3)").contains(TimestampType))
     assert(cat("Int32").isEmpty) // signed types fall through to defaults
+    // nullable columns report as Nullable(T) — the pre-created-DWH-table
+    // mainline — and must unwrap to the same mappings
+    assert(cat("Nullable(UInt32)").contains(LongType))
+    assert(cat("Nullable(UInt64)").contains(DecimalType(20, 0)))
+    assert(cat("Nullable(DateTime64(3))").contains(TimestampType))
+    assert(cat("Nullable(Int32)").isEmpty)
   }
 
   test("identifier quoting and truncate match ClickHouse syntax") {
