@@ -387,6 +387,23 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // --- Unpivot (inverse of q24's pivot): wide per-status counts back to
+    // (priority, status, n) rows via the built-in melt/unpivot — a narrow
+    // per-row expansion, no shuffle beyond the feeding aggregation. ---
+    "q35_unpivot" -> ((s, dir) => {
+      val wide = table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+      wide.unpivot(
+          ids = Array(col("o_orderpriority")),
+          values = Array(col("O"), col("F"), col("P")),
+          variableColumnName = "status",
+          valueColumnName = "n")
+        .filter(col("n").isNotNull)
+        .orderBy("o_orderpriority", "status")
+    }),
+
     // --- Skew-salted join ([[Layout.saltedJoin]], salt 8): each left key
     // splits into 8 virtual keys and the (small) right side is exploded
     // across the salt range, so a hot key's rows land on 8 reducers instead
@@ -636,6 +653,19 @@ object Relational {
         |  COALESCE(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
         |             FILTER (WHERE o_orderkey % 1000 = 0), '') AS sample_keys
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'O' AS status, o_n AS n FROM wide
+        |  UNION ALL SELECT o_orderpriority, 'F', f_n FROM wide
+        |  UNION ALL SELECT o_orderpriority, 'P', p_n FROM wide)
+        |WHERE n IS NOT NULL
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "q34_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
