@@ -46,11 +46,13 @@ object Dedup {
     val ex = table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(SketchExprs.shingleHashes(col("text"), 3)).as("h"))
-    val keep = ex.groupBy("lang", "source", "h")
-      .agg(count(lit(1)).as("df"))
+    // df via a window count, not groupBy + join-back: one shuffle of the
+    // exploded postings on (block, shingle) instead of two, and the count
+    // is computed where the rows already sit.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "source", "h")
+    ex.withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= cap)
-      .select("lang", "source", "h")
-    ex.join(keep, Seq("lang", "source", "h"))
+      .drop("df")
   }
 
   /** Candidate pairs (id_a < id_b) sharing ≥1 kept shingle, with the capped
