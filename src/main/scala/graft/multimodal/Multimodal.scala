@@ -190,8 +190,9 @@ object Multimodal {
         .orderBy("asset_id")
     }),
 
-    // Stubbed decode through the real mapPartitions plumbing. Rows-only
-    // check (the stub is JVM-side logic, not SQL) + ScalaTest.
+    // Stubbed decode through the real mapPartitions plumbing. The stub's
+    // dimension arithmetic is SQL-expressible, so the whole JVM decode path
+    // is oracle-checked end to end (like mm03/mm04).
     "mm02_decode_stub" -> ((s, dir) => {
       decodeImages(mediaFromDocuments(s, dir))
         .select("asset_id", "media_type", "width", "height", "format_decoded")
@@ -207,6 +208,14 @@ object Multimodal {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mm02_decode_stub" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+        |  CASE octet_length(encode(text)) % 3
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format_decoded
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "mm04_resize" ->
       """SELECT doc_id AS asset_id, 224 AS width, 224 AS height,
         |  least(octet_length(encode(text)), (224 * 224 * 3) // 64) AS resized_bytes
