@@ -387,6 +387,18 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // --- Null-safe equi-join (<=>): NULL keys match NULL keys — still a
+    // hash join (EqualNullSafe is a valid hash key), not a nested loop. ---
+    "q36_nullsafe_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("prio"))
+      val dim = o.select("prio").distinct()
+        .withColumn("prio_label", coalesce(col("prio"), lit("NONE")))
+      o.alias("l").join(broadcast(dim.alias("d")), expr("l.prio <=> d.prio"))
+        .select(col("l.o_orderkey").as("o_orderkey"), col("d.prio_label").as("prio_label"))
+        .orderBy("o_orderkey")
+    }),
+
     // --- Unpivot (inverse of q24's pivot): wide per-status counts back to
     // (priority, status, n) rows via the built-in melt/unpivot — a narrow
     // per-row expansion, no shuffle beyond the feeding aggregation. ---
@@ -653,6 +665,14 @@ object Relational {
         |  COALESCE(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR))
         |             FILTER (WHERE o_orderkey % 1000 = 0), '') AS sample_keys
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_nullsafe_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio FROM orders),
+        |d AS (
+        |  SELECT DISTINCT prio, COALESCE(prio, 'NONE') AS prio_label FROM o)
+        |SELECT o.o_orderkey, d.prio_label
+        |FROM o JOIN d ON o.prio IS NOT DISTINCT FROM d.prio
+        |ORDER BY o_orderkey""".stripMargin,
     "q35_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,
