@@ -30,6 +30,26 @@ class WordNgramsSpec extends SparkSpec {
     gen.foreach { case (id, n) => assert(n == raw(id), s"doc $id") }
   }
 
+  test("trailing/leading spaces produce empty tokens like SQL split") {
+    import spark.implicits._
+    // Spark's split(text, " ") and DuckDB's string_split both KEEP empty
+    // tokens at the edges; Scala's char-overload split drops trailing ones
+    // — the generator must follow SQL semantics or diverge from the tx06
+    // oracle on space-edged documents.
+    for (text <- Seq("a b ", " a b", "a  b", "  ")) {
+      val viaGen = Seq(Tuple1(text)).toDF("text")
+        .select(WordNgrams(col("text"), 2).as(Seq("pos", "ngram")))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      // tokenization ground truth: Spark SQL's own split
+      val tokens = Seq(Tuple1(text)).toDF("text")
+        .select(split(col("text"), " ").as("w")).head.getSeq[String](0)
+      val expected =
+        if (tokens.length < 2) Seq.empty
+        else tokens.sliding(2).zipWithIndex.map { case (w, i) => (i, w.mkString(" ")) }.toSeq
+      assert(viaGen == expected, s"divergence on <$text>: $viaGen vs $expected")
+    }
+  }
+
   test("word_ngrams is SQL-callable via the extension registry") {
     val rows = spark.sql("SELECT word_ngrams('a b c', 2)").collect()
     assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
