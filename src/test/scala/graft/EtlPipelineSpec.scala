@@ -166,6 +166,35 @@ class EtlPipelineSpec extends SparkSpec {
     assert(out.columns.toSeq == Canonical.snakeNames)
   }
 
+  test("the full pipeline runs unchanged per micro-batch under streaming") {
+    // foreachBatch is the streaming deployment of the reference's pipeline:
+    // every stage — keep-first window dedup, derivations, required filter,
+    // merge, uuid5 final cast — executes on the micro-batch DataFrame with
+    // zero code changes. One input file => one AvailableNow batch, so the
+    // per-batch dedup scope equals the batch run and outputs must be
+    // row-identical.
+    val src = java.nio.file.Files.createTempDirectory("etl-stream-src").toString
+    val out = java.nio.file.Files.createTempDirectory("etl-stream-out").toString
+    domclickRaw.coalesce(1).write.mode("overwrite").parquet(src)
+    val schema = domclickRaw.schema
+
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Pipeline.run(Map("domclick" -> batch), now = fixedNow)
+          .write.mode("append").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+    val direct = Pipeline.run(Map("domclick" -> domclickRaw), now = fixedNow)
+    assert(streamed.count() == direct.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "streaming and batch pipeline outputs differ")
+  }
+
   test("merge alone is UNION ALL semantics — no cross-platform dedup (A25)") {
     val frames = Seq(
       Pipeline.transform(domclickRaw, PlatformSpecs.domclick, fixedNow),
