@@ -19,19 +19,28 @@ object Bench {
     // unchanged queries "regressed" 23-34x under transient machine load).
     // The min of two runs is robust to a transient spike while still
     // charging real per-query work; bounded extra wall time, one process.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Some builders .cache() frames reused within their own plan
+      // (dd05/dd06/ss05); without this, a repeat run's canonically-identical
+      // plan reads the prior run's materialized cache and min records a
+      // warm-cache scan instead of engine work. Clearing per run charges
+      // the full pipeline every time (and keeps queries independent).
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        // Some builders .cache() frames reused within their own plan
-        // (dd05/dd06/ss05); without this, run 2's canonically-identical
-        // plan reads run 1's materialized cache and times.min records a
-        // warm-cache scan instead of engine work. Clearing per run charges
-        // the full pipeline both times (and keeps queries independent).
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      // Best-of-2 per query; if the two runs disagree by >2x, one of them
+      // hit transient machine load (this box's background services produce
+      // exactly that pattern: a trivial projection recording seconds), so a
+      // third run disambiguates. Bounded: at most one extra run per query.
+      val a = timed(fn)
+      val b = timed(fn)
+      val best =
+        if (math.max(a, b) > 2 * math.min(a, b)) math.min(math.min(a, b), timed(fn))
+        else math.min(a, b)
+      name -> best
     }
     // Centisecond precision keeps the whole line well inside the driver's
     // output-tail capture at 72+ queries (round 1 clipped the line's head
