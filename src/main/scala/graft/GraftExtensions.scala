@@ -81,6 +81,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("hyperplane_lsh", 2 to 3)(a =>
       SketchExprs.HyperplaneLsh(a(0), intArg(a(1), "hyperplane_lsh", 2),
         if (a.length > 2) intArg(a(2), "hyperplane_lsh", 3) else 0))
+    reg("cdc_chunks", 2 to 2)(a =>
+      SketchExprs.CdcChunks(a(0), intArg(a(1), "cdc_chunks", 2)))
     reg("word_ngrams", 2 to 2)(a => // generator: usable in SELECT / LATERAL VIEW
       graft.functions.WordNgrams(a(0), intArg(a(1), "word_ngrams", 2)))
   }

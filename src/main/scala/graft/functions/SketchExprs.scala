@@ -221,6 +221,54 @@ object SketchExprs {
     bucket
   }
 
+  /** Content-defined chunking via a polynomial rolling hash (the Rabin
+    * fingerprint idea behind rsync/LBFS-style dedup): a chunk boundary is
+    * declared wherever the rolling hash of the last `Win` bytes has its low
+    * `maskBits` bits zero — so boundaries are a function of local CONTENT,
+    * not position, and an edit reshuffles only the chunks around it while
+    * every other chunk keeps its identity. That chunk-identity stability is
+    * what makes chunk-level dedup work on near-identical documents at
+    * 100 TB (shifted text still dedups, unlike fixed-size blocks).
+    *
+    * Returns array<struct<off int, len int, hash bigint>> where `hash` is
+    * XXH64 of the chunk's bytes; chunks tile the input exactly. Bounds:
+    * min chunk MinLen (skew guard: a degenerate mask region can't emit
+    * per-byte chunks), max MaxLen (forced cut; bounds state at scale). */
+  private final val Win = 16
+  private final val MinLen = 16
+  private final val MaxLen = 256
+  private final val Base = 257L
+
+  def evalCdcChunks(input: UTF8String, maskBits: Int): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    val mask = (1L << maskBits) - 1
+    // Base^(Win-1), for expiring the outgoing byte of the rolling window
+    var basePow = 1L
+    var i = 0
+    while (i < Win - 1) { basePow *= Base; i += 1 }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def emit(start: Int, len: Int): Unit = rows +=
+      org.apache.spark.sql.catalyst.InternalRow(start, len, XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, len, 42L))
+    var start = 0
+    var h = 0L // polynomial hash of the last min(len, Win) bytes of the chunk
+    var pos = 0
+    while (pos < n) {
+      val b = bytes(pos) & 0xffL
+      val len = pos - start + 1
+      h = if (len <= Win) h * Base + b
+      else (h - (bytes(pos - Win) & 0xffL) * basePow) * Base + b
+      if ((len >= MinLen && (h & mask) == 0) || len >= MaxLen || pos == n - 1) {
+        emit(start, len)
+        start = pos + 1
+        h = 0L
+      }
+      pos += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
   // ---------- expressions (codegen = static call into the helpers) ----------
 
   private val Self = "graft.functions.SketchExprs"
@@ -355,6 +403,23 @@ object SketchExprs {
     override def prettyName: String = "l2_norm_squared"
   }
 
+  /** Content-defined chunks of a text column — see [[evalCdcChunks]]. */
+  case class CdcChunks(child: Expression, maskBits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits out of range: $maskBits")
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("off", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      evalCdcChunks(input.asInstanceOf[UTF8String], maskBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalCdcChunks($c, $maskBits)")
+    override protected def withNewChildInternal(c: Expression): CdcChunks = copy(child = c)
+    override def prettyName: String = "cdc_chunks"
+  }
+
   case class HyperplaneLsh(child: Expression, nPlanes: Int, offset: Int = 0)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
@@ -388,4 +453,6 @@ object SketchExprs {
     B.column(DotProduct(B.expression(a), B.expression(b)))
   def l2Norm(c: Column): Column = B.column(L2Norm(B.expression(c)))
   def l2NormSquared(c: Column): Column = B.column(L2NormSquared(B.expression(c)))
+  def cdcChunks(c: Column, maskBits: Int = 6): Column =
+    B.column(CdcChunks(B.expression(c), maskBits))
 }

@@ -126,6 +126,23 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking (rolling-hash fingerprints): per doc, the
+    // chunk inventory plus corpus-level chunk-dedup stats — the rsync/LBFS
+    // primitive that lets near-identical documents share storage/compute at
+    // chunk granularity (shifted text still dedups, unlike fixed blocks).
+    // Rows-only (the rolling hash is a JVM loop); SketchSpec asserts exact
+    // tiling, determinism, and the edit-locality property.
+    "tx08_cdc_chunks" -> ((s, dir) => {
+      import graft.functions.SketchExprs
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(SketchExprs.cdcChunks(col("text"), 6)).as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_chunks"),
+          countDistinct(col("c.hash")).cast("int").as("n_distinct"),
+          sum(col("c.len")).cast("int").as("bytes_covered"))
+        .orderBy("doc_id")
+    }),
+
     // N-gram expansion through the custom Generator (UDTF) — one row per
     // word trigram with its position, no intermediate array per row.
     "tx06_ngram_generate" -> ((s, dir) => {
