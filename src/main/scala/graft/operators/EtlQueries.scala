@@ -192,6 +192,24 @@ object EtlQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Forward fill (gap filling): per key in time order, nulls take the
+    // last non-null observation — the sensor/price-series ETL primitive.
+    // One window shuffle on the key; last(ignoreNulls) over an unbounded-
+    // preceding frame is the single-pass form (no self-join, no loop).
+    "e15_forward_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        // synthesize gaps deterministically: every 3rd order hides its price
+        when(col("o_orderkey") % 3 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("o_totalprice")).as("price_obs"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("price_filled", last(col("price_obs"), ignoreNulls = true).over(w))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
     // A12/A27 — stable surrogate keys: xxhash64-based id + RFC-4122 v5 UUID.
     // No DuckDB oracle (no xxhash64/sha1 there): rows-only + ScalaTest vectors.
     "e08_stable_keys" -> ((s, dir) => {
@@ -203,6 +221,15 @@ object EtlQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "e15_forward_fill" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS price_obs,
+        |  last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_filled
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "e14_csv_scan" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "e01_cast_coerce" ->
