@@ -89,6 +89,39 @@ object Pipeline {
     finalCast(merge(transformed))
   }
 
+  /** The reference's run report (`src/etl/datapipeline.py:110-189`): a
+    * status + per-stage row counts. Counts come from `Observation` metrics
+    * attached to the lineage, so they are collected DURING the single load
+    * action — the reference pays a `len(df)` materialization per stage;
+    * here no extra pass, no extra action, works identically on a cluster. */
+  final case class RunReport(status: String, message: String,
+      rowsByPlatform: Map[String, Long], totalRows: Long)
+
+  def runReport(rawByPlatform: Map[String, DataFrame],
+      now: Column = current_timestamp())(load: DataFrame => Unit): RunReport = {
+    if (rawByPlatform.isEmpty)
+      return RunReport("no_data", "No platforms returned data.", Map.empty, 0L)
+    val perPlatform = rawByPlatform.keys.map(p =>
+      p -> org.apache.spark.sql.Observation(s"rows_$p")).toMap
+    val totalObs = org.apache.spark.sql.Observation("rows_total")
+    val transformed = rawByPlatform.toSeq.sortBy(_._1).map { case (name, raw) =>
+      transform(raw, PlatformSpecs.byName(name), now)
+        .observe(perPlatform(name), count(lit(1)).as("n"))
+    }
+    val unified = finalCast(merge(transformed))
+      .observe(totalObs, count(lit(1)).as("n"))
+    try {
+      load(unified)
+      val per = perPlatform.map { case (p, o) => p -> o.get("n").asInstanceOf[Long] }
+      val total = totalObs.get("n").asInstanceOf[Long]
+      if (total == 0L) RunReport("no_data", "Unified DataFrame is empty.", per, 0L)
+      else RunReport("success", "Data loaded.", per, total)
+    } catch {
+      case e: Exception =>
+        RunReport("error", s"Load error: ${e.getMessage}", Map.empty, -1L)
+    }
+  }
+
   /** A28/A29 — sinks. Parquet is the cluster-native path (partitioned by
     * platform so downstream reads prune); CSV mirrors the reference's test
     * loader; JDBC mirrors the ClickHouse truncate-and-reload semantics. */

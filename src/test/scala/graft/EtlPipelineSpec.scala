@@ -166,6 +166,25 @@ class EtlPipelineSpec extends SparkSpec {
     assert(out.columns.toSeq == Canonical.snakeNames)
   }
 
+  test("run report collects per-stage counts in the load action (A32 status dict)") {
+    val out = java.nio.file.Files.createTempDirectory("etl-report").toString
+    val report = Pipeline.runReport(
+      Map("domclick" -> domclickRaw, "yandex" -> yandexRaw, "avito" -> avitoRaw),
+      now = fixedNow)(df => df.write.mode("overwrite").parquet(out))
+    assert(report.status == "success")
+    // post-transform counts: domclick 3-1 required-drop, yandex 3-1 dup, avito 1
+    assert(report.rowsByPlatform == Map("domclick" -> 2L, "yandex" -> 2L, "avito" -> 1L))
+    assert(report.totalRows == 5L)
+    assert(spark.read.parquet(out).count() == 5L) // the load really happened
+
+    val empty = Pipeline.runReport(Map.empty)(_ => fail("load must not run"))
+    assert(empty.status == "no_data" && empty.totalRows == 0L)
+
+    val failed = Pipeline.runReport(Map("avito" -> avitoRaw), now = fixedNow)(
+      _ => throw new RuntimeException("sink down"))
+    assert(failed.status == "error" && failed.message.contains("sink down"))
+  }
+
   test("the full pipeline runs unchanged per micro-batch under streaming") {
     // foreachBatch is the streaming deployment of the reference's pipeline:
     // every stage — keep-first window dedup, derivations, required filter,
