@@ -98,6 +98,34 @@ object Similarity {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multi-probe LSH ANN (Lv et al., VLDB'07): the INDEX stays one bucket
+    // per corpus vector; recall comes from fanning the QUERY out to its own
+    // bucket plus every bucket at Hamming distance 1 (sign flips of single
+    // hyperplanes are where near neighbors fall). Candidate cost is
+    // (planes+1) buckets per query — query-side only, so the corpus is
+    // never re-indexed or duplicated the way multi-table LSH (ss08's
+    // blocker) requires. Rows-only (xxhash64 planes); SimilaritySpec
+    // asserts recall >= single-probe ss02 from the superset candidates.
+    "ss09_multiprobe_lsh" -> ((s, dir) => {
+      val planes = 6
+      val e = emb(s, dir)
+        .withColumn("nrm", l2norm("v"))
+        .withColumn("bucket", lshBucket("v", planes, 64))
+      val probes = (0 until planes).map(b =>
+        col("bucket").bitwiseXOR(lit(1 << b))) :+ col("bucket")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), explode(array(probes: _*)).as("bucket"))
+      val joined = q.join(e, Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+        .orderBy("query_id", "rk")
+    }),
+
     // ss03's semantics with a scale-safe blocker: candidates are pairs that
     // collide in ANY of 2 independent 8-plane LSH tables, so the worst
     // block is ~n/256 of the corpus and shrinks as planes are added —

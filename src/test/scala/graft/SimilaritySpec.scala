@@ -96,6 +96,22 @@ class SimilaritySpec extends SparkSpec {
       s"candidate set $candidates is not <10% of all-pairs")
   }
 
+  test("multi-probe lsh recall@10 is at least single-probe recall") {
+    val exact = topk("ss01_cosine_topk")
+    def recall(m: Map[Long, Seq[Long]]): Double = {
+      val rs = exact.map { case (q, ex) =>
+        ex.count(m.getOrElse(q, Seq.empty).toSet).toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val single = recall(topk("ss02_ann_lsh"))
+    val multi = recall(topk("ss09_multiprobe_lsh"))
+    info(f"recall@10: single-probe $single%.2f, multi-probe $multi%.2f")
+    // same metric over a candidate superset can only match or improve
+    assert(multi >= single, f"multi-probe lowered recall: $multi%.2f < $single%.2f")
+    assert(multi > single, "multi-probe found nothing beyond the home bucket")
+  }
+
   test("lsh blocking recall grows with table count (the recall knob works)") {
     import org.apache.spark.sql.functions._
     def pairs(tables: Int): Set[(Long, Long)] =
