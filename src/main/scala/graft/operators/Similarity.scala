@@ -63,22 +63,7 @@ object Similarity {
     // ANN via hyperplane LSH buckets: same queries, candidates restricted to
     // the query's bucket. Rows-only check (xxhash64-seeded planes have no
     // DuckDB mirror); ScalaTest asserts recall vs ss01 on sf0.001.
-    "ss02_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
-        .withColumn("nrm", l2norm("v"))
-        .withColumn("bucket", lshBucket("v", 6, 64))
-      val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bucket"))
-        .filter(col("query_id") < 5)
-      val joined = q.join(e, Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      joined.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
-        .orderBy("query_id", "rk")
-    }),
+    "ss02_ann_lsh" -> ((s, dir) => lshTopK(s, dir, multiProbe = false)),
 
     // Embedding near-duplicate pairs: cosine above threshold, candidates
     // blocked by label (cheap demo of blocked pair generation; the LSH
@@ -106,25 +91,7 @@ object Similarity {
     // never re-indexed or duplicated the way multi-table LSH (ss08's
     // blocker) requires. Rows-only (xxhash64 planes); SimilaritySpec
     // asserts recall >= single-probe ss02 from the superset candidates.
-    "ss09_multiprobe_lsh" -> ((s, dir) => {
-      val planes = 6
-      val e = emb(s, dir)
-        .withColumn("nrm", l2norm("v"))
-        .withColumn("bucket", lshBucket("v", planes, 64))
-      val probes = (0 until planes).map(b =>
-        col("bucket").bitwiseXOR(lit(1 << b))) :+ col("bucket")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), explode(array(probes: _*)).as("bucket"))
-      val joined = q.join(e, Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-      joined.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
-        .orderBy("query_id", "rk")
-    }),
+    "ss09_multiprobe_lsh" -> ((s, dir) => lshTopK(s, dir, multiProbe = true)),
 
     // ss03's semantics with a scale-safe blocker: candidates are pairs that
     // collide in ANY of 2 independent 8-plane LSH tables, so the worst
@@ -225,6 +192,34 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
         .orderBy("query_id", "rk")
     }))
+
+  /** Shared ss02/ss09 shape: exact-cosine top-10 over LSH-bucketed
+    * candidates. Single probe restricts each query to its home bucket;
+    * multi-probe fans the QUERY out to every Hamming-distance-1 bucket as
+    * well (sign flips of single hyperplanes are where near neighbors
+    * fall) — recall from query-side probing, the corpus is never
+    * re-indexed or duplicated the way multi-table LSH requires. */
+  private def lshTopK(s: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
+    val planes = 6
+    val e = emb(s, dir)
+      .withColumn("nrm", l2norm("v"))
+      .withColumn("bucket", lshBucket("v", planes, 64))
+    val probes =
+      if (multiProbe) (0 until planes).map(b =>
+        col("bucket").bitwiseXOR(lit(1 << b))) :+ col("bucket")
+      else Seq(col("bucket"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), explode(array(probes: _*)).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    q.join(e, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot("qv", "v") / (col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("cos"))
+      .orderBy("query_id", "rk")
+  }
 
   /** ss08's candidate stage: vector pairs colliding in ANY of `tables`
     * independent `planes`-plane LSH tables (equi-join on (table, bucket) —
