@@ -30,7 +30,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=aj01_asof_backward,aj02_...
+    // (driver sets no filter and gets the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Best-of-2 per query; if the two runs disagree by >2x, one of them
       // hit transient machine load (this box's background services produce
       // exactly that pattern: a trivial projection recording seconds), so a

@@ -30,6 +30,14 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * The union+window form ([[graft.operators.AsOfJoin.asofBackward]]) stays
   * as the pure-DataFrame expression of the same semantics; `AsOfExecSpec`
   * asserts row-for-row equivalence between the two on real data.
+  *
+  * Measured honestly: at sf0.1 on local[32] the codegen'd union+window form
+  * is ~2x faster (0.37 s vs 0.68 s) — this exec's merge is interpreted
+  * row-at-a-time (doExecute, no doProduce/doConsume), while window exec is
+  * whole-stage generated. The exec's advantages are structural: O(1) state
+  * per key group vs the window's running buffer, the right side is never
+  * unioned into the left's shuffle, and a tolerance bound is native. Codegen
+  * for the merge is the known next step if it ever dominates a profile.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
