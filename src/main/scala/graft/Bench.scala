@@ -34,6 +34,11 @@ object Bench {
     // (driver sets no filter and gets the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter must fail loudly, not print a plausible 0.00s record
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

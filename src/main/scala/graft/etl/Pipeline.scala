@@ -79,15 +79,24 @@ object Pipeline {
     withUid.select(Canonical.fields.map(Canonical.castExpr): _*)
   }
 
-  /** Full run over pre-loaded raw frames (extract is the caller's concern —
-    * see Tables.csv / Tables.tableIfExists for the tolerant A1/A2 readers). */
-  def run(rawByPlatform: Map[String, DataFrame],
-      now: Column = current_timestamp()): DataFrame = {
+  /** The one assembly path: per-platform transform (with an optional
+    * post-transform hook — identity for [[run]], metric observation for
+    * [[runReport]]) → merge → final cast. Keeping a single builder is what
+    * guarantees run, runReport, and the streaming foreachBatch deployment
+    * can never diverge in staging order or merge semantics. */
+  private def assemble(rawByPlatform: Map[String, DataFrame], now: Column,
+      post: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
     val transformed = rawByPlatform.toSeq.sortBy(_._1).map { case (name, raw) =>
-      transform(raw, PlatformSpecs.byName(name), now)
+      post(name, transform(raw, PlatformSpecs.byName(name), now))
     }
     finalCast(merge(transformed))
   }
+
+  /** Full run over pre-loaded raw frames (extract is the caller's concern —
+    * see Tables.csv / Tables.tableIfExists for the tolerant A1/A2 readers). */
+  def run(rawByPlatform: Map[String, DataFrame],
+      now: Column = current_timestamp()): DataFrame =
+    assemble(rawByPlatform, now)
 
   /** The reference's run report (`src/etl/datapipeline.py:110-189`): a
     * status + per-stage row counts. Counts come from `Observation` metrics
@@ -98,24 +107,40 @@ object Pipeline {
       rowsByPlatform: Map[String, Long], totalRows: Long)
 
   def runReport(rawByPlatform: Map[String, DataFrame],
-      now: Column = current_timestamp())(load: DataFrame => Unit): RunReport = {
+      now: Column = current_timestamp(),
+      metricsTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, "s"))(
+      load: DataFrame => Unit): RunReport = {
     if (rawByPlatform.isEmpty)
       return RunReport("no_data", "No platforms returned data.", Map.empty, 0L)
+    // Emptiness is checked BEFORE the sink runs (one limit-1 job over an
+    // unobserved twin of the lineage), like the reference — a truncate-and-
+    // reload sink must never execute for an empty run and then have the
+    // report claim "no_data" as if nothing happened.
+    if (assemble(rawByPlatform, now).isEmpty)
+      return RunReport("no_data", "Unified DataFrame is empty.", Map.empty, 0L)
     val perPlatform = rawByPlatform.keys.map(p =>
       p -> org.apache.spark.sql.Observation(s"rows_$p")).toMap
     val totalObs = org.apache.spark.sql.Observation("rows_total")
-    val transformed = rawByPlatform.toSeq.sortBy(_._1).map { case (name, raw) =>
-      transform(raw, PlatformSpecs.byName(name), now)
-        .observe(perPlatform(name), count(lit(1)).as("n"))
-    }
-    val unified = finalCast(merge(transformed))
+    val unified = assemble(rawByPlatform, now,
+        (name, df) => df.observe(perPlatform(name), count(lit(1)).as("n")))
       .observe(totalObs, count(lit(1)).as("n"))
     try {
       load(unified)
-      val per = perPlatform.map { case (p, o) => p -> o.get("n").asInstanceOf[Long] }
-      val total = totalObs.get("n").asInstanceOf[Long]
-      if (total == 0L) RunReport("no_data", "Unified DataFrame is empty.", per, 0L)
-      else RunReport("success", "Data loaded.", per, total)
+      // Bounded wait, not the unbounded blocking get: the metrics listener
+      // fires asynchronously after the action, but a load callback that
+      // never ran a Spark action over `unified` must surface as an error,
+      // not hang this thread forever waiting for metrics that will never
+      // arrive.
+      def metric(o: org.apache.spark.sql.Observation): Option[Long] =
+        try Some(scala.concurrent.Await.result(o.future, metricsTimeout).getAs[Long]("n"))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+      val total = metric(totalObs)
+      if (total.isEmpty)
+        return RunReport("error",
+          "Load callback completed without executing the unified frame.", Map.empty, -1L)
+      val per = perPlatform.map { case (p, o) => p -> metric(o).getOrElse(0L) }
+      RunReport("success", "Data loaded.", per, total.get)
     } catch {
       case e: Exception =>
         RunReport("error", s"Load error: ${e.getMessage}", Map.empty, -1L)

@@ -208,12 +208,15 @@ object Multimodal {
     }))
 
   val oracle: Map[String, String] = Map(
+    // coalesce('') mirrors the stub's null-payload path (n = 0 → 1×1 jpeg);
+    // octet_length(encode(NULL)) would yield NULL and diverge on any
+    // null-text document.
     "mm02_decode_stub" ->
       """SELECT doc_id AS asset_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-        |  CASE octet_length(encode(text)) % 3
+        |  CAST(octet_length(encode(coalesce(text, ''))) % 640 + 1 AS INT) AS width,
+        |  CAST((octet_length(encode(coalesce(text, ''))) * 7) % 480 + 1 AS INT) AS height,
+        |  CASE octet_length(encode(coalesce(text, ''))) % 3
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format_decoded
         |FROM documents ORDER BY asset_id""".stripMargin,
     "mm04_resize" ->

@@ -180,6 +180,18 @@ class EtlPipelineSpec extends SparkSpec {
     val empty = Pipeline.runReport(Map.empty)(_ => fail("load must not run"))
     assert(empty.status == "no_data" && empty.totalRows == 0L)
 
+    // all rows dropped by the required-field filter: the sink must NOT run
+    // (a truncate-and-reload sink would otherwise empty the target table)
+    val allDropped = domclickRaw.filter(col("Price").isNull)
+    val dropped = Pipeline.runReport(Map("domclick" -> allDropped), now = fixedNow)(
+      _ => fail("sink must not run for an empty unified frame"))
+    assert(dropped.status == "no_data")
+
+    // a load callback that never executes the frame is an error, not a hang
+    val noAction = Pipeline.runReport(Map("avito" -> avitoRaw), now = fixedNow,
+      metricsTimeout = scala.concurrent.duration.Duration(2, "s"))(_ => ())
+    assert(noAction.status == "error" && noAction.message.contains("without executing"))
+
     val failed = Pipeline.runReport(Map("avito" -> avitoRaw), now = fixedNow)(
       _ => throw new RuntimeException("sink down"))
     assert(failed.status == "error" && failed.message.contains("sink down"))
