@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which broke
+// the driver's JSON parse of graft.Bench's output in rounds 1-3
+// (BENCH_r02.json tail shows `[info] {"metric":...}` — unparseable).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The driver parses graft.Bench's one-line JSON from the tail of sbt's
 // stdout; the "[success] Total time …" footer after it broke that parse
 // in round 1 (BENCH_r01.json "parsed": null). Keep the JSON line last.

@@ -174,11 +174,16 @@ object Multimodal {
       resizeImages(mediaFromDocuments(s, dir), 224, 224).orderBy("asset_id")
     }),
 
-    // Media → fixed-width feature vector (the embedding bridge into the
+    // Media → fixed-width feature descriptor (the embedding bridge into the
     // ss* ANN operators). Rows-only (byte loop isn't SQL); MultimodalSpec
-    // recomputes the descriptor exactly.
+    // recomputes the descriptor exactly. The gate surface emits the 8
+    // components as scalar columns f0..f7 — a raw array<double> column is
+    // unsortable/unhashable by the driver's rows-only checker (r3's one red
+    // row); the array-returning extractFeatures stays for the ss* bridge.
     "mm05_features" -> ((s, dir) => {
-      extractFeatures(mediaFromDocuments(s, dir)).orderBy("asset_id")
+      val feats = extractFeatures(mediaFromDocuments(s, dir))
+      val scalars = (0 until 8).map(i => col("features")(i).as(s"f$i"))
+      feats.select((col("asset_id") +: scalars): _*).orderBy("asset_id")
     }),
     // Binary payload + columnar metadata (bytes, checksum, format tag).
     "mm01_media_meta" -> ((s, dir) => {
