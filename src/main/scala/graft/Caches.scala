@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Ownership registry for `.cache()` calls made inside query builders.
+  *
+  * Some builders cache a frame their own plan reuses (dd06's capped
+  * postings, ss05's cell assignment). The cache must outlive the builder —
+  * the action runs on the returned plan — so the builder cannot unpersist
+  * it. In the driver mains this is handled process-wide
+  * (`spark.catalog.clearCache()` between queries in Verify/Bench); a
+  * LONG-LIVED session embedding this library should call [[releaseAll]]
+  * after consuming each such query's result, or the cached frames
+  * accumulate in executor storage memory for the life of the session.
+  */
+object Caches {
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Cache `df` and register it for later release. Returns the cached df. */
+  def track(df: DataFrame): DataFrame = register(df.cache())
+
+  /** Register an already-cached df for later release (e.g. the surviving
+    * frame of an iterative loop that caches and unpersists per round). */
+  def register(df: DataFrame): DataFrame = {
+    registry.add(df)
+    df
+  }
+
+  /** Unpersist every builder-cached frame registered since the last call;
+    * returns the released frames (so a caller/test can audit that their
+    * storage level actually dropped to NONE). */
+  def releaseAll(): Seq[DataFrame] = {
+    val released = Seq.newBuilder[DataFrame]
+    var df = registry.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      released += df
+      df = registry.poll()
+    }
+    released.result()
+  }
+
+  /** Number of currently-registered (not yet released) cached frames. */
+  def pending: Int = registry.size()
+}

@@ -224,9 +224,12 @@ object Multimodal {
         |  CASE octet_length(encode(coalesce(text, ''))) % 3
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format_decoded
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // coalesce('') mirrors the stub's null-payload path here too: DuckDB's
+    // least() ignores a NULL argument, so a null-text doc would yield the
+    // full byte budget vs Spark's 0.
     "mm04_resize" ->
       """SELECT doc_id AS asset_id, 224 AS width, 224 AS height,
-        |  least(octet_length(encode(text)), (224 * 224 * 3) // 64) AS resized_bytes
+        |  least(octet_length(encode(coalesce(text, ''))), (224 * 224 * 3) // 64) AS resized_bytes
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY asset_id""".stripMargin,
     "mm01_media_meta" ->
       """SELECT doc_id AS asset_id,

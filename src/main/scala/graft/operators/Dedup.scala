@@ -119,7 +119,10 @@ object Dedup {
       // cache: the capped postings feed the size count AND both sides of
       // the pair join — uncached, the explode + df-filter subtree executes
       // four times (16 parquet scans in the uncached physical plan).
-      val kept = cappedPostings(s, dir, cap).cache()
+      // Tracked in graft.Caches: the cache must outlive this builder (the
+      // action runs on the returned plan), so release is the session's
+      // call — Caches.releaseAll() after the action, or clearCache().
+      val kept = graft.Caches.track(cappedPostings(s, dir, cap))
       val inter = cappedCandidatePairs(kept)
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
       inter
@@ -218,31 +221,60 @@ object Dedup {
       val out = labels.orderBy("doc_id")
       undirected.unpersist()
       edges.unpersist()
+      // the final iteration's cache backs the returned plan, so it must
+      // outlive this builder — hand its release to the session via Caches
+      graft.Caches.register(cached)
       out
     }),
 
-    // SimHash near-dup: 64-bit signatures, 4×16-bit bands, hamming ≤ 12.
-    // Rows-only check (xxhash64); ScalaTest covers signature properties.
-    "dd04_simhash" -> ((s, dir) => {
-      val sh = table(s, dir, "documents")
-        .select(col("doc_id"), simhash("text").as("simhash"))
-      val bandStructs = (0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          (shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))).as("chunk"))
-      }
-      val banded = sh
-        .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
-      val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-      val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-      a.join(b, Seq("band", "chunk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
-        .filter(col("hamming") <= 12)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
-        .orderBy("id_a", "id_b")
-    }))
+    // SimHash near-dup: 64-bit signatures, 4×16-bit bands, hamming ≤ 12,
+    // with the same hot-bucket cap dd06 applies to shingles (a templated
+    // corpus puts thousands of docs in one (band, chunk) bucket — uncapped,
+    // that one key owns a k² slice of the pair join at 100 TB).
+    // Rows-only check (xxhash64); ScalaTest covers signature properties and
+    // asserts the cap bounds candidates under an adversarial template corpus.
+    "dd04_simhash" -> ((s, dir) =>
+      simhashCandidates(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        defaultSimhashBucketCap)
+        .orderBy("id_a", "id_b")))
+
+  /** Per-(band, chunk) bucket cap for [[simhashCandidates]]. 512 keeps every
+    * organic sf0.1 bucket (max observed 179; dd04 output is bit-identical
+    * capped vs uncapped there) while bounding the worst key of the pair
+    * join at 512² rows regardless of corpus templating. */
+  val defaultSimhashBucketCap: Long = 512L
+
+  /** Banded SimHash candidate pairs with a per-(band, chunk) bucket cap:
+    * 64-bit signature → 4×16-bit band chunks → bucket equi-join, where
+    * buckets larger than `cap` are dropped BEFORE the pair join (window
+    * count over the banded postings — one shuffle, the dd06 df-cap pattern).
+    * A dropped bucket only suppresses that band's candidates; near-identical
+    * docs still surface through their other three bands unless the corpus
+    * is so templated that every band is hot — exactly the k² explosion the
+    * cap exists to refuse. */
+  def simhashCandidates(docs: DataFrame, cap: Long): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhash("text").as("simhash"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))).as("chunk"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= 12)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
 
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->

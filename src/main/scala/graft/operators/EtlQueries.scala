@@ -14,6 +14,29 @@ import graft.sources.Tables.table
   * engine. */
 object EtlQueries {
 
+  /** e14's on-disk CSV fixture, written ONCE per (process, sfDir) — the
+    * builder runs 2-3× per bench round and must not re-write (a side effect
+    * per invocation) or race a concurrent process (per-PID dir). The dir is
+    * removed by a shutdown hook, so repeated processes don't accumulate
+    * tmp garbage. */
+  private val e14Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def e14CsvPath(s: SparkSession, dir: String): String =
+    e14Paths.computeIfAbsent(dir, { _ =>
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e14_csv_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}")
+      val path = f.getAbsolutePath
+      table(s, dir, "supplier")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm))
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A6/A7 — tolerant numeric coercion + floored long cast
     "e01_cast_coerce" -> ((s, dir) => {
@@ -178,12 +201,7 @@ object EtlQueries {
     // driver-side side effect at plan-build time; the returned plan scans
     // the CSV.
     "e14_csv_scan" -> ((s, dir) => {
-      // per-process dir: a fixed path would let a concurrent run (bench +
-      // verify) overwrite the CSV mid-scan of the other's returned plan
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_e14_csv_${ProcessHandle.current().pid()}").getAbsolutePath
-      table(s, dir, "supplier")
-        .write.mode("overwrite").option("header", "true").csv(path)
+      val path = e14CsvPath(s, dir)
       graft.sources.Tables.csv(s, path, StructType(Seq(
           StructField("s_suppkey", LongType),
           StructField("s_name", StringType),

@@ -138,10 +138,13 @@ object Similarity {
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
       // cache: both the cell inventory and the probe list scan `assigned`;
       // uncached, the centroid broadcast join + window would run twice.
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot("v", "cv") / (col("nrm") * col("cnrm")))
-        .withColumn("r", row_number().over(wAssign))
-        .cache()
+      // Tracked in graft.Caches: the cache must outlive this builder (the
+      // action runs on the returned plan); a long-lived session releases it
+      // via Caches.releaseAll() after the action.
+      val assigned = graft.Caches.track(
+        e.crossJoin(broadcast(cents))
+          .withColumn("ccos", dot("v", "cv") / (col("nrm") * col("cnrm")))
+          .withColumn("r", row_number().over(wAssign)))
       val cells = assigned.filter(col("r") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       val q = assigned.filter(col("vec_id") < 5 && col("r") <= nprobe)

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+/** Builder-owned caches (dd06's postings, ss05's assignment, dd05's final
+  * labels) must outlive their builder — the action runs on the returned
+  * plan — so release is the session's job via [[Caches.releaseAll]].
+  * This suite is the leak gate: every declared query that registers a
+  * cache must drop to StorageLevel.NONE after release. (Verify and Bench
+  * get the same hygiene process-wide via `spark.catalog.clearCache()`
+  * between queries.) */
+class CachesSpec extends SparkSpec {
+
+  test("builder-registered caches release to StorageLevel.NONE after the action") {
+    for (q <- Seq("dd06_capped_jaccard", "ss05_ivf_ann", "dd05_dup_clusters")) {
+      Caches.releaseAll() // drop registrations left by other suites' builders
+      assert(SparkEntry.queries(q)(spark, sf001).count() >= 0)
+      val released = Caches.releaseAll()
+      assert(released.nonEmpty, s"$q registered no builder cache")
+      released.foreach { df =>
+        assert(df.storageLevel == StorageLevel.NONE, s"$q left a cached frame behind")
+      }
+      assert(Caches.pending == 0)
+    }
+  }
+}

@@ -81,6 +81,36 @@ class DedupSpec extends SparkSpec {
     assert(!cap1.contains((1L, 4L)))
   }
 
+  test("simhash bucket cap bounds candidates under a templated corpus (dd04 skew guard)") {
+    import org.apache.spark.sql.functions.col
+    // Adversarial template corpus: 120 byte-identical docs → identical
+    // simhash → ALL of them share every (band, chunk) bucket. Uncapped,
+    // candidate generation is C(120,2) pairs — the k² hot-key explosion.
+    val tmpl = spark.range(120).select(col("id").as("doc_id"),
+      lit("identical boilerplate disclaimer repeated on every crawled page " +
+        "of this templated site with no organic variation at all").as("text"))
+    // plus one organic near-dup pair that must still surface
+    val organic = docs.filter($"doc_id".isin(1, 2))
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val corpus = tmpl.unionByName(organic)
+    val uncapped = Dedup.simhashCandidates(corpus, Long.MaxValue)
+    assert(uncapped.count() >= 120L * 119 / 2) // the explosion is real
+    val capped = Dedup.simhashCandidates(corpus, 16L)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot template block is refused wholesale (dd01 exact-dedup is the
+    // operator that handles identical docs), the organic pair survives
+    assert(cappedPairs == Set((1001L, 1002L)),
+      s"expected only the organic near-dup pair, got ${cappedPairs.size} pairs")
+  }
+
+  test("dd04 bucket cap leaves the organic corpus unchanged") {
+    val organicDocs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text")
+    def pairs(cap: Long) = Dedup.simhashCandidates(organicDocs, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(Dedup.defaultSimhashBucketCap) == pairs(Long.MaxValue))
+  }
+
   test("minhash LSH query finds the near-dup pair without a cartesian join") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
