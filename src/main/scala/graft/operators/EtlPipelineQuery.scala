@@ -104,7 +104,142 @@ object EtlPipelineQuery {
         }
       }
       unified.select(cols.toIndexedSeq: _*).orderBy("platform_id", "listing_id")
+    }),
+
+    // The same full dataflow, HASH-CHECKED: every canonical column except
+    // the three hash-derived ones (uid: SHA-1 UUIDv5; company_id /
+    // address_id: xxhash64 fallbacks — none mirrorable in DuckDB), with
+    // created_at pinned through the pipeline's `now` hook. Arrays are
+    // serialized with explicit element formatting so both engines emit the
+    // same string. This gives A25 (schema-align union: every typed-null →
+    // fill path is exercised by columns absent from one platform) and A26
+    // (typed cast + domain clamp + null fill) a DuckDB oracle instead of
+    // ep01's rows-only check.
+    "ep02_pipeline_hashable" -> ((s, dir) => {
+      val unified = Pipeline.run(
+        Map(
+          "domclick" -> domclickFromOrders(s, dir),
+          "avito" -> avitoFromDocuments(s, dir)),
+        now = lit("2025-01-15 12:00:00").cast("timestamp"))
+      val hashDerived = Set("uid", "company_id", "address_id")
+      val cols = unified.schema.fields.filterNot(f => hashDerived(f.name)).map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+            array_join(transform(col(f.name), x => format_string("%.4f", x)), ";").as(f.name)
+          case _: org.apache.spark.sql.types.ArrayType =>
+            array_join(col(f.name), ";").as(f.name)
+          case _ => col(f.name)
+        }
+      }
+      unified.select(cols.toIndexedSeq: _*).orderBy("platform_id", "listing_id")
     }))
 
-  val oracle: Map[String, String] = Map.empty
+  /** ep02's oracle replays the whole pipeline in SQL: the domclick branch
+    * re-derives each canonical column from `orders`, the avito branch from
+    * `documents`, constants fold to literals, absent columns fold to their
+    * A26 fill values, and UNION ALL mirrors the A25 merge. */
+  val oracle: Map[String, String] = Map(
+    "ep02_pipeline_hashable" ->
+      """WITH dom AS (
+        |  SELECT o_orderkey AS listing_id,
+        |    'https://domclick.ru/card/' || CAST(o_orderkey AS VARCHAR) AS listing_url,
+        |    o_totalprice AS price,
+        |    o_totalprice / 40.0 AS price_per_sqm,
+        |    CAST(5.5 AS FLOAT4) AS mortgage_rate,
+        |    'addr ' || CAST(o_custkey AS VARCHAR) AS address,
+        |    CAST(40.0 AS DOUBLE) AS area,
+        |    CAST(o_orderkey % 5 + 1 AS SMALLINT) AS rooms,
+        |    CAST(o_orderkey % 20 + 1 AS SMALLINT) AS floor,
+        |    o_orderpriority AS description,
+        |    date_trunc('second', CAST(o_orderdate AS TIMESTAMP)) AS published_date,
+        |    date_trunc('second', CAST(o_orderdate AS TIMESTAMP)) AS updated_date,
+        |    o_custkey AS seller_id,
+        |    md5(CAST(o_custkey AS VARCHAR)) AS seller_name_hash,
+        |    'company ' || CAST(o_custkey % 50 AS VARCHAR) AS company_name,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'flat' ELSE 'house' END AS property_type,
+        |    'living' AS category,
+        |    CAST(17 AS SMALLINT) AS house_floors,
+        |    'sale' AS deal_type,
+        |    'None' AS discount_status,
+        |    CAST(0.0 AS DOUBLE) AS discount_value,
+        |    CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS SMALLINT) AS placement_paid,
+        |    CAST(0 AS SMALLINT) AS big_card,
+        |    CAST(1 AS SMALLINT) AS pin_color,
+        |    CAST(37.6 AS DOUBLE) AS longitude,
+        |    CAST(55.7 AS DOUBLE) AS latitude,
+        |    '350.0000;870.5000' AS subway_distances,
+        |    'Арбатская' AS subway_names,
+        |    'https://img.dmclk.ru/p/1.jpg;https://img.dmclk.ru/p/2.jpg' AS photo_urls,
+        |    CAST(21000.0 AS DOUBLE) AS monthly_payment,
+        |    CAST(0.0 AS DOUBLE) AS advance_payment,
+        |    CAST(0.0 AS DOUBLE) AS auction_status,
+        |    CAST(1 AS SMALLINT) AS platform_id,
+        |    TIMESTAMP '2025-01-15 12:00:00' AS created_at,
+        |    'UNKNOWN' AS seller_type,
+        |    'UNKNOWN' AS flat_type,
+        |    CAST(0.0 AS DOUBLE) AS height,
+        |    CAST(0.0 AS DOUBLE) AS area_rooms,
+        |    CAST(0.0 AS DOUBLE) AS previous_price,
+        |    '' AS renovation_offer,
+        |    'UNKNOWN' AS balcony_type,
+        |    'UNKNOWN' AS window_view,
+        |    CAST(0 AS SMALLINT) AS built_year_offer,
+        |    'UNKNOWN' AS building_state,
+        |    '' AS type_house_offer,
+        |    CAST(0 AS TINYINT) AS valid,
+        |    CAST(NULL AS VARCHAR) AS subway_time
+        |  FROM orders),
+        |av AS (
+        |  SELECT doc_id AS listing_id,
+        |    'https://avito.ru/item/' || CAST(doc_id AS VARCHAR) AS listing_url,
+        |    CAST(n_chars * 1000 AS DOUBLE) AS price,
+        |    COALESCE(CASE WHEN CAST(n_chars % 100 AS DOUBLE) > 0
+        |      THEN CAST(n_chars * 1000 AS DOUBLE) / CAST(n_chars % 100 AS DOUBLE) END, 0.0) AS price_per_sqm,
+        |    CAST(0.0 AS FLOAT4) AS mortgage_rate,
+        |    'addr ' || source AS address,
+        |    CAST(n_chars % 100 AS DOUBLE) AS area,
+        |    CAST(doc_id % 4 + 1 AS SMALLINT) AS rooms,
+        |    CAST(doc_id % 15 + 1 AS SMALLINT) AS floor,
+        |    substring(text, 1, 40) AS description,
+        |    TIMESTAMP '2024-10-10 10:10:10' AS published_date,
+        |    TIMESTAMP '2024-10-10 10:10:10' AS updated_date,
+        |    CAST(0 AS BIGINT) AS seller_id,
+        |    '' AS seller_name_hash,
+        |    '' AS company_name,
+        |    'flat' AS property_type,
+        |    'living' AS category,
+        |    CAST(9 AS SMALLINT) AS house_floors,
+        |    'sale' AS deal_type,
+        |    'Unknown' AS discount_status,
+        |    CAST(0.0 AS DOUBLE) AS discount_value,
+        |    CAST(0 AS SMALLINT) AS placement_paid,
+        |    CAST(0 AS SMALLINT) AS big_card,
+        |    CAST(0 AS SMALLINT) AS pin_color,
+        |    CAST(73.3 AS DOUBLE) AS longitude,
+        |    CAST(54.9 AS DOUBLE) AS latitude,
+        |    '500.5000' AS subway_distances,
+        |    array_to_string(list_filter([lang, NULL, ''],
+        |      x -> x IS NOT NULL AND trim(x) <> ''), ';') AS subway_names,
+        |    'x.jpg' AS photo_urls,
+        |    CAST(0.0 AS DOUBLE) AS monthly_payment,
+        |    CAST(0.0 AS DOUBLE) AS advance_payment,
+        |    CAST(0.0 AS DOUBLE) AS auction_status,
+        |    CAST(2 AS SMALLINT) AS platform_id,
+        |    TIMESTAMP '2025-01-15 12:00:00' AS created_at,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'DEVELOPER' ELSE 'OWNER' END AS seller_type,
+        |    'UNKNOWN' AS flat_type,
+        |    CAST(2.7 AS DOUBLE) AS height,
+        |    CAST(20.0 AS DOUBLE) AS area_rooms,
+        |    CAST(0.0 AS DOUBLE) AS previous_price,
+        |    source AS renovation_offer,
+        |    'UNKNOWN' AS balcony_type,
+        |    'UNKNOWN' AS window_view,
+        |    CAST(2015 AS SMALLINT) AS built_year_offer,
+        |    'UNKNOWN' AS building_state,
+        |    'brick' AS type_house_offer,
+        |    CAST(0 AS TINYINT) AS valid,
+        |    CAST(NULL AS VARCHAR) AS subway_time
+        |  FROM documents)
+        |SELECT * FROM (SELECT * FROM dom UNION ALL SELECT * FROM av)
+        |ORDER BY platform_id, listing_id""".stripMargin)
 }
