@@ -3,11 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.BindReferences.{bindReference, bindReferences}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** The whole-operator extension stack (SURVEY.md §2 preference order (c)):
@@ -31,13 +33,15 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * as the pure-DataFrame expression of the same semantics; `AsOfExecSpec`
   * asserts row-for-row equivalence between the two on real data.
   *
-  * Measured honestly: at sf0.1 on local[32] the codegen'd union+window form
-  * is ~2x faster (0.37 s vs 0.68 s) — this exec's merge is interpreted
-  * row-at-a-time (doExecute, no doProduce/doConsume), while window exec is
-  * whole-stage generated. The exec's advantages are structural: O(1) state
-  * per key group vs the window's running buffer, the right side is never
-  * unioned into the left's shuffle, and a tolerance bound is native. Codegen
-  * for the merge is the known next step if it ever dominates a profile.
+  * The merge participates in WHOLE-STAGE CODEGEN (`doProduce`, SMJ-style:
+  * both children consumed as sorted iterator inputs, the forward merge
+  * generated as a fused Java loop, downstream operators consume variables
+  * directly). `doExecute` remains as the interpreted fallback for
+  * `spark.sql.codegen.wholeStage=false`; AsOfExecSpec runs the equivalence
+  * property against both paths. Round-3 measured the interpreted merge ~2x
+  * behind the union+window form at sf0.1 — codegen closes that gap while
+  * keeping the structural advantages (O(1) state per key group, right side
+  * never unioned into the left's shuffle, native tolerance bound).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -63,7 +67,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightValues: Seq[Attribute], toleranceUs: Option[Long],
-    left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
+    left: SparkPlan, right: SparkPlan)
+  extends SparkPlan with BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -143,6 +148,138 @@ case class AsOfJoinExec(
         outProj(joined(lRow, if (matched) valProj(candRow) else nullVals))
       }
     }
+  }
+
+  // ---- whole-stage codegen (SMJ pattern: both children are sorted
+  // iterator inputs; the merge loop is generated inline) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // Emitted values can reference the current left/candidate row's buffers
+  // (sort output reuses rows); a buffering parent must copy.
+  override def needCopyResult: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val leftRow = ctx.addMutableState("InternalRow", "asofLeftRow", forceInline = true)
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow", forceInline = true)
+    val pending = ctx.addMutableState("InternalRow", "asofPending", forceInline = true)
+    val cand = ctx.addMutableState("InternalRow", "asofCand", forceInline = true)
+    val candTime = ctx.addMutableState("long", "asofCandTime", forceInline = true)
+
+    // Left-row evaluations: keys, time, and the pass-through output columns.
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lKeyVars = bindReferences(leftKeys, left.output).map(_.genCode(ctx))
+    val lTimeVar = bindReference(leftTime, left.output).genCode(ctx)
+    val leftOutVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    // Right-row evaluations (the advancing side).
+    ctx.INPUT_ROW = rightRow
+    val rKeyVars = bindReferences(rightKeys, right.output).map(_.genCode(ctx))
+    val rTimeVar = bindReference(rightTime, right.output).genCode(ctx)
+
+    // Candidate-row evaluations (the stored latest-visible right row).
+    ctx.INPUT_ROW = cand
+    val cKeyVars = bindReferences(rightKeys, right.output).map(_.genCode(ctx))
+    val candValVars =
+      bindReferences(rightValues.asInstanceOf[Seq[Expression]], right.output).map(_.genCode(ctx))
+
+    def anyNull(vars: Seq[ExprCode]): String =
+      vars.map(_.isNull.toString).mkString("(", " || ", ")")
+    // compare(aVars, bVars) over the key tuple, lexicographic
+    def keyCompare(cmp: String, as: Seq[ExprCode], bs: Seq[ExprCode]): String =
+      leftKeys.indices.map { i =>
+        s"if ($cmp == 0) $cmp = ${ctx.genComp(leftKeys(i).dataType, as(i).value.toString, bs(i).value.toString)};"
+      }.mkString("\n")
+
+    val leftOk = ctx.freshName("leftOk")
+    val ltVal = ctx.freshName("ltVal")
+    val advance = ctx.freshName("advance")
+    val rr = ctx.freshName("rr")
+    val cmp = ctx.freshName("cmp")
+    val ccmp = ctx.freshName("ccmp")
+    val matched = ctx.freshName("matched")
+
+    // Nullable locals carrying the matched right values into consume().
+    val rvExprCodes = rightValues.map { a =>
+      val isNull = ctx.freshName("rvIsNull")
+      val value = ctx.freshName("rvValue")
+      ExprCode(JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    val rvDecls = rightValues.zip(rvExprCodes).map { case (a, ev) =>
+      s"""boolean ${ev.isNull} = true;
+         |${CodeGenerator.javaType(a.dataType)} ${ev.value} = ${CodeGenerator.defaultValue(a.dataType)};""".stripMargin
+    }.mkString("\n")
+    val rvAssigns = candValVars.zip(rvExprCodes).map { case (src, dst) =>
+      s"""${src.code}
+         |${dst.isNull} = ${src.isNull};
+         |${dst.value} = ${src.value};""".stripMargin
+    }.mkString("\n")
+
+    val tolClause = toleranceUs.map(t => s" && $candTime >= $ltVal - ${t}L").getOrElse("")
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  $leftRow = (InternalRow) $leftInput.next();
+       |  ${lKeyVars.map(_.code).mkString("\n")}
+       |  ${lTimeVar.code}
+       |  // SQL equi-key semantics: a null key or null time never matches.
+       |  final boolean $leftOk = !${anyNull(lKeyVars)} && !${lTimeVar.isNull};
+       |  final long $ltVal = ${lTimeVar.value};
+       |  boolean $advance = $leftOk;
+       |  while ($advance) {
+       |    InternalRow $rr = null;
+       |    if ($pending != null) { $rr = $pending; $pending = null; }
+       |    else if ($rightInput.hasNext()) { $rr = (InternalRow) $rightInput.next(); }
+       |    if ($rr == null) {
+       |      $advance = false;
+       |    } else {
+       |      $rightRow = $rr;
+       |      ${rKeyVars.map(_.code).mkString("\n")}
+       |      if (${anyNull(rKeyVars)}) {
+       |        // null-key right row: discard
+       |      } else {
+       |        int $cmp = 0;
+       |        ${keyCompare(cmp, rKeyVars, lKeyVars)}
+       |        if ($cmp < 0) {
+       |          // right row behind the left key: discard
+       |        } else if ($cmp > 0) {
+       |          $pending = $rightRow.copy(); $advance = false;
+       |        } else {
+       |          ${rTimeVar.code}
+       |          if (${rTimeVar.isNull}) {
+       |            // null time never matches: discard
+       |          } else if (${rTimeVar.value} <= $ltVal) {
+       |            $cand = $rightRow.copy(); $candTime = ${rTimeVar.value};
+       |          } else {
+       |            $pending = $rightRow.copy(); $advance = false;
+       |          }
+       |        }
+       |      }
+       |    }
+       |  }
+       |  boolean $matched = false;
+       |  if ($leftOk && $cand != null) {
+       |    ${cKeyVars.map(_.code).mkString("\n")}
+       |    int $ccmp = 0;
+       |    ${keyCompare(ccmp, cKeyVars, lKeyVars)}
+       |    if ($ccmp == 0$tolClause) $matched = true;
+       |  }
+       |  $rvDecls
+       |  if ($matched) {
+       |    $rvAssigns
+       |  }
+       |  ${consume(ctx, leftOutVars ++ rvExprCodes)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -39,6 +39,24 @@ class AsOfExecSpec extends SparkSpec {
     assert(plan.contains("Exchange"), s"EnsureRequirements added no exchange:\n$plan")
   }
 
+  test("the merge is whole-stage code-generated, and equals the interpreted path") {
+    def run(): Map[Long, Option[Timestamp]] =
+      AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"))
+        .select("lid", "rt").collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    // fallback=false turns a codegen compile failure into a hard error
+    // instead of the silent interpreted fallback — the codegen path must
+    // actually BE the executing path for this test to pass.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val viaCodegen =
+      try run() finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val viaInterpreted =
+      try run() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(viaCodegen == viaInterpreted)
+    assert(viaCodegen(10L).contains(ts("2026-01-01 10:00:00")))
+  }
+
   test("backward semantics: latest visible right row, ties visible, outer nulls") {
     val got = AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"))
       .select("lid", "rt").collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
