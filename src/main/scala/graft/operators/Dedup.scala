@@ -163,22 +163,22 @@ object Dedup {
         .orderBy("id_a", "id_b")
     }),
 
-    // Duplicate-cluster assignment: exact-jaccard edges (≥ 0.05, blocked by
-    // lang+source as in dd03) → connected components via iterative min-label
-    // propagation. The loop is DRIVER-CONTROLLED but every iteration is a
-    // distributed join — the standard large-scale CC pattern; iterations are
-    // bounded by the cluster diameter (log n with doubling, tiny here).
+    // Duplicate-cluster assignment: exact-jaccard edges (≥ 0.05 over the
+    // df-capped shingle sets, blocked by lang+source) → connected
+    // components via iterative min-label propagation. Edge generation goes
+    // through the dd06 df cap (16 — far above any gate-scale df, so small
+    // corpora are bit-identical to the uncapped form) because the sf0.5
+    // soak measured the uncapped inverted index going superlinear here
+    // (6.5x wall at 5x rows): a shingle shared by k docs is a k² bucket,
+    // and clustering pays it twice (edges + iterations over them). The
+    // loop is DRIVER-CONTROLLED but every iteration is a distributed
+    // join — the standard large-scale CC pattern; iterations are bounded
+    // by the cluster diameter (log n with doubling, tiny here).
     "dd05_dup_clusters" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          SketchExprs.shingleHashes(col("text"), 3).as("sh"))
-      val ex = d.select(col("lang"), col("source"), col("doc_id"), explode(col("sh")).as("h"))
-      val a = ex.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_a"))
-      val b = ex.select(col("lang"), col("source"), col("h"), col("doc_id").as("id_b"))
-      val inter = a.join(b, Seq("lang", "source", "h"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).cast("int").as("inter"))
-      val sizes = d.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val cap = 16L
+      val kept = graft.Caches.track(cappedPostings(s, dir, cap))
+      val inter = cappedCandidatePairs(kept)
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
       val edges = inter
         .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -281,6 +281,7 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // mirrors the engine's df-capped edge generation (df <= 16 per block)
     "dd05_dup_clusters" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, source,
@@ -288,11 +289,24 @@ object Dedup {
         |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
         |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
         |  FROM documents),
+        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS h FROM d),
+        |keep AS (
+        |  SELECT lang, source, h FROM ex GROUP BY 1, 2, 3 HAVING COUNT(*) <= 16),
+        |kept AS (
+        |  SELECT ex.doc_id, ex.lang, ex.source, ex.h
+        |  FROM ex JOIN keep USING (lang, source, h)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM kept a JOIN kept b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05),
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.05),
         |edges AS (
         |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |reach(id, r) AS (

@@ -100,13 +100,24 @@ object Similarity {
     // (ss03 stays as the oracle-checkable demo of blocked pair generation;
     // this is the shape you'd run at 100 TB). Rows-only (xxhash64-seeded
     // planes); SimilaritySpec asserts recall vs the exact all-pairs set.
-    "ss08_lsh_neardup" -> ((s, dir) =>
-      lshBlockedPairs(s, dir)
+    "ss08_lsh_neardup" -> ((s, dir) => {
+      // Plane count scales with corpus size (ceil(log2(n/8)), floor 8,
+      // cap 24): fixed planes make the expected bucket n/2^planes — the
+      // sf0.5 soak measured pair generation going superlinear (3.5x wall
+      // at 5x rows) exactly because 8 planes was sized for the sf0.1
+      // corpus. The count() is one metadata-cheap job at plan-build time.
+      val n = emb(s, dir).count()
+      val planes = math.min(24, math.max(8,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 8))))
+      // cap = 8x the expected uniform bucket: clustered corpora skew
+      // occupancy, and a hot bucket is refused rather than joined k²
+      lshBlockedPairs(s, dir, tables = 2, planes = planes.toInt, bucketCap = 64L)
         .withColumn("cos", dot("v_a", "v_b") / (col("n_a") * col("n_b")))
         .filter(col("cos") > 0.3)
         .select("id_a", "id_b", "cos")
         .distinct()
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
 
     "ss04_label_centroids" -> centroidQuery,
 
@@ -226,17 +237,26 @@ object Similarity {
 
   /** ss08's candidate stage: vector pairs colliding in ANY of `tables`
     * independent `planes`-plane LSH tables (equi-join on (table, bucket) —
-    * never a cartesian). Exposed so the spec can measure the candidate-set
-    * contraction directly. */
+    * never a cartesian). `bucketCap` drops (table, bucket) groups larger
+    * than the cap BEFORE the pair join (the dd04/dd06 hot-key guard):
+    * real embeddings cluster, so bucket occupancy is skewed — near
+    * neighbors collide, which is the point, but one dense cluster must not
+    * own a k² slice of the join. Exposed so the spec can measure the
+    * candidate-set contraction directly. */
   def lshBlockedPairs(s: SparkSession, dir: String,
-      tables: Int = 2, planes: Int = 8): DataFrame = {
+      tables: Int = 2, planes: Int = 8,
+      bucketCap: Long = Long.MaxValue): DataFrame = {
     val e = emb(s, dir).withColumn("nrm", l2norm("v"))
     val bandStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket("v", planes, 64, t * planes).as("bucket"))
     }
+    val w = Window.partitionBy("tbl", "bucket")
     val banded = e
       .select(col("vec_id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("vec_id"), col("v"), col("nrm"), col("bb.tbl"), col("bb.bucket"))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
     val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
