@@ -118,12 +118,16 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lt = lTimeProj(lRow)
-        val lTimeVal = if (lt.isNullAt(0)) Long.MinValue else lt.getLong(0)
+        // Null-time tracked as a boolean, not a Long.MinValue sentinel: a
+        // BIGINT time column can legitimately hold Long.MinValue, and the
+        // codegen path already treats nullness explicitly.
+        val lTimeNull = lt.isNullAt(0)
+        val lTimeVal = if (lTimeNull) 0L else lt.getLong(0)
         // SQL equi-key semantics: a null key never equals anything — a
         // left row with a null key cannot match, and null-key right rows
         // are discarded (the natural row ordering would otherwise compare
         // null == null, which is a sort order, not a join predicate).
-        var advance = lTimeVal != Long.MinValue && !lKey.anyNull
+        var advance = !lTimeNull && !lKey.anyNull
         while (advance) {
           val r = nextRight()
           if (r == null) advance = false
@@ -141,9 +145,8 @@ case class AsOfJoinExec(
             }
           }
         }
-        val matched = candRow != null && !lKey.anyNull &&
+        val matched = candRow != null && !lTimeNull && !lKey.anyNull &&
           keyOrd.compare(candKey, lKey) == 0 &&
-          lTimeVal != Long.MinValue &&
           tolUs.forall(t => candTime >= lTimeVal - t)
         outProj(joined(lRow, if (matched) valProj(candRow) else nullVals))
       }
