@@ -46,16 +46,17 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // Best-of-2 per query; if the two runs disagree by >2x, one of them
-        // hit transient machine load (this box's background services produce
-        // exactly that pattern: a trivial projection recording seconds), so a
-        // third run disambiguates. Bounded: at most one extra run per query.
-        // Min over SUCCESSFUL runs only; all-fail records the -1.0 sentinel.
+        // Best-of-2 per query; if the two runs disagree by >2x OR one of
+        // them failed, one run hit transient machine load (this box's
+        // background services produce exactly that pattern), so a third run
+        // disambiguates — a failure is a stronger disagreement signal than
+        // a 2x spread. Bounded: at most one extra run per query. Min over
+        // SUCCESSFUL runs only; all-fail records the -1.0 sentinel.
         val best = (timed(fn), timed(fn)) match {
-          case (Some(a), Some(b)) if math.max(a, b) > 2 * math.min(a, b) =>
-            Some(math.min(math.min(a, b), timed(fn).getOrElse(Double.MaxValue)))
-          case (Some(a), Some(b)) => Some(math.min(a, b))
-          case (a, b)             => a.orElse(b) // one failed: keep the run that succeeded
+          case (Some(a), Some(b)) if math.max(a, b) <= 2 * math.min(a, b) =>
+            Some(math.min(a, b))
+          case (a, b) =>
+            Seq(a, b, timed(fn)).flatten.minOption
         }
         name -> best.getOrElse(-1.0)
       }
@@ -75,10 +76,12 @@ object Bench {
       s"""{"metric":"total","unit":"sec","queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
-    // Carries the total plus the 12 slowest queries (the perf signal).
-    val slowest = results.toSeq.sortBy(-_._2).take(12)
+    // Carries the total plus the 12 slowest queries (the perf signal) AND
+    // the failed list — a failing query must be visible in the line the
+    // driver is guaranteed to parse, not only in the clippable full line.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
     val compact =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qmap(slowest)},"n_queries":${results.size},"queries_partial":true,"full_map":"previous line + BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qmap(slowest)},"n_queries":${results.size}$failedField,"queries_partial":true,"full_map":"previous line + BENCH_FULL.json","sf":"$sfDir"}"""
     // Belt-and-braces artifact: the complete record as a file, immune to any
     // stdout capture window.
     try java.nio.file.Files.write(

@@ -46,13 +46,7 @@ object Dedup {
     val ex = table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(SketchExprs.shingleHashes(col("text"), 3)).as("h"))
-    // df via a window count, not groupBy + join-back: one shuffle of the
-    // exploded postings on (block, shingle) instead of two, and the count
-    // is computed where the rows already sit.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "source", "h")
-    ex.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= cap)
-      .drop("df")
+    Layout.capHotKeys(ex, Seq("lang", "source", "h"), cap)
   }
 
   /** Candidate pairs (id_a < id_b) sharing ≥1 kept shingle, with the capped
@@ -197,7 +191,12 @@ object Dedup {
       var labels = cached
       var changed = 1L
       var iter = 0
-      while (changed > 0 && iter < 15) {
+      // Min-label propagation converges in <= component-diameter rounds;
+      // 64 covers any plausible near-dup chain. A corpus that still hasn't
+      // converged must FAIL LOUDLY below, not silently emit half-propagated
+      // labels that the oracle's exact transitive closure would refute.
+      val maxIter = 64
+      while (changed > 0 && iter < maxIter) {
         val neighborMin = undirected
           .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
           .groupBy(col("id_a").as("doc_id"))
@@ -218,6 +217,8 @@ object Dedup {
         labels = next.select("doc_id", "cluster_id")
         iter += 1
       }
+      require(changed == 0,
+        s"dd05 label propagation did not converge in $maxIter rounds ($changed labels still moving)")
       val out = labels.orderBy("doc_id")
       undirected.unpersist()
       edges.unpersist()
@@ -259,13 +260,10 @@ object Dedup {
       struct(lit(b).as("band"),
         (shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L))).as("chunk"))
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")
-    val banded = sh
-      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk"))
-      .withColumn("bsz", count(lit(1)).over(w))
-      .filter(col("bsz") <= cap)
-      .drop("bsz")
+    val banded = Layout.capHotKeys(
+      sh.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk")),
+      Seq("band", "chunk"), cap)
     val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "chunk"))

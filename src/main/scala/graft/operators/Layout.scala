@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** The shared hot-key guard behind dd04/dd05/dd06/ss08: count each key
+    * group with ONE window pass (no groupBy + join-back) and drop groups
+    * larger than `cap` BEFORE any pair join — the bound that keeps one hot
+    * bucket/shingle from owning a k² slice of a candidate join at 100 TB.
+    * Groups AT the cap are kept (`<=`). */
+  def capHotKeys(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__grp_sz", count(lit(1)).over(w))
+      .filter(col("__grp_sz") <= cap)
+      .drop("__grp_sz")
+  }
+
   /** Skew-tolerant equi-join: salt the (large, skewed) left side by
     * splitting each key into `saltFactor` virtual keys, and explode the
     * right side across all salt values. Equivalent to `left.join(right,

@@ -38,6 +38,9 @@ object Similarity {
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
+  /** Corpus size per dir, counted once per process (ss08's plane sizing). */
+  private val embCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** n_planes sign bits from deterministic hyperplanes (native Catalyst
     * expression — the HOF form pays per-element interpreted lambdas).
     * `offset` selects an independent plane set, giving the multiple hash
@@ -105,8 +108,9 @@ object Similarity {
       // cap 24): fixed planes make the expected bucket n/2^planes — the
       // sf0.5 soak measured pair generation going superlinear (3.5x wall
       // at 5x rows) exactly because 8 planes was sized for the sf0.1
-      // corpus. The count() is one metadata-cheap job at plan-build time.
-      val n = emb(s, dir).count()
+      // corpus. The count() IS a Spark job (parquet row-group scan), so it
+      // is memoized per (process, dir) — bench/verify re-invoke builders.
+      val n: Long = embCounts.computeIfAbsent(dir, d => Long.box(emb(s, d).count()))
       val planes = math.min(24, math.max(8,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 8))))
       // cap = 8x the expected uniform bucket: clustered corpora skew
@@ -250,13 +254,10 @@ object Similarity {
     val bandStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket("v", planes, 64, t * planes).as("bucket"))
     }
-    val w = Window.partitionBy("tbl", "bucket")
-    val banded = e
-      .select(col("vec_id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("bb.tbl"), col("bb.bucket"))
-      .withColumn("bsz", count(lit(1)).over(w))
-      .filter(col("bsz") <= bucketCap)
-      .drop("bsz")
+    val banded = Layout.capHotKeys(
+      e.select(col("vec_id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("bb.tbl"), col("bb.bucket")),
+      Seq("tbl", "bucket"), bucketCap)
     val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),

@@ -145,9 +145,13 @@ case class AsOfJoinExec(
             }
           }
         }
+        // Tolerance via the non-negative difference (candTime <= lTimeVal by
+        // construction): `candTime >= lTimeVal - t` overflows when lTimeVal
+        // is within t of Long.MinValue, and a wrapped huge-positive spread
+        // would read as negative — the diff >= 0 guard rejects exactly that.
         val matched = candRow != null && !lTimeNull && !lKey.anyNull &&
           keyOrd.compare(candKey, lKey) == 0 &&
-          tolUs.forall(t => candTime >= lTimeVal - t)
+          tolUs.forall { t => val diff = lTimeVal - candTime; diff >= 0 && diff <= t }
         outProj(joined(lRow, if (matched) valProj(candRow) else nullVals))
       }
     }
@@ -226,7 +230,9 @@ case class AsOfJoinExec(
          |${dst.value} = ${src.value};""".stripMargin
     }.mkString("\n")
 
-    val tolClause = toleranceUs.map(t => s" && $candTime >= $ltVal - ${t}L").getOrElse("")
+    // same overflow-safe non-negative-difference form as the interpreted path
+    val tolClause = toleranceUs.map(t =>
+      s" && ($ltVal - $candTime) >= 0L && ($ltVal - $candTime) <= ${t}L").getOrElse("")
 
     s"""
        |while ($leftInput.hasNext()) {

@@ -40,19 +40,30 @@ class AsOfExecSpec extends SparkSpec {
   }
 
   test("the merge is whole-stage code-generated, and equals the interpreted path") {
+    def df() = AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"))
     def run(): Map[Long, Option[Timestamp]] =
-      AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"))
-        .select("lid", "rt").collect()
+      df().select("lid", "rt").collect()
         .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
-    // fallback=false turns a codegen compile failure into a hard error
-    // instead of the silent interpreted fallback — the codegen path must
-    // actually BE the executing path for this test to pass.
+    // fallback=false turns a codegen COMPILE failure into a hard error; it
+    // does not catch codegen non-participation (e.g. CollapseCodegenStages
+    // declining the stage), so additionally assert the executed plan shows
+    // a WholeStageCodegen stage wrapping the operator.
+    val savedFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val savedWholeStage = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     val viaCodegen =
-      try run() finally spark.conf.set("spark.sql.codegen.fallback", "true")
+      try {
+        val d = df().select("lid", "rt")
+        val rows = d.collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+        // post-execution so AQE's plan string is final
+        val plan = d.queryExecution.executedPlan.toString
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+          s"AsOfJoin not inside a WholeStageCodegen stage:\n$plan")
+        rows
+      } finally spark.conf.set("spark.sql.codegen.fallback", savedFallback)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val viaInterpreted =
-      try run() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      try run() finally spark.conf.set("spark.sql.codegen.wholeStage", savedWholeStage)
     assert(viaCodegen == viaInterpreted)
     assert(viaCodegen(10L).contains(ts("2026-01-01 10:00:00")))
   }
