@@ -12,6 +12,9 @@ import org.apache.spark.sql.DataFrame
   * LONG-LIVED session embedding this library should call [[releaseAll]]
   * after consuming each such query's result, or the cached frames
   * accumulate in executor storage memory for the life of the session.
+  * Sibling housekeeping for long-lived sessions:
+  * [[graft.operators.Similarity.refreshCorpusCounts]] (drops the memoized
+  * corpus count that sizes ss08's LSH planes — stale if a corpus dir grows).
   */
 object Caches {
   private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -20,8 +20,18 @@ object Verify {
       }
       // builders may .cache() intra-query-shared frames (dd06/ss05);
       // dropping them here bounds storage memory to one query's caches
-      // over the 80+ query run
+      // over the 80+ query run. The pending count is printed BEFORE the
+      // release so a builder-cache leak is visible in the round artifacts
+      // (a query that registers caches shows its own count; a LEAK is a
+      // nonzero count on a query that doesn't).
+      val refused = operators.Layout.refusedRows
+      val refusedNote =
+        if (refused.isEmpty) ""
+        else refused.map { case (t, n) => s"$t=$n" }.mkString(" cap_refused{", ",", "}")
+      System.err.println(s"[verify] $name caches_pending=${Caches.pending}$refusedNote")
+      operators.Layout.resetRefusedCounters()
       spark.catalog.clearCache()
+      Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -46,7 +46,7 @@ object Dedup {
     val ex = table(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),
         explode(SketchExprs.shingleHashes(col("text"), 3)).as("h"))
-    Layout.capHotKeys(ex, Seq("lang", "source", "h"), cap)
+    Layout.capHotKeys(ex, Seq("lang", "source", "h"), cap, tag = "jaccard.postings")
   }
 
   /** Candidate pairs (id_a < id_b) sharing ≥1 kept shingle, with the capped
@@ -63,6 +63,31 @@ object Dedup {
 
   def cappedCandidatePairs(s: SparkSession, dir: String, cap: Long): DataFrame =
     cappedCandidatePairs(cappedPostings(s, dir, cap))
+
+  /** dd05's per-(lang, source, shingle) document-frequency cap. 16 is far
+    * above any gate-scale df (small corpora are bit-identical to the
+    * uncapped form); without it the sf0.5 soak measured edge generation
+    * going superlinear (6.5× wall at 5× rows) — and clustering pays edges
+    * twice (generation + CC iterations over them). */
+  val defaultClusterEdgeCap: Long = 16L
+
+  /** dd05's edge stage — exact-Jaccard (≥ `minJaccard` over the df-capped
+    * shingle sets, blocked by lang+source) candidate pairs. Exposed as its
+    * own function so ScaleGuardSpec measures the EXACT stage the dd05 query
+    * runs (with the same default cap): reverting the cap fails the
+    * guardrail, not just a manual soak. Caches the capped postings via
+    * [[graft.Caches]] (release is the session's call). */
+  def jaccardClusterEdges(s: SparkSession, dir: String,
+      cap: Long = defaultClusterEdgeCap, minJaccard: Double = 0.05): DataFrame = {
+    val kept = graft.Caches.track(cappedPostings(s, dir, cap))
+    val inter = cappedCandidatePairs(kept)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= minJaccard)
+      .select("id_a", "id_b")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
@@ -169,16 +194,7 @@ object Dedup {
     // join — the standard large-scale CC pattern; iterations are bounded
     // by the cluster diameter (log n with doubling, tiny here).
     "dd05_dup_clusters" -> ((s, dir) => {
-      val cap = 16L
-      val kept = graft.Caches.track(cappedPostings(s, dir, cap))
-      val inter = cappedCandidatePairs(kept)
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
-      val edges = inter
-        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .filter(col("inter") / (col("n_a") + col("n_b") - col("inter")) >= 0.05)
-        .select("id_a", "id_b")
-        .cache()
+      val edges = jaccardClusterEdges(s, dir).cache()
       val undirected = edges.unionByName(
         edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
       // Seed labels with min(self, min neighbor) — the first propagation
@@ -263,7 +279,7 @@ object Dedup {
     val banded = Layout.capHotKeys(
       sh.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
         .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.chunk")),
-      Seq("band", "chunk"), cap)
+      Seq("band", "chunk"), cap, tag = "simhash.bands")
     val a = banded.select(col("band"), col("chunk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("chunk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "chunk"))

@@ -38,8 +38,35 @@ object Similarity {
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  /** Corpus size per dir, counted once per process (ss08's plane sizing). */
+  /** Corpus size per dir, counted once per process (ss08's plane sizing).
+    *
+    * STALENESS ASSUMPTION: the memo is driver-side state keyed by dir and
+    * never refreshed — correct for the immutable per-SF test dirs and for
+    * the common batch pattern (one job, one snapshot), but a LONG-LIVED
+    * session pointed at a GROWING dir would keep sizing planes for the old
+    * count (plane count moves by 1 only when the corpus roughly doubles, so
+    * drift is gradual, not wrong-result). Call [[refreshCorpusCounts]]
+    * after appending to a corpus dir — alongside [[graft.Caches.releaseAll]]
+    * in a session's between-jobs housekeeping. */
   private val embCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Drop the memoized corpus counts so the next plan build re-counts
+    * (see the staleness note on `embCounts`). */
+  def refreshCorpusCounts(): Unit = embCounts.clear()
+
+  /** ss08's plane count for a corpus of `n` vectors: ceil(log2(n/8))
+    * clamped to [8, 24], keeping the EXPECTED uniform bucket ≈ 8 as the
+    * corpus grows (fixed planes make buckets n/2^planes — the sf0.5 soak
+    * measured pair generation going superlinear for exactly that reason).
+    * Exposed (with [[defaultNeardupBucketCap]]) so ScaleGuardSpec measures
+    * the same candidate stage the ss08 query runs. */
+  def neardupPlanes(n: Long): Int =
+    math.min(24, math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 8)))).toInt
+
+  /** ss08's per-(table, bucket) occupancy cap — 8× the expected uniform
+    * bucket under [[neardupPlanes]] sizing. */
+  val defaultNeardupBucketCap: Long = 64L
 
   /** n_planes sign bits from deterministic hyperplanes (native Catalyst
     * expression — the HOF form pays per-element interpreted lambdas).
@@ -111,11 +138,10 @@ object Similarity {
       // corpus. The count() IS a Spark job (parquet row-group scan), so it
       // is memoized per (process, dir) — bench/verify re-invoke builders.
       val n: Long = embCounts.computeIfAbsent(dir, d => Long.box(emb(s, d).count()))
-      val planes = math.min(24, math.max(8,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 8))))
       // cap = 8x the expected uniform bucket: clustered corpora skew
       // occupancy, and a hot bucket is refused rather than joined k²
-      lshBlockedPairs(s, dir, tables = 2, planes = planes.toInt, bucketCap = 64L)
+      lshBlockedPairs(s, dir, tables = 2, planes = neardupPlanes(n),
+        bucketCap = defaultNeardupBucketCap)
         .withColumn("cos", dot("v_a", "v_b") / (col("n_a") * col("n_b")))
         .filter(col("cos") > 0.3)
         .select("id_a", "id_b", "cos")
@@ -257,7 +283,7 @@ object Similarity {
     val banded = Layout.capHotKeys(
       e.select(col("vec_id"), col("v"), col("nrm"), explode(array(bandStructs: _*)).as("bb"))
         .select(col("vec_id"), col("v"), col("nrm"), col("bb.tbl"), col("bb.bucket")),
-      Seq("tbl", "bucket"), bucketCap)
+      Seq("tbl", "bucket"), bucketCap, tag = "lsh.buckets")
     val a = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = banded.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),

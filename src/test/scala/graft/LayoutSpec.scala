@@ -21,6 +21,18 @@ class LayoutSpec extends SparkSpec {
     assert(salted.size == 2000)
   }
 
+  test("capHotKeys refusals are observable, not silent") {
+    Layout.resetRefusedCounters()
+    // one hot key (90 rows) over the cap, ten singletons under it
+    val df = (1 to 100).map(i => (if (i <= 90) "hot" else s"k$i", i)).toDF("k", "v")
+    val kept = Layout.capHotKeys(df, Seq("k"), cap = 10, tag = "spec")
+    assert(kept.count() == 10)
+    assert(Layout.refusedRows("spec") == 90,
+      "every dropped row must land in the tagged accumulator")
+    Layout.resetRefusedCounters()
+    assert(Layout.refusedRows.isEmpty)
+  }
+
   test("bucketed tables join with no exchange and no sort") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
