@@ -14,24 +14,45 @@ object Layout {
     * corpus that trips a cap is VISIBLE (refused groups produce zero
     * candidate pairs — recall loss that only exact dedup can recover; silent
     * under-reporting is worse than the skew it prevents). Each builder
-    * invocation registers a fresh accumulator; [[refusedRows]] sums per tag.
-    * Accumulator discipline: values are an operational signal, not an exact
-    * metric — a capped frame consumed twice in one plan (both sides of a
-    * self-join, as in dd04) or a retried stage counts its refusals each
-    * execution. */
-  private val refusedAccs =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.util.LongAccumulator)]()
+    * invocation registers a fresh [[org.apache.spark.sql.Observation]];
+    * [[refusedRows]] sums the completed ones per tag.
+    *
+    * Why `observe()` and not an accumulator: the r5 accumulator needed a
+    * Scala UDF as the keep predicate (executing code per row), which broke
+    * whole-stage codegen at that filter in every capped plan (dd04/dd05/
+    * dd06/ss08 — dd06 paid +0.4 s quiet). `CollectMetrics` computes the
+    * refusal count as a side aggregate IN the same pass while the filter
+    * stays pure Catalyst; it is also retry-clean (failed tasks don't
+    * report) and, unlike a weakly-referenced accumulator, the Observation
+    * is strongly held here until [[resetRefusedCounters]]. A capped frame
+    * consumed by several plan branches (dd04's self-join) yields ONE metric
+    * row per observation name, not one per branch — exact, not inflated. */
+  private val refusedObs =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.sql.Observation)]()
+  private val obsNonce = new java.util.concurrent.atomic.AtomicLong()
 
   /** Total refused rows per tag since the last [[resetRefusedCounters]]
-    * (only tags with nonzero counts). */
+    * (only tags with nonzero counts). An observation whose query has not
+    * finished an action yet reports empty and contributes 0. */
   def refusedRows: Map[String, Long] = {
-    val it = refusedAccs.iterator()
+    val it = refusedObs.iterator()
     val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    while (it.hasNext) { val (tag, acc) = it.next(); m(tag) += acc.value }
+    while (it.hasNext) {
+      val (tag, obs) = it.next()
+      org.apache.spark.sql.graftbridge.ObservationBridge.getOrEmpty(obs).get("refused").foreach {
+        case n: java.lang.Long => m(tag) += n
+        case _ => ()
+      }
+    }
     m.toMap.filter(_._2 > 0)
   }
 
-  def resetRefusedCounters(): Unit = refusedAccs.clear()
+  /** Drop all registered observations. Long-lived-session housekeeping:
+    * call between jobs (alongside [[graft.Caches.releaseAll]]) or the
+    * registry grows by one entry per capped-builder invocation. Frames
+    * built before a reset still execute fine — their refusals are simply
+    * no longer summed. */
+  def resetRefusedCounters(): Unit = refusedObs.clear()
 
   /** The shared hot-key guard behind dd04/dd05/dd06/ss08: count each key
     * group with ONE window pass (no groupBy + join-back) and drop groups
@@ -39,20 +60,19 @@ object Layout {
     * bucket/shingle from owning a k² slice of a candidate join at 100 TB.
     * Groups AT the cap are kept (`<=`).
     *
-    * Refusals are counted into a per-call accumulator (see [[refusedRows]]).
-    * The keep predicate is a Scala UDF only because an accumulator needs
-    * executing code; it runs once per post-window row on an already
-    * materialized integer — nothing for Catalyst to push past it here. */
+    * Refusals are counted via `observe()` in the same pass (see
+    * [[refusedRows]]); the keep filter is pure Catalyst, so the stage stays
+    * inside whole-stage codegen. */
   def capHotKeys(df: DataFrame, keys: Seq[String], cap: Long,
       tag: String = ""): DataFrame = {
     val label = if (tag.nonEmpty) tag else keys.mkString("+")
-    val acc = df.sparkSession.sparkContext
-      .longAccumulator(s"graft.capHotKeys.refused[$label]")
-    refusedAccs.add(label -> acc)
-    val keep = udf { sz: Long => val k = sz <= cap; if (!k) acc.add(1L); k }
+    val obs = org.apache.spark.sql.Observation(
+      s"graft.capHotKeys.refused[$label]#${obsNonce.incrementAndGet()}")
+    refusedObs.add(label -> obs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
     df.withColumn("__grp_sz", count(lit(1)).over(w))
-      .filter(keep(col("__grp_sz")))
+      .observe(obs, coalesce(sum(when(col("__grp_sz") > cap, 1L)), lit(0L)).as("refused"))
+      .filter(col("__grp_sz") <= cap)
       .drop("__grp_sz")
   }
 
