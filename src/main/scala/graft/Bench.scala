@@ -16,13 +16,28 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     graft.sources.Tables.events(spark, sfDir).limit(1).count()
+    // local-iteration filter: SPARK_GRAFT_ONLY=aj01_asof_backward,aj02_...
+    // (driver sets no filter and gets the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter must fail loudly, not print a plausible 0.00s record
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
     // Pre-warm e14's memoized CSV fixture so BOTH timed runs measure the
     // same work (scan-only). Before r4 the fixture was written inside the
     // first timed run, so min recorded scan-only while the first run paid
     // write+scan — and before the memo (r1-r3) both runs paid write+scan,
-    // a baseline break the bench artifact now notes.
-    try SparkEntry.queries("e14_csv_scan")(spark, sfDir).count()
-    catch { case NonFatal(_) => () }
+    // a baseline break the bench artifact now notes. Skipped when the
+    // filter excludes e14 (no point paying the fixture write), and a
+    // pre-warm failure is logged rather than swallowed — silently
+    // discarding it would resurface later as an unexplained failed run.
+    if (only.forall(_.contains("e14_csv_scan")))
+      try SparkEntry.queries("e14_csv_scan")(spark, sfDir).count()
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] e14 fixture pre-warm failed: ${e.getMessage}")
+      }
     // None = the run FAILED — a fast-failing run must never become the
     // recorded best time (a failure is not a measurement).
     // maxPending tracks builder caches left registered after a query ran:
@@ -47,15 +62,6 @@ object Bench {
         Some(dt)
       } catch { case NonFatal(_) => None }
     }
-    // local-iteration filter: SPARK_GRAFT_ONLY=aj01_asof_backward,aj02_...
-    // (driver sets no filter and gets the full set)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a typo'd filter must fail loudly, not print a plausible 0.00s record
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
-    }
     val suite = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
     // INTERLEAVED min-of-2: time the whole suite, then repeat the whole
@@ -66,7 +72,20 @@ object Bench {
     // With whole-suite interleaving, the two samples of any query are
     // minutes apart, so a sustained window lands on DIFFERENT queries in
     // each pass and min discards it.
+    // 1-min /proc/loadavg sampled at pass boundaries: interleaving makes a
+    // sustained contention window land on different queries per pass, but a
+    // window spanning the WHOLE record still inflates both samples (r5:
+    // dd05 recorded 3.87 s vs 2.25 s on a quiet box). The load annotation
+    // lets a reader judge record fidelity without rerunning — entries from
+    // a pass whose load sample is far above ~the Spark worker count's idle
+    // baseline deserve a quiet rerun before being read as a regression.
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case NonFatal(_) => -1.0 }
+    val loadA = load1()
     val passA = suite.map { case (name, fn) => name -> timed(fn) }
+    val loadB = load1()
     val passB = suite.map { case (name, fn) => name -> timed(fn) }
     // Third targeted pass for queries whose two samples still disagree >2x
     // (a window longer than one full pass, or a real bimodal query) or
@@ -77,7 +96,9 @@ object Bench {
         if a.isEmpty || b.isEmpty ||
           math.max(a.get, b.get) > 2 * math.min(a.get, b.get) => (name, fn)
     }
+    val loadC = load1()
     val passC = flagged.map { case (name, fn) => name -> timed(fn) }.toMap
+    val loadEnd = load1()
     val results: Seq[(String, Double)] =
       suite.zip(passA.map(_._2)).zip(passB.map(_._2)).map {
         case (((name, _), a), b) =>
@@ -99,8 +120,10 @@ object Bench {
     // keeps only the final 2000 chars of output, and at 87+ queries this
     // line is ~2.1k chars, so whatever clips must be the head, never the
     // total (BENCH_r03 lost the head-positioned total + 4 query names).
+    val load =
+      s""""load_1min":{"pass_a":${f(loadA)},"pass_b":${f(loadB)},"pass_c":${f(loadC)},"end":${f(loadEnd)}}"""
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"interleaved min-of-2 passes + targeted 3rd; e14 fixture pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write)","caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"interleaved min-of-2 passes + targeted 3rd; e14 fixture pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write)",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal) AND
