@@ -154,6 +154,69 @@ object TextAnalysis {
     }))
 
   val oracle: Map[String, String] = Map(
+    // tx08's rolling-hash CDC replayed in SQL (r4/r5 stretch, closed in
+    // r6). Two properties make the sequential chunker expressible without
+    // a per-byte recursion:
+    //  1. mask arithmetic collapses: maskBits = 6 (mask 63) and polynomial
+    //     base 257 ≡ 1 (mod 64), and Long wraparound (mod 2^64) preserves
+    //     low bits — so `(h & 63) == 0` is exactly `sum of the window's
+    //     bytes ≡ 0 (mod 64)`, a plain window SUM;
+    //  2. MinLen == Win == 16: the cut predicate is only consulted once a
+    //     chunk holds ≥ 16 bytes, at which point the rolling hash covers
+    //     exactly the LAST 16 bytes regardless of where the chunk started —
+    //     so candidate cut positions are a start-independent per-position
+    //     property, precomputable in one pass, and the recursion only walks
+    //     chunk to chunk (depth = chunks per doc ≤ ~36 at 577 B), not byte
+    //     to byte: from `strt`, the next cut is the first candidate at
+    //     len ≥ 16, else the MaxLen = 256 forced cut, else end-of-doc.
+    // n_distinct counts distinct chunk TEXT where the engine counts
+    // distinct XXH64 of the chunk bytes — equal absent a 64-bit collision
+    // (none at gate scale; a collision would fail the gate loudly, not
+    // silently). The corpus is pure ASCII (checked: octet_length == length
+    // for every doc at every SF), so DuckDB's char positions are byte
+    // offsets and ascii() is the byte value.
+    "tx08_cdc_chunks" ->
+      """WITH RECURSIVE
+        |b AS (
+        |  SELECT doc_id, i AS pos, ascii(substring(text, CAST(i AS INT), 1)) AS bv
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents)
+        |),
+        |ws AS (
+        |  SELECT doc_id, pos,
+        |    SUM(bv) OVER (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS s16,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS w
+        |  FROM b
+        |),
+        |cand AS (SELECT doc_id, pos FROM ws WHERE w = 16 AND s16 % 64 = 0),
+        |chunks AS (
+        |  SELECT d.doc_id, CAST(1 AS BIGINT) AS strt,
+        |         LEAST(COALESCE((SELECT MIN(c.pos) FROM cand c
+        |                         WHERE c.doc_id = d.doc_id AND c.pos >= 16),
+        |                        length(d.text)),
+        |               CAST(256 AS BIGINT), length(d.text)) AS cut,
+        |         length(d.text) AS n
+        |  FROM documents d
+        |  WHERE length(d.text) >= 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.cut + 1 AS strt,
+        |         LEAST(COALESCE((SELECT MIN(c.pos) FROM cand c
+        |                         WHERE c.doc_id = r.doc_id AND c.pos >= r.cut + 16),
+        |                        r.n),
+        |               r.cut + 256, r.n) AS cut,
+        |         r.n
+        |  FROM chunks r
+        |  WHERE r.cut < r.n
+        |)
+        |SELECT ch.doc_id,
+        |  CAST(COUNT(*) AS INT) AS n_chunks,
+        |  CAST(COUNT(DISTINCT substring(d.text, CAST(ch.strt AS INT),
+        |                                CAST(ch.cut - ch.strt + 1 AS INT))) AS INT) AS n_distinct,
+        |  CAST(SUM(ch.cut - ch.strt + 1) AS INT) AS bytes_covered
+        |FROM chunks ch JOIN documents d USING (doc_id)
+        |GROUP BY ch.doc_id
+        |ORDER BY ch.doc_id""".stripMargin,
     "tx07_corpus_prep" ->
       s"""WITH scored AS (
          |  SELECT doc_id,
