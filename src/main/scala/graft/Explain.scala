@@ -38,6 +38,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // q37's bucketed tables go through saveAsTable; without this the
+      // default warehouse is ./spark-warehouse under the process cwd
+      // (i.e. inside the repo checkout when the driver runs the mains)
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -399,6 +399,43 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // --- Bucketed co-located join ([[Layout.writeBucketed]]): both sides
+    // written bucketed+sorted on the join key, then joined with ZERO
+    // shuffle exchange and zero sort — the shuffle is paid once at write
+    // time and amortized over every later join, the standard layout for a
+    // fact table joined daily at 100 TB. The write happens inside the
+    // builder because it IS the operator (the declared cost of the layout);
+    // BucketedJoinSpec asserts the exchange-free plan on this exact query.
+    // The merge hint pins SMJ so the demonstration is the bucket-aligned
+    // sort-merge, not a broadcast that would trivially skip the shuffle
+    // anyway; grouping by the JOIN key lets the aggregation reuse the
+    // join's clustering, and there is no final orderBy (the gate compares
+    // sorted row multisets) — so the whole plan carries ZERO exchanges.
+    // Oracle = the same join on the unbucketed parquet (bucketing must
+    // never change results, only the plan). ---
+    "q37_bucketed_join" -> ((s, dir) => {
+      // per-dir table names: one process may serve several corpus dirs
+      val suffix = java.lang.Integer.toHexString(dir.hashCode)
+      val (ot, lt) = (s"graft_q37_orders_$suffix", s"graft_q37_lineitem_$suffix")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq(ot, lt).foreach { t =>
+        // the in-memory catalog is per-JVM but the warehouse dir persists:
+        // drop BOTH or a fresh JVM's CREATE sees a stale non-empty path
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+      }
+      Layout.writeBucketed(table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")), ot, Seq("o_orderkey"), 8)
+      Layout.writeBucketed(table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount")), lt, Seq("o_orderkey"), 8)
+      s.table(ot).filter(col("o_orderstatus") === "F")
+        .join(s.table(lt).hint("merge"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
     // --- Unpivot (inverse of q24's pivot): wide per-status counts back to
     // (priority, status, n) rows via the built-in melt/unpivot — a narrow
     // per-row expansion, no shuffle beyond the feeding aggregation. ---
@@ -673,6 +710,12 @@ object Relational {
         |SELECT o.o_orderkey, d.prio_label
         |FROM o JOIN d ON o.prio IS NOT DISTINCT FROM d.prio
         |ORDER BY o_orderkey""".stripMargin,
+    "q37_bucketed_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
     "q35_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,

@@ -33,6 +33,29 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.refusedRows.isEmpty)
   }
 
+  test("q37's declared bucketed join runs with zero exchanges and matches the plain join") {
+    val df = graft.SparkEntry.queries("q37_bucketed_join")(spark, sf001)
+    // bucketing must never change results: same rows as the unbucketed join
+    val plain = spark.read.parquet(s"$sf001/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .join(spark.read.parquet(s"$sf001/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        graft.operators.Relational.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    assert(df.collect().toSet == plain.collect().toSet)
+    // executed AFTER the action so AQE's final plan is what we assert on:
+    // no shuffle AND no broadcast exchange anywhere — scans, merge join,
+    // and the join-key aggregation all reuse the bucket clustering (a
+    // per-partition Sort is allowed: several writer tasks per bucket mean
+    // file-level, not bucket-level, sort order)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans should use the bucketing:\n$plan")
+  }
+
   test("bucketed tables join with no exchange and no sort") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
