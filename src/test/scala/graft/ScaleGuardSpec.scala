@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
 
-/** The sf0.5 soak (SOAK_r04.md), automated: a synthetic 2× scale step with
+/** The sf0.5 soak (SOAK_r06.md), automated: a synthetic 2× scale step with
   * an adversarial hot key, asserting candidate-count growth stays ~linear
   * for the NON-DEMO dedup/similarity paths (dd01/dd05/dd06/ss08). The r4
   * soak caught dd05's uncapped edge index going superlinear by hand; this
