@@ -33,6 +33,30 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.refusedRows.isEmpty)
   }
 
+  test("refusal counts stay exact through a cached frame consumed by a self-join") {
+    // the dd04/dd06/ss08 shape: cap, cache, join the capped frame to
+    // itself. The r5 accumulator counted refusals once per plan BRANCH
+    // (and once more per retry); observe() must report the metric exactly
+    // once per action regardless of how many branches consume the frame.
+    Layout.resetRefusedCounters()
+    val df = (1 to 100).map(i => (if (i <= 90) "hot" else s"k$i", i.toLong)).toDF("k", "v")
+    val kept = Layout.capHotKeys(df, Seq("k"), cap = 10, tag = "selfjoin").cache()
+    try {
+      val a = kept.select(col("k"), col("v").as("va"))
+      val b = kept.select(col("k"), col("v").as("vb"))
+      assert(a.join(b, "k").count() == 10) // 10 singleton keys join 1:1
+      assert(Layout.refusedRows("selfjoin") == 90,
+        "two consuming branches must not double-count the 90 refusals")
+      // a second action on the SAME observed frame must not accumulate
+      // further (Observation reports its first completed action)
+      assert(kept.count() == 10)
+      assert(Layout.refusedRows("selfjoin") == 90)
+    } finally {
+      kept.unpersist()
+      Layout.resetRefusedCounters()
+    }
+  }
+
   test("q37's declared bucketed join runs with zero exchanges and matches the plain join") {
     val df = graft.SparkEntry.queries("q37_bucketed_join")(spark, sf001)
     // bucketing must never change results: same rows as the unbucketed join
@@ -54,6 +78,19 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n$plan")
     assert(plan.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$plan")
     assert(plan.contains("Bucketed: true"), s"scans should use the bucketing:\n$plan")
+  }
+
+  test("q37 writes its bucketed tables once per (process, dir)") {
+    val q = graft.SparkEntry.queries("q37_bucketed_join")
+    q(spark, sf001).count() // ensures the pair exists (earlier test already did)
+    val wh = new java.io.File("/tmp/graft-warehouse")
+    def stamps() = wh.listFiles().filter(_.getName.startsWith("graft_q37_"))
+      .map(d => d.getName -> d.listFiles().map(_.lastModified).max).toMap
+    val before = stamps()
+    assert(before.nonEmpty)
+    q(spark, sf001).count()
+    assert(stamps() == before,
+      "a repeat invocation must reuse the written tables, not rewrite them")
   }
 
   test("bucketed tables join with no exchange and no sort") {

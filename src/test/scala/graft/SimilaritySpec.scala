@@ -63,6 +63,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rr >= pq, f"re-ranking lowered recall: $rr%.2f < $pq%.2f")
   }
 
+  test("pq codebook memo: repeat invocations and a refresh are result-invariant") {
+    // the memo must be a pure lifecycle optimization: a memoized codebook
+    // (2nd call) and a freshly retrained one (after the staleness hook)
+    // must produce bit-identical rankings — training is deterministic, so
+    // any divergence means the memo captured the wrong state.
+    val q = Similarity.queries("ss06_pq_ann")
+    val r1 = q(spark, sf001).collect().toSeq
+    val r2 = q(spark, sf001).collect().toSeq
+    Similarity.refreshCodebooks()
+    val r3 = q(spark, sf001).collect().toSeq
+    assert(r1 == r2, "memoized codebook changed the result")
+    assert(r2 == r3, "retraining after refreshCodebooks() changed the result")
+  }
+
   test("lsh-blocked near-dup (ss08): exact subset of all-pairs, bounded candidates") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.table(spark, sf001, "embeddings")
