@@ -28,7 +28,7 @@ class LayoutSpec extends SparkSpec {
     val kept = Layout.capHotKeys(df, Seq("k"), cap = 10, tag = "spec")
     assert(kept.count() == 10)
     assert(Layout.refusedRows("spec") == 90,
-      "every dropped row must land in the tagged accumulator")
+      "every dropped row must land in the tagged refusal metric")
     Layout.resetRefusedCounters()
     assert(Layout.refusedRows.isEmpty)
   }
