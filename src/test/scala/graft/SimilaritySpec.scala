@@ -77,6 +77,18 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 == r3, "retraining after refreshCodebooks() changed the result")
   }
 
+  test("ivf centroid memo: repeat invocations and a refresh are result-invariant") {
+    val q = Similarity.queries("ss05_ivf_ann")
+    def run() = { spark.catalog.clearCache(); Caches.releaseAll()
+      val r = q(spark, sf001).collect().toSeq; Caches.releaseAll(); r }
+    val r1 = run()
+    val r2 = run()
+    Similarity.refreshIvfCentroids()
+    val r3 = run()
+    assert(r1 == r2, "memoized centroids changed the result")
+    assert(r2 == r3, "re-deriving after refreshIvfCentroids() changed the result")
+  }
+
   test("lsh-blocked near-dup (ss08): exact subset of all-pairs, bounded candidates") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.table(spark, sf001, "embeddings")
