@@ -5,6 +5,16 @@ import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // 1-min /proc/loadavg. The `start` sample is taken BEFORE any Spark
+    // work and is the only one that reads as pure external load; samples at
+    // pass boundaries include the bench's own just-finished pass (local[32]
+    // saturates the box, so 4-6 is the self-load norm mid-record — compare
+    // later samples against that norm, and `start` against idle).
+    def load1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case NonFatal(_) => -1.0 }
+    val loadStart = load1()
     val spark = Sessions.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // JIT/classloading/parquet-reader warmup so the first timed query isn't
@@ -20,8 +30,10 @@ object Bench {
     // (driver sets no filter and gets the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a typo'd filter must fail loudly, not print a plausible 0.00s record
+    // a typo'd OR empty filter must fail loudly, not print a plausible
+    // 0-query / 0.00s record
     only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
     }
@@ -37,6 +49,24 @@ object Bench {
       try SparkEntry.queries("e14_csv_scan")(spark, sfDir).count()
       catch { case NonFatal(e) =>
         System.err.println(s"[bench] e14 fixture pre-warm failed: ${e.getMessage}")
+      }
+    // Pre-warm the per-(process, dir) index-state memos the same way: PQ
+    // codebook (ss06/ss07), IVF centroids (ss05), q37's bucketed tables.
+    // All are populated eagerly at plan-BUILD time, so invoking the builder
+    // (no action) suffices. Without this, pass A pays one-time training/
+    // write, pass B hits the memo, the ratio exceeds 2x, and these queries
+    // are routed into the targeted third pass on EVERY bench run — wasting
+    // the reruns and diluting the flag's contention-diagnostic meaning.
+    Seq( // builder to invoke -> queries served by its memo
+      "ss05_ivf_ann" -> Seq("ss05_ivf_ann"),
+      "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
+      "q37_bucketed_join" -> Seq("q37_bucketed_join"))
+      .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
+      .foreach { case (n, _) =>
+        try { SparkEntry.queries(n)(spark, sfDir); () }
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] $n memo pre-warm failed: ${e.getMessage}")
+        }
       }
     // None = the run FAILED — a fast-failing run must never become the
     // recorded best time (a failure is not a measurement).
@@ -72,17 +102,12 @@ object Bench {
     // With whole-suite interleaving, the two samples of any query are
     // minutes apart, so a sustained window lands on DIFFERENT queries in
     // each pass and min discards it.
-    // 1-min /proc/loadavg sampled at pass boundaries: interleaving makes a
-    // sustained contention window land on different queries per pass, but a
-    // window spanning the WHOLE record still inflates both samples (r5:
-    // dd05 recorded 3.87 s vs 2.25 s on a quiet box). The load annotation
-    // lets a reader judge record fidelity without rerunning — entries from
-    // a pass whose load sample is far above ~the Spark worker count's idle
-    // baseline deserve a quiet rerun before being read as a regression.
-    def load1(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-        .split(" ")(0).toDouble
-      catch { case NonFatal(_) => -1.0 }
+    // Loadavg at pass boundaries: interleaving makes a sustained contention
+    // window land on different queries per pass, but a window spanning the
+    // WHOLE record still inflates both samples (r5: dd05 recorded 3.87 s vs
+    // 2.25 s on a quiet box). The load annotation lets a reader judge
+    // record fidelity without rerunning (see load1's note on
+    // self-load-vs-external attribution).
     val loadA = load1()
     val passA = suite.map { case (name, fn) => name -> timed(fn) }
     val loadB = load1()
@@ -120,10 +145,15 @@ object Bench {
     // keeps only the final 2000 chars of output, and at 87+ queries this
     // line is ~2.1k chars, so whatever clips must be the head, never the
     // total (BENCH_r03 lost the head-positioned total + 4 query names).
+    // `start` is pre-Spark (external load); later samples include the
+    // bench's own preceding pass. Placed in BOTH lines: the full line is
+    // HEAD-clipped by the driver's 2000-char tail capture at 89 queries,
+    // so anything that must survive capture has to also ride the compact
+    // line.
     val load =
-      s""""load_1min":{"pass_a":${f(loadA)},"pass_b":${f(loadB)},"pass_c":${f(loadC)},"end":${f(loadEnd)}}"""
+      s""""load_1min":{"start":${f(loadStart)},"pass_a":${f(loadA)},"pass_b":${f(loadB)},"pass_c":${f(loadC)},"end":${f(loadEnd)}}"""
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"interleaved min-of-2 passes + targeted 3rd; e14 fixture pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write)",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"interleaved min-of-2 passes + targeted 3rd; e14 fixture + index-state memos pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write)",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal) AND
@@ -131,7 +161,7 @@ object Bench {
     // driver is guaranteed to parse, not only in the clippable full line.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
     val compact =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qmap(slowest)},"n_queries":${results.size}$failedField,"queries_partial":true,"full_map":"previous line + BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$load,"queries":${qmap(slowest)},"n_queries":${results.size}$failedField,"queries_partial":true,"full_map":"previous line + BENCH_FULL.json","sf":"$sfDir"}"""
     // Belt-and-braces artifact: the complete record as a file, immune to any
     // stdout capture window.
     try java.nio.file.Files.write(

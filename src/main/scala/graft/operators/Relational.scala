@@ -424,9 +424,13 @@ object Relational {
     // never change results, only the plan). ---
     "q37_bucketed_join" -> ((s, dir) => {
       val (ot, lt) = q37Tables.computeIfAbsent(dir, { _ =>
-        // per-dir table names: one process may serve several corpus dirs
-        val suffix = java.lang.Integer.toHexString(dir.hashCode)
-        val (ot, lt) = (s"graft_q37_orders_$suffix", s"graft_q37_lineitem_$suffix")
+        // table names carry the SANITIZED dir (collision-free, unlike a
+        // hashCode) and the pid (two concurrent JVMs sharing the warehouse
+        // must never drop/rewrite each other's live tables — the memo only
+        // serializes within one process)
+        val suffix = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "") +
+          "_p" + ProcessHandle.current().pid()
+        val (ot, lt) = (s"graft_q37_o_$suffix", s"graft_q37_l_$suffix")
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
         Seq(ot, lt).foreach { t =>
           // the in-memory catalog is per-JVM but the warehouse dir
@@ -438,7 +442,7 @@ object Relational {
         Layout.writeBucketed(table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus")), ot, Seq("o_orderkey"), 8)
         Layout.writeBucketed(table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+          .select(col("l_orderkey").as("o_orderkey"),
             col("l_extendedprice"), col("l_discount")), lt, Seq("o_orderkey"), 8)
         (ot, lt)
       })
