@@ -12,9 +12,16 @@ import org.apache.spark.sql.DataFrame
   * LONG-LIVED session embedding this library should call [[releaseAll]]
   * after consuming each such query's result, or the cached frames
   * accumulate in executor storage memory for the life of the session.
-  * Sibling housekeeping for long-lived sessions:
-  * [[graft.operators.Similarity.refreshCorpusCounts]] (drops the memoized
-  * corpus count that sizes ss08's LSH planes — stale if a corpus dir grows).
+  * Sibling housekeeping for long-lived sessions — all keyed by corpus dir
+  * with the same immutable-snapshot staleness contract (call after
+  * appending to a dir; never needed for per-SF snapshot dirs):
+  * [[graft.operators.Similarity.refreshCorpusCounts]] (ss08's plane-sizing
+  * count), [[graft.operators.Similarity.refreshCodebooks]] (ss06/ss07's
+  * trained PQ codebook), [[graft.operators.Similarity.refreshIvfCentroids]]
+  * (ss05's coarse quantizer), and
+  * [[graft.operators.Layout.resetRefusedCounters]] (the refusal-metric
+  * registry, which otherwise grows by one Observation per capped-builder
+  * invocation).
   */
 object Caches {
   private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
