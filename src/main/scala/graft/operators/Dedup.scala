@@ -244,6 +244,29 @@ object Dedup {
       out
     }),
 
+    // Incremental ingest dedup — the production shape for a GROWING corpus:
+    // the existing corpus is already deduped, so a new batch only needs
+    // (a) an anti-join against existing fingerprints and (b) keep-first
+    // within itself. Nothing corpus-wide is recomputed, and the anti-join
+    // ships 16-byte hashes, never documents — at 100 TB the existing side
+    // is a fingerprint index scan, one shuffle on the hash (or none, if
+    // the index is bucketed by fp the way q37 buckets its join key).
+    // Split here is deterministic (even doc_id = existing, odd = batch) so
+    // the oracle can mirror it.
+    "dd07_incremental_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      val existing = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      batch.join(existing, Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup: 64-bit signatures, 4×16-bit bands, hamming ≤ 12,
     // with the same hot-bucket cap dd06 applies to shingles (a templated
     // corpus puts thousands of docs in one (band, chunk) bucket — uncapped,
@@ -295,6 +318,13 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dd07_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        |b AS (SELECT doc_id, fp FROM d WHERE doc_id % 2 = 1)
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM b WHERE fp NOT IN (SELECT fp FROM d WHERE doc_id % 2 = 0))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // mirrors the engine's df-capped edge generation (df <= 16 per block)
     "dd05_dup_clusters" ->
       """WITH RECURSIVE d AS (

@@ -132,6 +132,27 @@ object TextAnalysis {
     // chunk granularity (shifted text still dedups, unlike fixed blocks).
     // Rows-only (the rolling hash is a JVM loop); SketchSpec asserts exact
     // tiling, determinism, and the edit-locality property.
+    // Training-mix balancing: cap every (lang, source) stratum's share of
+    // the mix at K documents, preferring longer documents (deterministic
+    // doc_id tiebreak) — the per-domain quota a 100 TB mixing job applies
+    // so no single crawl source dominates the training set. One window
+    // pass per stratum; Spark plans the rank filter as WindowGroupLimit,
+    // so each partition keeps a K-row heap instead of fully sorting —
+    // no global sort, no collect, shuffle only on the stratum key.
+    "tx09_quota_mix" -> ((s, dir) => {
+      val k = 20
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source")
+        .orderBy(col("len").desc, col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).as("len"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select("doc_id", "lang", "source", "len", "rk")
+        .orderBy("lang", "source", "rk")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -154,6 +175,13 @@ object TextAnalysis {
     }))
 
   val oracle: Map[String, String] = Map(
+    "tx09_quota_mix" ->
+      """SELECT doc_id, lang, source, len, rk FROM (
+        |  SELECT doc_id, lang, source, CAST(length(text) AS INT) AS len,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+        |           ORDER BY length(text) DESC, doc_id) AS INT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, source, rk""".stripMargin,
     // tx08's rolling-hash CDC replayed in SQL (r4/r5 stretch, closed in
     // r6). Two properties make the sequential chunker expressible without
     // a per-byte recursion:
