@@ -132,6 +132,37 @@ object TextAnalysis {
     // chunk granularity (shifted text still dedups, unlike fixed blocks).
     // Rows-only (the rolling hash is a JVM loop); SketchSpec asserts exact
     // tiling, determinism, and the edit-locality property.
+    // Eval-set decontamination — the screening step every LLM data
+    // pipeline runs before training: flag corpus documents that share
+    // >= minShared distinct word trigrams with any held-out eval document
+    // (here: doc_id % 50 == 0 plays the eval set). Same inverted-index
+    // shape as dd03: explode grams, equi-join on the gram, count shared
+    // grams per (corpus, eval) pair — a pair only materializes if at
+    // least one gram collides. The gram index is df-capped through
+    // capHotKeys (cap 64, observable refusals) so a boilerplate trigram
+    // shared by k documents can never own a k² slice of the join; the
+    // oracle mirrors the cap exactly (dd06's playbook). Gram STRINGS here
+    // keep the query oracle-checkable; the 100 TB form ships 8-byte
+    // shingle hashes instead (dd03/dd06's SketchExprs path).
+    "tx10_decontaminate" -> ((s, dir) => {
+      val minShared = 3
+      val cap = 64L
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+        .select("doc_id", "ngram").distinct()
+      val kept = Layout.capHotKeys(grams, Seq("ngram"), cap, tag = "decontam.grams")
+      val ev = kept.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("ngram"))
+      val corpus = kept.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("ngram"))
+      corpus.join(ev, "ngram")
+        .groupBy("corpus_id", "eval_id")
+        .agg(count(lit(1)).cast("int").as("shared_grams")) // inputs distinct
+        .filter(col("shared_grams") >= minShared)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // Training-mix balancing: cap every (lang, source) stratum's share of
     // the mix at K documents, preferring longer documents (deterministic
     // doc_id tiebreak) — the per-domain quota a 100 TB mixing job applies
@@ -175,6 +206,24 @@ object TextAnalysis {
     }))
 
   val oracle: Map[String, String] = Map(
+    // mirrors the engine's df-capped gram index (df <= 64 over the
+    // distinct (doc, gram) table) before the pair join
+    "tx10_decontaminate" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS ngram
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) AS i
+        |        FROM documents)),
+        |kept AS (
+        |  SELECT doc_id, ngram FROM g
+        |  WHERE ngram IN (SELECT ngram FROM g GROUP BY ngram HAVING COUNT(*) <= 64))
+        |SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+        |  CAST(COUNT(*) AS INT) AS shared_grams
+        |FROM kept c JOIN kept e ON c.ngram = e.ngram
+        |WHERE c.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
     "tx09_quota_mix" ->
       """SELECT doc_id, lang, source, len, rk FROM (
         |  SELECT doc_id, lang, source, CAST(length(text) AS INT) AS len,
