@@ -132,6 +132,38 @@ object TextAnalysis {
     // chunk granularity (shifted text still dedups, unlike fixed blocks).
     // Rows-only (the rolling hash is a JVM loop); SketchSpec asserts exact
     // tiling, determinism, and the edit-locality property.
+    // Repetition signals (the Gopher/C4-style quality filters): the
+    // within-document duplicate-trigram fraction and the single most
+    // frequent word's share of the document. Both catch degenerate
+    // machine-generated or boilerplate text that length/stopword gates
+    // (tx02) miss. Two narrow per-doc aggregations + one join on doc_id —
+    // embarrassingly parallel, no cross-document state at any scale.
+    // Fractions are single divisions of exact integer counts, so the
+    // doubles are bitwise engine-reproducible. Docs too short to have a
+    // trigram (< 3 words) carry no repetition evidence and are absent, in
+    // both engines, by the same construction.
+    "tx11_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val g = d
+        .select(col("doc_id"),
+          graft.functions.WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_grams"),
+          countDistinct(col("ngram")).cast("int").as("n_distinct"))
+      val w = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").cast("int").as("top_word"), sum("c").cast("int").as("n_words"))
+      g.join(w, "doc_id")
+        .select(col("doc_id"), col("n_grams"),
+          ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+            .as("dup_gram_frac"),
+          (col("top_word").cast("double") / col("n_words")).as("top_word_frac"))
+        .withColumn("flagged",
+          col("dup_gram_frac") > 0.2 || col("top_word_frac") > 0.2)
+        .orderBy("doc_id")
+    }),
+
     // Eval-set decontamination — the screening step every LLM data
     // pipeline runs before training: flag corpus documents that share
     // >= minShared distinct word trigrams with any held-out eval document
@@ -206,6 +238,27 @@ object TextAnalysis {
     }))
 
   val oracle: Map[String, String] = Map(
+    "tx11_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT ngram) AS n_distinct
+        |  FROM (SELECT doc_id,
+        |          array_to_string(string_split(text, ' ')[i:i+2], ' ') AS ngram
+        |        FROM (SELECT doc_id, text,
+        |                unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) AS i
+        |              FROM documents))
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, MAX(c) AS top_word, SUM(c) AS n_words FROM (
+        |    SELECT doc_id, w, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT g.doc_id, CAST(n_grams AS INT) AS n_grams,
+        |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_gram_frac,
+        |  CAST(top_word AS DOUBLE) / n_words AS top_word_frac,
+        |  (CAST(n_grams - n_distinct AS DOUBLE) / n_grams > 0.2
+        |   OR CAST(top_word AS DOUBLE) / n_words > 0.2) AS flagged
+        |FROM g JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
     // mirrors the engine's df-capped gram index (df <= 64 over the
     // distinct (doc, gram) table) before the pair join
     "tx10_decontaminate" ->
