@@ -97,4 +97,25 @@ object Stateful {
       s"""l_key = r_key AND
          |l_ts BETWEEN r_ts - INTERVAL $windowMinutes MINUTES AND r_ts""".stripMargin))
   }
+
+  /** Streaming twin of the dd07 batch operator (incremental ingest dedup):
+    * documents arriving on a stream are deduped first-wins WITHIN the
+    * stream (stateful `dropDuplicates` on the fingerprint) and then
+    * anti-joined against a STATIC, already-deduped corpus via a
+    * stream-static left-anti join — stateless per micro-batch, the static
+    * side planned like any batch side (pruned/bucketed/broadcast as its
+    * size dictates at 100 TB).
+    *
+    * Known batch/stream policy difference, by construction: dd07 keeps the
+    * MIN doc_id per fingerprint; the stream keeps the FIRST ARRIVAL. The
+    * surviving fingerprint SET is identical (StreamingSpec asserts it);
+    * which duplicate represents it depends on arrival order, as it must in
+    * a stream. */
+  def incrementalDedup(docs: DataFrame, existing: DataFrame): DataFrame = {
+    val fp = docs.withColumn("fp",
+      md5(lower(trim(col("text"))).cast("binary")))
+    fp.dropDuplicates("fp")
+      .join(existing.select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+  }
 }

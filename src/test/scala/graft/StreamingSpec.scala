@@ -182,6 +182,32 @@ class StreamingSpec extends SparkSpec {
     assert(n == ev.count()) // duplicates from the second file dropped
   }
 
+  test("stream-static anti-join dedups a stream against a static corpus (dd07 twin)") {
+    val docs = Tables.table(spark, sf001, "documents").select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("fp")).distinct()
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup").toString
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(tmp)
+
+    val out = graft.streaming.Stateful.incrementalDedup(
+      spark.readStream.schema(docs.schema).parquet(tmp), existing)
+    val q = out.writeStream.format("memory").queryName("incdedup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    // the surviving fingerprint SET matches the batch operator exactly;
+    // WHICH duplicate doc_id represents a fingerprint is arrival-order in
+    // the stream vs min-id in batch (documented on incrementalDedup)
+    val streamed = spark.sql("SELECT fp FROM incdedup_test").collect()
+      .map(_.getString(0)).toSet
+    val batch = graft.operators.Dedup.queries("dd07_incremental_dedup")(spark, sf001)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamed == batch,
+      s"stream kept ${streamed.size} fps, batch kept ${batch.size}")
+  }
+
   test("watermarked stream-stream interval join equals the batch join") {
     val ev = Tables.events(spark, sf001).cache()
     val clicks = ev.filter(col("event_type") === "click")
