@@ -185,6 +185,37 @@ object Multimodal {
       val scalars = (0 until 8).map(i => col("features")(i).as(s"f$i"))
       feats.select((col("asset_id") +: scalars): _*).orderBy("asset_id")
     }),
+    // The media→ANN composition a real multimodal pipeline runs end to
+    // end: payload → feature descriptor (extractFeatures' mapPartitions
+    // decode bridge) → hyperplane-LSH bucket → exact-cosine top-k over
+    // bucket-mates only (ss02's machinery, on mm05's vectors instead of
+    // the embeddings table). Candidates come from an equi-join on the
+    // bucket — cost scales with Σ bucket², never |Q|·N — and the planes
+    // are deterministic (xxhash64-seeded), so the result is rows-only
+    // deterministic; MultimodalSpec asserts recall vs brute-force cosine
+    // over the same feature vectors (ss08's playbook).
+    "mm06_feature_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.SketchExprs
+      val planes = 4 // 8-dim descriptors; 2^4 buckets keeps gate-scale occupancy sane
+      val e = extractFeatures(mediaFromDocuments(s, dir))
+        .withColumn("nrm", SketchExprs.l2Norm(col("features")))
+        .filter(col("nrm") > 0) // zero vector has no direction: excluded as query AND corpus
+        .withColumn("bucket", SketchExprs.hyperplaneLsh(col("features"), planes))
+      val q = e.filter(col("asset_id") < 5)
+        .select(col("asset_id").as("query_id"), col("features").as("qv"),
+          col("nrm").as("qnrm"), col("bucket"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("asset_id"))
+      q.join(e, Seq("bucket"))
+        .filter(col("asset_id") =!= col("query_id"))
+        .withColumn("cos",
+          SketchExprs.dotProduct(col("qv"), col("features")) / (col("qnrm") * col("nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("asset_id").as("neighbor_id"), col("rk"), col("cos"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Binary payload + columnar metadata (bytes, checksum, format tag).
     "mm01_media_meta" -> ((s, dir) => {
       withMeta(mediaFromDocuments(s, dir))

@@ -318,12 +318,17 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // NOT EXISTS, not NOT IN: a NULL fp on the existing side would make
+    // NOT IN return an empty result, while the engine's left_anti join
+    // keeps null-key batch rows (null matches nothing). NOT EXISTS with
+    // an equality predicate has exactly the anti-join's null semantics.
     "dd07_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
         |b AS (SELECT doc_id, fp FROM d WHERE doc_id % 2 = 1)
         |SELECT doc_id, fp FROM (
         |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |  FROM b WHERE fp NOT IN (SELECT fp FROM d WHERE doc_id % 2 = 0))
+        |  FROM b WHERE NOT EXISTS (
+        |    SELECT 1 FROM d WHERE d.doc_id % 2 = 0 AND d.fp = b.fp))
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // mirrors the engine's df-capped edge generation (df <= 16 per block)
     "dd05_dup_clusters" ->

@@ -432,6 +432,22 @@ object Relational {
           "_p" + ProcessHandle.current().pid()
         val (ot, lt) = (s"graft_q37_o_$suffix", s"graft_q37_l_$suffix")
         val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        // Sweep tables left by DEAD processes: names are pid-suffixed so
+        // live JVMs never collide, but a crashed/finished JVM never drops
+        // its own — without this, the shared warehouse grows by two table
+        // dirs per bench/test process forever. Runs once per (process,
+        // dir) inside the memo; a live foreign pid's tables are untouched.
+        val pidPat = "_p(\\d+)$".r
+        Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("graft_q37_"))
+          .foreach { d =>
+            val stale = pidPat.findFirstMatchIn(d.getName).exists { m =>
+              val pid = m.group(1).toLong
+              pid != ProcessHandle.current().pid() &&
+                !ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false)
+            }
+            if (stale) org.apache.commons.io.FileUtils.deleteQuietly(d)
+          }
         Seq(ot, lt).foreach { t =>
           // the in-memory catalog is per-JVM but the warehouse dir
           // persists: drop BOTH or a fresh JVM's CREATE sees a stale

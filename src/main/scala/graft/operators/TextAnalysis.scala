@@ -195,6 +195,36 @@ object TextAnalysis {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // tx10's 100 TB form — the hashed-gram decontamination twin (dd03→dd06
+    // precedent: oracle demo + declared scale twin). Identical df-capped
+    // inverted-index shape, but the gram index carries 8-byte XXH64
+    // shingle hashes (SketchExprs.shingleHashes — one codegen'd JVM loop
+    // per doc, distinct built in) instead of trigram STRINGS: the join/
+    // shuffle key drops from ~25 bytes of text to a fixed 8 bytes, which
+    // at 100 TB is the difference between shuffling the corpus's text and
+    // shuffling a fixed-width index. Same cap (64), same threshold (>= 3
+    // shared grams); the (corpus_id, eval_id) pair set equals tx10's
+    // unless a 64-bit hash collision merges two distinct trigrams —
+    // TextAnalysisSpec asserts exact pair-set equality on the gate corpus.
+    // Rows-only (DuckDB has no xxhash64).
+    "tx12_decontaminate_hashed" -> ((s, dir) => {
+      val minShared = 3
+      val cap = 64L
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.SketchExprs.shingleHashes(col("text"), 3)).as("h"))
+      val kept = Layout.capHotKeys(grams, Seq("h"), cap, tag = "decontam.hashes")
+      val ev = kept.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("h"))
+      val corpus = kept.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("h"))
+      corpus.join(ev, "h")
+        .groupBy("corpus_id", "eval_id")
+        .agg(count(lit(1)).cast("int").as("shared_grams")) // hashes distinct per doc
+        .filter(col("shared_grams") >= minShared)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // Training-mix balancing: cap every (lang, source) stratum's share of
     // the mix at K documents, preferring longer documents (deterministic
     // doc_id tiebreak) — the per-domain quota a 100 TB mixing job applies

@@ -61,9 +61,43 @@ object EventWindows {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
+    }),
+
+    // Batch twin of the stream-stream interval join
+    // ([[Stateful.intervalJoin]]): each purchase joins the same user's
+    // clicks within the preceding 10 minutes. Runs through the EXACT
+    // helper the streaming form uses (withWatermark is a no-op in batch;
+    // StreamingSpec asserts stream/batch parity on the same inputs), so
+    // the oracle check here covers the declared streaming semantics too.
+    // In streaming, the watermarks + time bound let the planner evict
+    // buffered state once the watermark passes — state proportional to
+    // the interval, not the stream.
+    "st05_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("l_key"), col("ts").as("l_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_key"), col("ts").as("r_ts"),
+          col("event_id").as("purchase_id"))
+      Stateful.intervalJoin(clicks, purchases,
+        watermark = "30 minutes", windowMinutes = 10)
+        .select(col("purchase_id"), col("click_id"),
+          col("r_key").as("user_id"),
+          (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_sec"))
+        .orderBy("purchase_id", "click_id")
     }))
 
   val oracle: Map[String, String] = Map(
+    "st05_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id,
+        |  date_diff('second', c.ts, p.ts) AS lag_sec
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTES AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "st04_replay_dedup" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

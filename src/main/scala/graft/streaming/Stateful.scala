@@ -106,15 +106,33 @@ object Stateful {
     * side planned like any batch side (pruned/bucketed/broadcast as its
     * size dictates at 100 TB).
     *
+    * STATE CAVEAT: with `eventTimeCol = None`, the stateful dropDuplicates
+    * keeps EVERY fingerprint it has ever seen — state grows with the
+    * distinct-fp count for the life of the stream. That is the right
+    * contract only when the in-stream duplicate horizon is genuinely
+    * unbounded AND the fp universe fits the state store; a production
+    * 100 TB ingest should pass an event-time column instead, which bounds
+    * state to the watermark window via `dropDuplicatesWithinWatermark`
+    * (duplicates farther apart than `watermark` are then caught by the
+    * STATIC side once the corpus index absorbs the earlier arrival — the
+    * same two-tier contract dd07 runs in batch).
+    *
     * Known batch/stream policy difference, by construction: dd07 keeps the
     * MIN doc_id per fingerprint; the stream keeps the FIRST ARRIVAL. The
     * surviving fingerprint SET is identical (StreamingSpec asserts it);
     * which duplicate represents it depends on arrival order, as it must in
     * a stream. */
-  def incrementalDedup(docs: DataFrame, existing: DataFrame): DataFrame = {
+  def incrementalDedup(docs: DataFrame, existing: DataFrame,
+      eventTimeCol: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
     val fp = docs.withColumn("fp",
       md5(lower(trim(col("text"))).cast("binary")))
-    fp.dropDuplicates("fp")
+    val deduped = eventTimeCol match {
+      case Some(tc) =>
+        fp.withWatermark(tc, watermark).dropDuplicatesWithinWatermark("fp")
+      case None => fp.dropDuplicates("fp")
+    }
+    deduped
       .join(existing.select("fp"), Seq("fp"), "left_anti")
       .select("doc_id", "fp")
   }

@@ -84,7 +84,13 @@ class LayoutSpec extends SparkSpec {
     val q = graft.SparkEntry.queries("q37_bucketed_join")
     q(spark, sf001).count() // ensures the pair exists (earlier test already did)
     val wh = new java.io.File("/tmp/graft-warehouse")
-    def stamps() = wh.listFiles().filter(_.getName.startsWith("graft_q37_"))
+    // restrict to THIS process's tables (the warehouse is shared across
+    // JVMs) and guard against an empty dir from a crashed foreign write —
+    // .max on an empty array would fail the test spuriously
+    def stamps() = wh.listFiles()
+      .filter(_.getName.startsWith("graft_q37_"))
+      .filter(_.getName.endsWith("_p" + ProcessHandle.current().pid()))
+      .filter(d => Option(d.listFiles()).exists(_.nonEmpty))
       .map(d => d.getName -> d.listFiles().map(_.lastModified).max).toMap
     val before = stamps()
     assert(before.nonEmpty)

@@ -43,6 +43,41 @@ class MultimodalSpec extends SparkSpec {
     feats.values.foreach(v => assert(v.length == 8 && v.forall(d => !d.isNaN)))
   }
 
+  test("mm06 feature-ANN recall vs brute-force cosine over the same vectors") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.SketchExprs
+    // exact baseline: brute-force cosine top-10 over the SAME feature
+    // vectors mm06 buckets (zero vectors excluded on both sides, like mm06)
+    val e = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(spark, sf001))
+      .withColumn("nrm", SketchExprs.l2Norm(col("features")))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("asset_id") < 5)
+      .select(col("asset_id").as("query_id"), col("features").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("asset_id"))
+    val exact = q.join(e, col("asset_id") =!= col("query_id"))
+      .withColumn("cos",
+        SketchExprs.dotProduct(col("qv"), col("features")) / (col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "asset_id")
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val ann = graft.SparkEntry.queries("mm06_feature_ann")(spark, sf001)
+      .select("query_id", "neighbor_id")
+      .collect().groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert(ann.nonEmpty, "mm06 returned no neighbors")
+    // every ANN neighbor must be a real corpus-mate (no fabricated ids)
+    ann.foreach { case (qid, ns) => assert(!ns.contains(qid)) }
+    val recalls = exact.toSeq.map { case (qid, ex) =>
+      ann.getOrElse(qid, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mm06 mean recall@10 = $mean%.2f over ${recalls.size} queries")
+    // single-probe single-table LSH on 8-dim descriptors: recall is the
+    // bucket-collision probability, not 1.0 — the floor asserts the bucket
+    // join genuinely surfaces near neighbors rather than noise
+    assert(mean >= 0.2, f"mm06 recall@10 $mean%.2f below 0.2")
+  }
+
   test("decode plumbing: deterministic stub dims via mapPartitions") {
     val decoded = Multimodal.decodeImages(Multimodal.mediaFromDocuments(spark, sf001))
     val rows = decoded.select("asset_id", "width", "height", "format_decoded")

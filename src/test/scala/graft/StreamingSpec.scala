@@ -208,6 +208,36 @@ class StreamingSpec extends SparkSpec {
       s"stream kept ${streamed.size} fps, batch kept ${batch.size}")
   }
 
+  test("watermarked incremental dedup (bounded state) keeps the same fp set here") {
+    // Same contract as the unbounded variant when every in-stream duplicate
+    // falls inside the watermark window (all synthetic ts within one hour
+    // here, watermark 2 hours) — but state is bounded by the window instead
+    // of growing with the stream's life (the ADVICE-flagged hazard).
+    val docs = Tables.table(spark, sf001, "documents").select("doc_id", "text")
+      .withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, CAST(doc_id % 3600 AS DOUBLE))"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("fp")).distinct()
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup-wm").toString
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(tmp)
+
+    val out = graft.streaming.Stateful.incrementalDedup(
+      spark.readStream.schema(docs.schema).parquet(tmp), existing,
+      eventTimeCol = Some("ts"), watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("incdedup_wm_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.sql("SELECT fp FROM incdedup_wm_test").collect()
+      .map(_.getString(0)).toSet
+    val batch = graft.operators.Dedup.queries("dd07_incremental_dedup")(spark, sf001)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamed == batch,
+      s"watermarked stream kept ${streamed.size} fps, batch kept ${batch.size}")
+  }
+
   test("watermarked stream-stream interval join equals the batch join") {
     val ev = Tables.events(spark, sf001).cache()
     val clicks = ev.filter(col("event_type") === "click")
