@@ -75,11 +75,13 @@ object Dedup {
     * shingle sets, blocked by lang+source) candidate pairs. Exposed as its
     * own function so ScaleGuardSpec measures the EXACT stage the dd05 query
     * runs (with the same default cap): reverting the cap fails the
-    * guardrail, not just a manual soak. Caches the capped postings via
-    * [[graft.Caches]] (release is the session's call). */
+    * guardrail, not just a manual soak. The capped postings are NOT
+    * cached (dd06's round-7 finding applies identically: all consumers
+    * sit above one window exchange that ReusedExchange shares; a cache
+    * only adds materialization cost and hides the exchange). */
   def jaccardClusterEdges(s: SparkSession, dir: String,
       cap: Long = defaultClusterEdgeCap, minJaccard: Double = 0.05): DataFrame = {
-    val kept = graft.Caches.track(cappedPostings(s, dir, cap))
+    val kept = cappedPostings(s, dir, cap)
     val inter = cappedCandidatePairs(kept)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
     inter
@@ -135,13 +137,19 @@ object Dedup {
     // is exercised (cap changes both |∩| and |∪|). dd03 stays bit-stable.
     "dd06_capped_jaccard" -> ((s, dir) => {
       val cap = 2L
-      // cache: the capped postings feed the size count AND both sides of
-      // the pair join — uncached, the explode + df-filter subtree executes
-      // four times (16 parquet scans in the uncached physical plan).
-      // Tracked in graft.Caches: the cache must outlive this builder (the
-      // action runs on the returned plan), so release is the session's
-      // call — Caches.releaseAll() after the action, or clearCache().
-      val kept = graft.Caches.track(cappedPostings(s, dir, cap))
+      // NO cache, deliberately (round-7 answer to the open dd06 cost
+      // question): the capped postings feed the size count AND both sides
+      // of the pair join, but all four consumers sit above the SAME
+      // window exchange on (lang, source, h), and Spark's ReusedExchange
+      // already shares that shuffle — the plan carries ONE parquet scan +
+      // ONE window. The r3-era cache (added when the df count was a
+      // groupBy + join-back with nothing reusable) cost ~0.5 s at sf0.1
+      // by the round-7 stage profile (ProfileDd06: materializing ~1.9 M
+      // exploded postings rows into storage AND hiding the exchange from
+      // reuse): cached 1.25 s quiet vs uncached 0.78 s. At 100 TB the
+      // same logic holds — a shuffle is re-read per consumer for free;
+      // a cache of the exploded postings is corpus-sized executor memory.
+      val kept = cappedPostings(s, dir, cap)
       val inter = cappedCandidatePairs(kept)
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
       inter

@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
 class CachesSpec extends SparkSpec {
 
   test("builder-registered caches release to StorageLevel.NONE after the action") {
-    for (q <- Seq("dd06_capped_jaccard", "ss05_ivf_ann", "dd05_dup_clusters")) {
+    for (q <- Seq("ss05_ivf_ann", "dd05_dup_clusters")) {
       Caches.releaseAll() // drop registrations left by other suites' builders
       assert(SparkEntry.queries(q)(spark, sf001).count() >= 0)
       val released = Caches.releaseAll()
@@ -22,5 +22,12 @@ class CachesSpec extends SparkSpec {
       }
       assert(Caches.pending == 0)
     }
+  }
+
+  test("dd06 registers no builder cache (round-7: ReusedExchange replaces it)") {
+    Caches.releaseAll()
+    assert(SparkEntry.queries("dd06_capped_jaccard")(spark, sf001).count() >= 0)
+    assert(Caches.releaseAll().isEmpty,
+      "dd06 should lean on exchange reuse, not a postings cache")
   }
 }

@@ -57,6 +57,23 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("refusal counts stay exact through an UNCACHED frame consumed by a self-join") {
+    // round-7 dd06 shape: the capped frame is NOT cached (ReusedExchange
+    // shares the window's shuffle, and the cache measured +0.5 s at
+    // sf0.1), so the same-named CollectMetrics node is duplicated across
+    // every consuming plan branch. The metric must still report exactly
+    // once — not once per executed branch.
+    Layout.resetRefusedCounters()
+    val df = (1 to 100).map(i => (if (i <= 90) "hot" else s"k$i", i.toLong)).toDF("k", "v")
+    val kept = Layout.capHotKeys(df, Seq("k"), cap = 10, tag = "uncached-selfjoin")
+    val a = kept.select(col("k"), col("v").as("va"))
+    val b = kept.select(col("k"), col("v").as("vb"))
+    assert(a.join(b, "k").count() == 10)
+    assert(Layout.refusedRows("uncached-selfjoin") == 90,
+      "branch-duplicated CollectMetrics must not multiply the 90 refusals")
+    Layout.resetRefusedCounters()
+  }
+
   test("q37's declared bucketed join runs with zero exchanges and matches the plain join") {
     val df = graft.SparkEntry.queries("q37_bucketed_join")(spark, sf001)
     // bucketing must never change results: same rows as the unbucketed join
