@@ -225,14 +225,20 @@ object Dedup {
           .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
           .groupBy(col("id_a").as("doc_id"))
           .agg(min("cluster_id").as("nbr_min"))
-        // Carry the previous label through the select so the convergence
-        // check is a filter over the SAME cached frame — one action and one
-        // fewer join per iteration than joining next against old labels.
+        // Carry the previous label through the select, and count moved
+        // labels via observe() IN the materializing action: the metric
+        // rides the same count() that fills the cache, so the convergence
+        // check adds no plan branch and no filtered re-scan of the cache
+        // (the r6 form counted over filter(cluster_id != prev) as a
+        // separate action on the cached frame).
+        val obs = org.apache.spark.sql.Observation()
         val next = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id").as("prev"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .observe(obs, coalesce(sum(when(col("cluster_id") =!= col("prev"), 1L)), lit(0L)).as("moved"))
           .cache()
-        changed = next.filter(col("cluster_id") =!= col("prev")).count()
+        next.count()
+        changed = obs.get("moved").asInstanceOf[Long]
         // Unpersist the CACHED handle: `labels` itself is a projection of it
         // after the first round, and unpersist on a projection is a no-op —
         // the round-2 form leaked one cached frame per iteration.
