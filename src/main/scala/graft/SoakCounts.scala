@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables.table
+
+/** Deterministic candidate-count metrics for the SOAK_r*.md tables
+  * (diagnostic main, not driver contract). Wall clock on a shared box is
+  * noisy; these counts are the exact, reproducible signal of how each
+  * candidate stage scales with the corpus. Run once per soak dir:
+  *
+  *   runMain graft.SoakCounts <dir>
+  */
+object SoakCounts {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.build("graft-soak-counts")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def p(name: String, v: Long): Unit = println(f"COUNT $name%-40s $v%12d")
+
+    p("documents", table(spark, dir, "documents").count())
+    p("postings_df16", Dedup.cappedPostings(spark, dir, 16L).count())
+    p("pairs_df16 (dd05 edge input)", Dedup.cappedCandidatePairs(spark, dir, 16L).count())
+    p("pairs_df2 (dd06 stage)", Dedup.cappedCandidatePairs(spark, dir, 2L).count())
+    p("dd05_edges (jaccard >= 0.05)", Dedup.jaccardClusterEdges(spark, dir).count())
+    p("simhash_cands (cap 512, hamming <= 12)",
+      Dedup.simhashCandidates(
+        table(spark, dir, "documents").select(col("doc_id"), col("text")),
+        Dedup.defaultSimhashBucketCap).count())
+    val n = table(spark, dir, "embeddings").count()
+    val planes = Similarity.neardupPlanes(n)
+    p(s"ss08_pairs (planes=$planes, uncapped)",
+      Similarity.lshBlockedPairs(spark, dir, tables = 2, planes = planes)
+        .select("id_a", "id_b").distinct().count())
+    p(s"ss08_pairs (planes=$planes, cap 64)",
+      Similarity.lshBlockedPairs(spark, dir, tables = 2, planes = planes,
+        bucketCap = Similarity.defaultNeardupBucketCap)
+        .select("id_a", "id_b").distinct().count())
+    // tx10/tx12 decontamination: flagged pairs must agree between the
+    // string and hashed forms at every scale (collision check at volume)
+    val tx10 = SparkEntry.queries("tx10_decontaminate")(spark, dir).count()
+    val tx12 = SparkEntry.queries("tx12_decontaminate_hashed")(spark, dir).count()
+    p("tx10_flagged_pairs", tx10)
+    p("tx12_flagged_pairs", tx12)
+    if (tx10 != tx12)
+      println(s"WARN tx10/tx12 disagree: $tx10 vs $tx12 (hash collision or bug)")
+    spark.stop()
+  }
+}

@@ -1,15 +1,22 @@
 #!/usr/bin/env python3
 """Local oracle check: mirrors the driver's DuckDB compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--rerun <dir2>] [query ...]
 
 For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB with
 views named after the parquet tables in <sfDir>, read the Spark result parquet
 from <verifyOutDir>/<name>/, and compare as sorted row multisets (columns
 sorted by name, rows sorted). Reports exact match / near-miss (float eps) /
 mismatch per query.
+
+With --rerun <dir2> (a SECOND Verify dump of the same queries), every query
+directory present in <verifyOutDir> but ABSENT from oracle_sql.json — the
+"rows-only by design" set (xxhash64 / sketch / sampling internals DuckDB
+cannot mirror) — is compared against its rerun twin as sorted row multisets.
+That turns "rows-only" from a declared property into an actively checked
+determinism contract: two independent engine runs must agree bit-for-bit.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -39,9 +46,52 @@ def close(a, b):
         return abs(a[1] - b[1]) <= 1e-9 * max(1.0, abs(a[1]), abs(b[1]))
     return False
 
+def check_rows_only(con, out_dir, rerun_dir, oracle, only):
+    """Compare no-oracle query outputs across two Verify dumps."""
+    n_ok = n_bad = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}") and d not in oracle)
+    for name in names:
+        if only and name not in only:
+            continue
+        if not os.path.isdir(f"{rerun_dir}/{name}"):
+            print(f"FAIL {name} [rows-only]: missing from rerun dir {rerun_dir}")
+            n_bad += 1
+            continue
+        try:
+            a = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            acols = [d[0] for d in a.description]
+            arows = a.fetchall()
+            b = con.execute(f"SELECT * FROM '{rerun_dir}/{name}/*.parquet'")
+            bcols = [d[0] for d in b.description]
+            brows = b.fetchall()
+        except Exception as e:
+            print(f"FAIL {name} [rows-only]: {e}")
+            n_bad += 1
+            continue
+        ac, ar = rows_key(acols, arows)
+        bc, br = rows_key(bcols, brows)
+        if ac != bc:
+            print(f"FAIL {name} [rows-only]: columns differ {ac} vs {bc}")
+            n_bad += 1
+        elif ar != br:
+            print(f"FAIL {name} [rows-only]: {len(ar)} vs {len(br)} rows, "
+                  f"nondeterministic output")
+            n_bad += 1
+        else:
+            print(f"OK   {name} [rows-only] ({len(ar)} rows, deterministic)")
+            n_ok += 1
+    return n_ok, n_bad
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    rerun_dir = None
+    if "--rerun" in rest:
+        i = rest.index("--rerun")
+        rerun_dir = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    only = set(rest)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -82,6 +132,10 @@ def main():
         tag = "NEAR" if near else "FAIL"
         print(f"{tag} {name}: {len(diff)}/{len(srws)} rows differ; first: oracle={diff[0][0]} spark={diff[0][1]}")
         n_bad += 1
+    if rerun_dir:
+        ro_ok, ro_bad = check_rows_only(con, out_dir, rerun_dir, oracle, only)
+        n_ok += ro_ok
+        n_bad += ro_bad
     print(f"== {n_ok} ok, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)
 

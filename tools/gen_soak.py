@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Generate the local soak cuts (soak/sf0.5, soak/sf1.0) for SOAK_r*.md.
+
+Mirrors the driver's sf0.1 documents/embeddings distributions (measured,
+not copied: 31-word vocab, 10-100 words/doc uniform, lang en ~40% + 4
+langs ~15% each, 20 uniform sources, ~0.2% exact dups + a few "dup"-marked
+near-dups, 64-dim isotropic unit embeddings with 10 uniform labels) at 5x
+and 10x the sf0.1 row counts. Other tables are symlinked from sf0.1 — the
+soak only exercises the documents/embeddings operators.
+
+Deterministic: seed 42. Committed (unlike the r4/r6 generators, which
+were ephemeral) so any future round reproduces the exact same cut —
+candidate counts are comparable across rounds from r7 on; r6's sf0.5
+counts came from a different same-distribution sample.
+
+The driver's /root/testdata is read-only and NEVER touched. Python here
+is tooling only (test-data generation), not engine code.
+
+Usage: python3 tools/gen_soak.py [outRoot=soak]
+"""
+import os, random, sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF01 = "/root/testdata/sf0.1"
+VOCAB = ["spark", "window", "merge", "table", "column", "vector", "stream",
+         "value", "data", "small", "join", "filter", "big", "group", "hash",
+         "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+         "row", "agg", "key", "query", "a", "scan", "batch"]
+LANGS = ["en"] * 8 + ["de", "es", "fr", "zh"] * 3  # en ~40%, others ~15%
+
+
+def gen_documents(n, rng):
+    ids, texts, langs, sources = [], [], [], []
+    for i in range(n):
+        words = [rng.choice(VOCAB) for _ in range(rng.randint(10, 100))]
+        text = " ".join(words)
+        r = rng.random()
+        if i > 10 and r < 0.002:           # exact dup of an earlier doc
+            text = texts[rng.randrange(i)]
+        elif i > 10 and r < 0.004:         # near-dup, "dup"-marked
+            text = texts[rng.randrange(i)] + " dup"
+        ids.append(i)
+        texts.append(text)
+        langs.append(rng.choice(LANGS))
+        sources.append(f"src{rng.randrange(20)}")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+
+def gen_embeddings(n, rng):
+    ids, vecs, labels = [], [], []
+    for i in range(n):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        nrm = sum(x * x for x in v) ** 0.5
+        ids.append(i)
+        vecs.append([x / nrm for x in v])
+        labels.append(rng.randrange(10))
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "soak"
+    for name, docs, embs in [("sf0.5", 25_000, 10_000), ("sf1.0", 50_000, 20_000)]:
+        out = os.path.join(root, name)
+        os.makedirs(out, exist_ok=True)
+        rng = random.Random(42)  # fresh seed per cut: cuts are independent samples
+        pq.write_table(gen_documents(docs, rng), f"{out}/documents.parquet")
+        pq.write_table(gen_embeddings(embs, rng), f"{out}/embeddings.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events"]:
+            dst = f"{out}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{SF01}/{t}.parquet", dst)
+        print(f"wrote {out}: {docs} docs, {embs} embeddings")
+
+
+if __name__ == "__main__":
+    main()
