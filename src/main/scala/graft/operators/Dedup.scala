@@ -281,6 +281,48 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // dd07 with a Bloom pre-filter — the shuffle-avoidance production form
+    // of incremental dedup at 100 TB: build a Bloom filter over the
+    // EXISTING corpus fingerprints (distributed aggregate; the driver
+    // holds only the ~1 MB sketch, broadcast state like the PQ codebook),
+    // then only batch rows the filter says MIGHT be duplicates enter the
+    // exact anti-join. Rows the filter clears are definite non-dups (a
+    // Bloom filter has no false negatives) and skip the join entirely —
+    // on a mostly-novel batch the anti-join's left side shrinks from the
+    // whole batch to dup-rate + fpp, which is the difference between
+    // shuffling the batch and shuffling ~nothing. False POSITIVES only
+    // cost a row's trip through the exact join, never a wrong result, so
+    // dd08 ≡ dd07 bit-for-bit and shares its oracle (hash-exact). Uses
+    // Spark's own runtime-filter machinery (BloomFilterAggregate /
+    // BloomFilterMightContain, both codegen'd), steered manually because
+    // the optimizer only injects it for selective broadcast-join dims.
+    "dd08_bloom_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      val existing = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      // 1M-item / 1MB sizing keeps fpp ~2% far beyond gate scale; in
+      // production this is the fp-index row count estimate.
+      val bfAgg = C(new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(E(xxhash64(col("fp"))),
+          E(lit(1000000L)), E(lit(8000000L))).toAggregateExpression())
+      val sketch = existing.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+      val mc = C(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        E(lit(sketch)), E(xxhash64(col("fp")))))
+      val flagged = batch.withColumn("maybe_dup", mc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      flagged.filter(col("maybe_dup"))
+        .join(existing.select("fp"), Seq("fp"), "left_anti")
+        .unionByName(flagged.filter(!col("maybe_dup")))
+        .drop("maybe_dup")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup: 64-bit signatures, 4×16-bit bands, hamming ≤ 12,
     // with the same hot-bucket cap dd06 applies to shingles (a templated
     // corpus puts thousands of docs in one (band, chunk) bucket — uncapped,
@@ -337,6 +379,17 @@ object Dedup {
     // keeps null-key batch rows (null matches nothing). NOT EXISTS with
     // an equality predicate has exactly the anti-join's null semantics.
     "dd07_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        |b AS (SELECT doc_id, fp FROM d WHERE doc_id % 2 = 1)
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM b WHERE NOT EXISTS (
+        |    SELECT 1 FROM d WHERE d.doc_id % 2 = 0 AND d.fp = b.fp))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // dd08 computes EXACTLY dd07's result (the Bloom stage is a pure
+    // pre-filter: no false negatives, false positives re-checked by the
+    // exact anti-join) — so it shares dd07's oracle verbatim.
+    "dd08_bloom_incremental" ->
       """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
         |b AS (SELECT doc_id, fp FROM d WHERE doc_id % 2 = 1)
         |SELECT doc_id, fp FROM (

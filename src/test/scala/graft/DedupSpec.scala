@@ -51,6 +51,40 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1), sh(3)) > hamming(sh(1), sh(2)))
   }
 
+  test("dd08's bloom-prefiltered dedup equals dd07 bit-for-bit") {
+    val dd07 = Dedup.queries("dd07_incremental_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dd08 = Dedup.queries("dd08_bloom_incremental")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dd08 == dd07,
+      s"bloom prefilter changed the result: ${dd08.size} vs ${dd07.size} rows")
+  }
+
+  test("the bloom pre-filter shrinks the anti-join input to dups + fpp") {
+    // replicate dd08's flagging stage and measure its selectivity: only
+    // true cross-half duplicates and ~fpp false positives may pass. The
+    // whole point of the operator is that the exact anti-join's left side
+    // is this small set, not the entire batch.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+    val d = graft.sources.Tables.table(spark, sf001, "documents")
+      .select($"doc_id", md5(lower(trim($"text")).cast("binary")).as("fp"))
+    val existing = d.filter($"doc_id" % 2 === 0)
+    val batch = d.filter($"doc_id" % 2 === 1)
+    val bfAgg = C(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(E(xxhash64($"fp")),
+        E(lit(1000000L)), E(lit(8000000L))).toAggregateExpression())
+    val sketch = existing.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mc = C(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      E(lit(sketch)), E(xxhash64($"fp"))))
+    val batchN = batch.count()
+    val flaggedN = batch.filter(mc).count()
+    val trueDups = batch.join(existing.select("fp"), Seq("fp"), "left_semi").count()
+    info(s"batch $batchN rows, flagged $flaggedN, true cross-half dups $trueDups")
+    assert(flaggedN >= trueDups, "bloom must never miss a real duplicate (no false negatives)")
+    assert(flaggedN <= trueDups + math.max(5L, (0.05 * batchN).toLong),
+      s"pre-filter passed $flaggedN of $batchN — fpp far above the sizing target")
+  }
+
   test("shingle df cap shrinks the candidate-pair set (dd06 skew guard)") {
     val uncapped = Dedup.cappedCandidatePairs(spark, sf001, Long.MaxValue).count()
     val capped = Dedup.cappedCandidatePairs(spark, sf001, 2L).count()
