@@ -60,7 +60,8 @@ object Bench {
     Seq( // builder to invoke -> queries served by its memo
       "ss05_ivf_ann" -> Seq("ss05_ivf_ann"),
       "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
-      "q37_bucketed_join" -> Seq("q37_bucketed_join"))
+      "q37_bucketed_join" -> Seq("q37_bucketed_join"),
+      "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental"))
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
       .foreach { case (n, _) =>
         try { SparkEntry.queries(n)(spark, sfDir); () }

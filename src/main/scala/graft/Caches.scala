@@ -18,7 +18,10 @@ import org.apache.spark.sql.DataFrame
   * [[graft.operators.Similarity.refreshCorpusCounts]] (ss08's plane-sizing
   * count), [[graft.operators.Similarity.refreshCodebooks]] (ss06/ss07's
   * trained PQ codebook), [[graft.operators.Similarity.refreshIvfCentroids]]
-  * (ss05's coarse quantizer), and
+  * (ss05's coarse quantizer),
+  * [[graft.operators.Dedup.refreshBloomSketches]] (dd08's existing-corpus
+  * Bloom — on a GROWING corpus this one is correctness-relevant, see its
+  * staleness note), and
   * [[graft.operators.Layout.resetRefusedCounters]] (the refusal-metric
   * registry, which otherwise grows by one Observation per capped-builder
   * invocation).

