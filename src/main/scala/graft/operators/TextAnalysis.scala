@@ -246,6 +246,47 @@ object TextAnalysis {
         .orderBy("lang", "source", "rk")
     }),
 
+    // Deterministic content-hash train/val/test split — the assignment
+    // must be a pure function of CONTENT (not row order, not partition
+    // count, not a seed table) so it is reproducible across runs,
+    // engines, and corpus growth, and so exact duplicates land in the
+    // same fold (no train/test leakage through dups). First hex nibble
+    // of the content fingerprint: 0-c train (~81%), d-e val (~12.5%),
+    // f test (~6%). Embarrassingly parallel — no shuffle at all before
+    // the gate's orderBy.
+    "tx13_hash_split" -> ((s, dir) => {
+      val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
+      table(s, dir, "documents")
+        .select(col("doc_id"), nib.as("nibble"),
+          when(nib.isin("d", "e"), "val")
+            .when(nib === "f", "test")
+            .otherwise("train").as("fold"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget sequence packing: assign contiguous (per-source,
+    // doc_id-ordered) documents to fixed-budget training bins via an
+    // exclusive running token sum — the packing map a trainer uses to
+    // build ~2048-token sequences. Partitioned by source ON PURPOSE: a
+    // global pack order would be a single-partition window (the 100 TB
+    // anti-pattern); per-shard packing is what pipelines actually run,
+    // and each shard's window is an independent partition of the
+    // shuffle. Pure window arithmetic — bit-reproducible, oracle-exact.
+    "tx14_pack_sequences" -> ((s, dir) => {
+      val budget = 2048
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("tokens"))
+        .withColumn("offset", coalesce(sum("tokens").over(w), lit(0)).cast("int"))
+        .select(col("doc_id"), col("source"), col("tokens").cast("int").as("tokens"),
+          floor(col("offset") / budget).cast("int").as("bin"),
+          (col("offset") % budget).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -268,6 +309,25 @@ object TextAnalysis {
     }))
 
   val oracle: Map[String, String] = Map(
+    "tx13_hash_split" ->
+      """SELECT doc_id, substring(md5(lower(trim(text))), 1, 1) AS nibble,
+        |  CASE WHEN substring(md5(lower(trim(text))), 1, 1) IN ('d', 'e') THEN 'val'
+        |       WHEN substring(md5(lower(trim(text))), 1, 1) = 'f' THEN 'test'
+        |       ELSE 'train' END AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx14_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, tokens,
+        |    CAST(COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS off
+        |  FROM t)
+        |SELECT doc_id, source, tokens,
+        |  CAST(off // 2048 AS INT) AS bin, off % 2048 AS bin_offset
+        |FROM o ORDER BY doc_id""".stripMargin,
     "tx11_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT ngram) AS n_distinct

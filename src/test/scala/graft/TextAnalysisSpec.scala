@@ -27,4 +27,49 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("tx13 split is content-pure: exact duplicates always share a fold") {
+    // the property that prevents train/test leakage through duplicated
+    // documents — the fold is a function of normalized content, nothing
+    // else. The sf0.001/sf0.01 corpora happen to have no exact dups, so
+    // build one that does: every doc duplicated under a different doc_id
+    // (and with case/whitespace noise, which normalization must erase).
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, sf001, "documents")
+    val dup = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(upper(col("text")), lit("  ")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    // upper() changes content_fp only if md5 input differs after lower+trim
+    // — it must NOT: lower(trim(x)) normalizes both copies identically
+    val tmp = java.nio.file.Files.createTempDirectory("tx13").toString
+    docs.unionByName(dup).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val folds = graft.SparkEntry.queries("tx13_hash_split")(spark, tmp)
+      .join(spark.read.parquet(s"$tmp/documents.parquet").select("doc_id", "text"), "doc_id")
+      .groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(countDistinct("fold").as("n_folds"), count(lit(1)).as("n"))
+    assert(folds.filter(col("n") > 1).count() > 0)
+    assert(folds.filter(col("n_folds") > 1).count() == 0,
+      "a duplicated document landed in two folds (leakage)")
+    // all three folds are populated
+    assert(graft.SparkEntry.queries("tx13_hash_split")(spark, tmp)
+      .select("fold").distinct().count() == 3)
+  }
+
+  test("tx14 packing invariants: offsets are cumulative and bounded per shard") {
+    val rows = graft.SparkEntry.queries("tx14_pack_sequences")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, tokens, bin, off) =>
+      assert(off >= 0 && off < 2048 && bin >= 0 && tokens > 0)
+    }
+    // per shard: each doc's exclusive offset equals the previous docs' token sum
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (id, _, tokens, bin, off) =>
+        assert(bin.toLong * 2048 + off == cum,
+          s"doc $id in $src: bin/offset (${bin}, $off) != cumulative $cum")
+        cum += tokens
+      }
+    }
+  }
 }
