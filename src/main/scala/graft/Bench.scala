@@ -58,7 +58,7 @@ object Bench {
     // are routed into the targeted third pass on EVERY bench run — wasting
     // the reruns and diluting the flag's contention-diagnostic meaning.
     Seq( // builder to invoke -> queries served by its memo
-      "ss05_ivf_ann" -> Seq("ss05_ivf_ann"),
+      "ss05_ivf_ann" -> Seq("ss05_ivf_ann", "ss10_semantic_dedup"),
       "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
       "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental"))

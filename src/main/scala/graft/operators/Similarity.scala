@@ -151,6 +151,37 @@ object Similarity {
 
     "ss04_label_centroids" -> centroidQuery,
 
+    // Semantic dedup (the SemDeDup pipeline stage): cluster embeddings
+    // into cells, list near-duplicate pairs WITHIN each cell, keep the
+    // min-id representative of every near-dup pair — survivors are the
+    // semantically-deduplicated corpus a training pipeline feeds forward.
+    // Cells are ss05's deterministic decimal-summed centroids (broadcast;
+    // assignment is a broadcast join + per-vector argmax, no corpus
+    // shuffle), so the whole operator is oracle-checkable hash-exact.
+    // Cell count here is the 10 label cells for oracle parity; at 100 TB
+    // k scales with the corpus exactly like ss08's plane count (block
+    // size n/k stays bounded), or the blocking swaps to ss08's LSH tables
+    // — the survivors-by-anti-join shape is unchanged either way.
+    "ss10_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("nrm", l2norm("v"))
+      val cents = ivfCells(s, dir).withColumn("cnrm", l2norm("cv"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+      val cells = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot("v", "cv") / (col("nrm") * col("cnrm")))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      val a = cells.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      val b = cells.select(col("cell"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(dot("v_a", "v_b") / (col("n_a") * col("n_b")) > 0.3)
+        .select(col("id_b").as("vec_id")).distinct()
+      cells.join(dropped, Seq("vec_id"), "left_anti")
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    }),
+
     // IVF-Flat ANN — the other 100 TB scale path (ss02 is the LSH one).
     // Coarse quantizer: per-label centroids (computed distributedly, tiny,
     // broadcast). Every vector is assigned to its nearest cell (argmax
@@ -512,6 +543,42 @@ object Similarity {
         |  SELECT query_id, vec_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
         |  FROM pairs) WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // same deterministic cell machinery as ss05's oracle (decimal-summed
+    // centroids, identical tie-breaks), then min-id survivors per near-dup
+    // pair via NOT EXISTS (the anti-join's null semantics)
+    "ss10_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |cd AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+        |cn AS (
+        |  SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        |  FROM cents),
+        |assigned AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, 65), i -> n.v[i] * cn.cv[i]))
+        |        / (n.nrm * cn.cnrm) DESC, cn.cell) AS r
+        |  FROM n CROSS JOIN cn),
+        |cells AS (SELECT vec_id, v, nrm, cell FROM assigned WHERE r = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (a.nrm * b.nrm) > 0.3)
+        |SELECT c.vec_id, c.cell FROM cells c
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = c.vec_id)
+        |ORDER BY c.vec_id""".stripMargin,
     "ss03_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

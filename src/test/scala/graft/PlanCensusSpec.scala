@@ -13,7 +13,8 @@ class PlanCensusSpec extends SparkSpec {
   private val allowedBnlj = Set(
     "q25_cross_join", // region x order-status: 5 x 3 rows
     "ss01_cosine_topk", // exact brute-force baseline (ANN paths replace it)
-    "ss05_ivf_ann") // corpus x 10 broadcast centroids
+    "ss05_ivf_ann", // corpus x 10 broadcast centroids
+    "ss10_semantic_dedup") // same corpus x 10 broadcast centroid assignment
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
