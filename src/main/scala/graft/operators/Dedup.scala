@@ -202,6 +202,14 @@ object Dedup {
     // join — the standard large-scale CC pattern; iterations are bounded
     // by the cluster diameter (log n with doubling, tiny here).
     "dd05_dup_clusters" -> ((s, dir) => {
+      // Both caches are measured load-bearing (r7, ProfileQ CLEAR=1):
+      // `undirected` because every CC iteration re-reads it (reuse across
+      // LATER actions, which an exchange cannot serve), and `edges`
+      // because its swap branch re-runs the edge pipeline's post-exchange
+      // join+filter stages — ReusedExchange only shares up to the last
+      // exchange, so dropping this cache (per the dd06 lesson) measured
+      // ~+0.4 s, not a win. The dd06 rule is "consumers directly above
+      // ONE shared exchange"; edges' consumers are not.
       val edges = jaccardClusterEdges(s, dir).cache()
       val undirected = edges.unionByName(
         edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
