@@ -38,14 +38,19 @@ object SoakCounts {
       Similarity.lshBlockedPairs(spark, dir, tables = 2, planes = planes,
         bucketCap = Similarity.defaultNeardupBucketCap)
         .select("id_a", "id_b").distinct().count())
-    // tx10/tx12 decontamination: flagged pairs must agree between the
-    // string and hashed forms at every scale (collision check at volume)
-    val tx10 = SparkEntry.queries("tx10_decontaminate")(spark, dir).count()
-    val tx12 = SparkEntry.queries("tx12_decontaminate_hashed")(spark, dir).count()
-    p("tx10_flagged_pairs", tx10)
-    p("tx12_flagged_pairs", tx12)
-    if (tx10 != tx12)
-      println(s"WARN tx10/tx12 disagree: $tx10 vs $tx12 (hash collision or bug)")
+    // tx10/tx12 decontamination: the flagged pair SETS must agree between
+    // the string and hashed forms at every scale (collision check at
+    // volume). A count compare would let compensating differences — one
+    // pair gained via a collision, one lost through the shifted df cap —
+    // pass silently; exceptAll both ways cannot.
+    val tx10df = SparkEntry.queries("tx10_decontaminate")(spark, dir)
+    val tx12df = SparkEntry.queries("tx12_decontaminate_hashed")(spark, dir)
+    p("tx10_flagged_pairs", tx10df.count())
+    p("tx12_flagged_pairs", tx12df.count())
+    val diff = tx10df.exceptAll(tx12df).count() + tx12df.exceptAll(tx10df).count()
+    p("tx10_vs_tx12_pair_set_diff", diff)
+    if (diff != 0)
+      println(s"WARN tx10/tx12 pair sets differ by $diff rows (hash collision or bug)")
     spark.stop()
   }
 }

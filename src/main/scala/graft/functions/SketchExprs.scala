@@ -139,6 +139,38 @@ object SketchExprs {
     new GenericArrayData(out)
   }
 
+  /** Sorted XXH64 hashes of the DISTINCT word n-grams of a text, with
+    * [[graft.functions.WordNgrams]]-parity tokenization: `split(" ", -1)`
+    * (trailing empty tokens kept, matching Spark's `split` and DuckDB's
+    * `string_split`) and NO output for texts of fewer than n words —
+    * unlike [[evalWordShingles]], which drops trailing empties and emits
+    * one whole-text shingle for short docs. tx12 rides this so its gram
+    * stream is tx10's gram stream hashed, BY CONSTRUCTION (hashing the
+    * distinct grams ≡ distinct hashes of the grams), while the strings
+    * never leave this loop — the exploded index carries 8-byte longs. */
+  def evalNgramHashes(input: UTF8String, n: Int): ArrayData = {
+    val words = input.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(new Array[Long](0))
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      seen.add(hashUtf8(UTF8String.fromString(sb.toString), 7L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for two SORTED long arrays via a single merge scan. */
   def evalSortedLongIntersectCount(a: ArrayData, b: ArrayData): Int = {
     var i = 0; var j = 0; var c = 0
@@ -347,6 +379,16 @@ object SketchExprs {
     override def prettyName: String = "shingle_hashes"
   }
 
+  case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      evalNgramHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalNgramHashes($c, $n)")
+    override protected def withNewChildInternal(c: Expression): NgramHashes = copy(child = c)
+    override def prettyName: String = "ngram_hashes"
+  }
+
   case class SortedLongIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
@@ -445,6 +487,7 @@ object SketchExprs {
   def longSliceHash(c: Column, from: Int, len: Int): Column =
     B.column(LongSliceHash(B.expression(c), from, len))
   def shingleHashes(c: Column, n: Int = 3): Column = B.column(ShingleHashes(B.expression(c), n))
+  def ngramHashes(c: Column, n: Int = 3): Column = B.column(NgramHashes(B.expression(c), n))
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     B.column(SortedLongIntersectCount(B.expression(a), B.expression(b)))
   def hyperplaneLsh(c: Column, nPlanes: Int, offset: Int = 0): Column =

@@ -198,10 +198,15 @@ object Multimodal {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.SketchExprs
       val planes = 4 // 8-dim descriptors; 2^4 buckets keeps gate-scale occupancy sane
-      val e = extractFeatures(mediaFromDocuments(s, dir))
+      // cache: BOTH sides of the bucket join derive from this frame, and
+      // the decode (mapPartitions) sits BELOW each side's first exchange,
+      // so ReusedExchange cannot share it (the dd05 boundary of the dd06
+      // rule) — uncached, the payload scan + feature decode runs twice
+      // per action, and in a real media pipeline the decode dominates.
+      val e = graft.Caches.track(extractFeatures(mediaFromDocuments(s, dir))
         .withColumn("nrm", SketchExprs.l2Norm(col("features")))
         .filter(col("nrm") > 0) // zero vector has no direction: excluded as query AND corpus
-        .withColumn("bucket", SketchExprs.hyperplaneLsh(col("features"), planes))
+        .withColumn("bucket", SketchExprs.hyperplaneLsh(col("features"), planes)))
       val q = e.filter(col("asset_id") < 5)
         .select(col("asset_id").as("query_id"), col("features").as("qv"),
           col("nrm").as("qnrm"), col("bucket"))

@@ -437,16 +437,25 @@ object Relational {
         // its own — without this, the shared warehouse grows by two table
         // dirs per bench/test process forever. Runs once per (process,
         // dir) inside the memo; a live foreign pid's tables are untouched.
+        // PID-reuse residual: a recycled pid reads as alive, so an age
+        // fallback (>24 h) also sweeps — bench/test JVMs live minutes,
+        // and a table that old belongs to no live writer even if some
+        // unrelated process now wears its pid.
         val pidPat = "_p(\\d+)$".r
+        val dayMs = 24L * 3600 * 1000
         Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("graft_q37_"))
           .foreach { d =>
-            val stale = pidPat.findFirstMatchIn(d.getName).exists { m =>
-              val pid = m.group(1).toLong
-              pid != ProcessHandle.current().pid() &&
-                !ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false)
+            val foreign = pidPat.findFirstMatchIn(d.getName).exists { m =>
+              m.group(1).toLong != ProcessHandle.current().pid()
             }
-            if (stale) org.apache.commons.io.FileUtils.deleteQuietly(d)
+            val pidDead = pidPat.findFirstMatchIn(d.getName).exists { m =>
+              !ProcessHandle.of(m.group(1).toLong)
+                .map[java.lang.Boolean](_.isAlive).orElse(false)
+            }
+            val aged = System.currentTimeMillis() - d.lastModified() > dayMs
+            if (foreign && (pidDead || aged))
+              org.apache.commons.io.FileUtils.deleteQuietly(d)
           }
         Seq(ot, lt).foreach { t =>
           // the in-memory catalog is per-JVM but the warehouse dir

@@ -197,22 +197,29 @@ object TextAnalysis {
 
     // tx10's 100 TB form — the hashed-gram decontamination twin (dd03→dd06
     // precedent: oracle demo + declared scale twin). Identical df-capped
-    // inverted-index shape, but the gram index carries 8-byte XXH64
-    // shingle hashes (SketchExprs.shingleHashes — one codegen'd JVM loop
-    // per doc, distinct built in) instead of trigram STRINGS: the join/
-    // shuffle key drops from ~25 bytes of text to a fixed 8 bytes, which
-    // at 100 TB is the difference between shuffling the corpus's text and
-    // shuffling a fixed-width index. Same cap (64), same threshold (>= 3
-    // shared grams); the (corpus_id, eval_id) pair set equals tx10's
-    // unless a 64-bit hash collision merges two distinct trigrams —
-    // TextAnalysisSpec asserts exact pair-set equality on the gate corpus.
-    // Rows-only (DuckDB has no xxhash64).
+    // inverted-index shape over the SAME gram stream as tx10, hashed:
+    // SketchExprs.ngramHashes replays WordNgrams' exact tokenization
+    // (split limit -1, NOTHING for <3-word docs — deliberately NOT
+    // shingleHashes, whose tokenizer drops trailing empty tokens and
+    // emits a whole-text shingle for short docs; a first cut used it and
+    // the pair sets were equal only by luck of the gate corpus's shape)
+    // and emits the distinct 8-byte XXH64s from one codegen'd JVM loop —
+    // hashing the distinct grams ≡ distinct hashes of the grams, so the
+    // (corpus_id, eval_id) pair set equals tx10's BY CONSTRUCTION unless
+    // a 64-bit collision merges two distinct trigrams. Gram STRINGS never
+    // leave the loop: the exploded index, the df-cap window, and the
+    // corpus×eval join all key on a fixed 8 bytes instead of ~25 bytes of
+    // text — at 100 TB, the difference between shuffling the corpus's
+    // text and shuffling a fixed-width index. Same cap (64), same
+    // threshold (>= 3). TextAnalysisSpec asserts exact pair-set equality
+    // on the gate corpus, SoakCounts the same through 2.6M grams at 10x.
+    // Rows-only (no xxhash64 in DuckDB).
     "tx12_decontaminate_hashed" -> ((s, dir) => {
       val minShared = 3
       val cap = 64L
       val grams = table(s, dir, "documents")
         .select(col("doc_id"),
-          explode(graft.functions.SketchExprs.shingleHashes(col("text"), 3)).as("h"))
+          explode(graft.functions.SketchExprs.ngramHashes(col("text"), 3)).as("h"))
       val kept = Layout.capHotKeys(grams, Seq("h"), cap, tag = "decontam.hashes")
       val ev = kept.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("eval_id"), col("h"))

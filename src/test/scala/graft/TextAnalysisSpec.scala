@@ -22,6 +22,34 @@ class TextAnalysisSpec extends SparkSpec {
         s"(only_hashed=${(hashed -- string).take(5)}, only_string=${(string -- hashed).take(5)})")
   }
 
+  test("ngramHashes matches WordNgrams' tokenization on adversarial texts") {
+    // the corpus shapes where shingleHashes diverges from WordNgrams —
+    // trailing spaces (empty tokens kept by split limit -1) and <n-word
+    // docs (WordNgrams emits nothing; wordShingles emits a whole-text
+    // shingle) — must give tx12's gram source the SAME per-doc distinct
+    // gram count tx10 sees, or the twins' equality is corpus luck
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val texts = Seq("a w2 w3 w4 w5 ", "one two", "", "x", "a a a a",
+      "w1  w2 w3", "tail space  ", "exact three words")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaStrings = df.select(col("doc_id"),
+        graft.functions.WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+      .select("doc_id", "ngram").distinct()
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHashes = df.select(col("doc_id"),
+        explode(graft.functions.SketchExprs.ngramHashes(col("text"), 3)).as("h"))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.indices.foreach { i =>
+      assert(viaHashes.getOrElse(i.toLong, 0L) == viaStrings.getOrElse(i.toLong, 0L),
+        s"doc $i '${texts(i)}': hashed gram count ${viaHashes.get(i.toLong)} != " +
+          s"string gram count ${viaStrings.get(i.toLong)}")
+    }
+  }
+
   test("tx12 is deterministic across invocations (rows-only contract)") {
     def run() = graft.SparkEntry.queries("tx12_decontaminate_hashed")(spark, sf001)
       .collect().map(_.toSeq).toSeq

@@ -89,6 +89,8 @@ def main():
     rerun_dir = None
     if "--rerun" in rest:
         i = rest.index("--rerun")
+        if i + 1 >= len(rest):
+            sys.exit("usage: check.py <sfDir> <outDir> [--rerun <dir2>] [query ...]")
         rerun_dir = rest[i + 1]
         rest = rest[:i] + rest[i + 2:]
     only = set(rest)

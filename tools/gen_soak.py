@@ -2,16 +2,28 @@
 """Generate the local soak cuts (soak/sf0.5, soak/sf1.0) for SOAK_r*.md.
 
 Mirrors the driver's sf0.1 documents/embeddings distributions (measured,
-not copied: 31-word vocab, 10-100 words/doc uniform, lang en ~40% + 4
-langs ~15% each, 20 uniform sources, ~0.2% exact dups + a few "dup"-marked
-near-dups, 64-dim isotropic unit embeddings with 10 uniform labels) at 5x
-and 10x the sf0.1 row counts. Other tables are symlinked from sf0.1 — the
-soak only exercises the documents/embeddings operators.
+not copied: a 30-word generation vocab — sf0.1's measured 31 distinct
+words include the "dup" near-dup marker this generator also appends —
+10-100 words/doc uniform, lang en ~40% + 4 langs ~15% each, 20 uniform
+sources, ~0.2% exact dups + "dup"-marked near-dups, 64-dim isotropic
+unit embeddings with 10 uniform labels) at 5x and 10x the sf0.1 row
+counts. Other tables are symlinked from sf0.1 — the soak only exercises
+the documents/embeddings operators.
 
 Deterministic: seed 42. Committed (unlike the r4/r6 generators, which
 were ephemeral) so any future round reproduces the exact same cut —
 candidate counts are comparable across rounds from r7 on; r6's sf0.5
 counts came from a different same-distribution sample.
+
+RELATION BETWEEN CUTS (don't call them independent): each cut restarts
+Random(42) and documents are generated first, so sf1.0's first 25,000
+documents are byte-identical to sf0.5's whole documents table — a
+prefix-nested relationship, which is FINE for scaling comparisons (pure
+growth over shared base data). The embeddings are NOT nested (they
+continue the stream at different offsets), so document- and
+embedding-side soak trends come from differently-related samples.
+Changing any of this would invalidate the committed SOAK_r07.md numbers;
+keep generation byte-identical.
 
 The driver's /root/testdata is read-only and NEVER touched. Python here
 is tooling only (test-data generation), not engine code.
@@ -71,7 +83,7 @@ def main():
     for name, docs, embs in [("sf0.5", 25_000, 10_000), ("sf1.0", 50_000, 20_000)]:
         out = os.path.join(root, name)
         os.makedirs(out, exist_ok=True)
-        rng = random.Random(42)  # fresh seed per cut: cuts are independent samples
+        rng = random.Random(42)  # restarted per cut: documents prefix-nest (see docstring)
         pq.write_table(gen_documents(docs, rng), f"{out}/documents.parquet")
         pq.write_table(gen_embeddings(embs, rng), f"{out}/embeddings.parquet")
         for t in ["region", "nation", "customer", "supplier", "part",
