@@ -166,6 +166,12 @@ object Similarity {
       val e = emb(s, dir).withColumn("nrm", l2norm("v"))
       val cents = ivfCells(s, dir).withColumn("cnrm", l2norm("cv"))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+      // NO cache, measured (r7 ProfileQ CLEAR=1): the three consumers do
+      // re-run the assignment window above the reused exchange, but at
+      // any scale the window input is corpus × 10 centroid rows of
+      // fixed-width doubles and caching measured a wash (~1.1 s both
+      // ways at sf0.1) — the dd05 rule says cache only when the re-run
+      // stages are the expensive part, and here they are not.
       val cells = e.crossJoin(broadcast(cents))
         .withColumn("ccos", dot("v", "cv") / (col("nrm") * col("cnrm")))
         .withColumn("r", row_number().over(wAssign))
