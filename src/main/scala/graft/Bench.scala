@@ -61,7 +61,8 @@ object Bench {
       "ss05_ivf_ann" -> Seq("ss05_ivf_ann", "ss10_semantic_dedup"),
       "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
-      "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental"))
+      "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental"),
+      "e16_jsonl_scan" -> Seq("e16_jsonl_scan")) // fixture write at builder time, like e14
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
       .foreach { case (n, _) =>
         try { SparkEntry.queries(n)(spark, sfDir); () }

@@ -37,7 +37,48 @@ object EtlQueries {
       path
     })
 
+  /** e16's JSONL fixture — same once-per-(process, sfDir) lifecycle as
+    * e14's CSV (no side effect per builder invocation, per-PID dir,
+    * shutdown-hook cleanup). JSONL is the interchange format LLM
+    * training-data pipelines actually trade in; the fixture is the
+    * documents table serialized line-per-record, and the declared query
+    * proves the schema'd read round-trips it bit-exactly (JSON string
+    * escaping included) against the parquet oracle. */
+  private val e16Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def e16JsonlPath(s: SparkSession, dir: String): String =
+    e16Paths.computeIfAbsent(dir, { _ =>
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e16_jsonl_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}")
+      val path = f.getAbsolutePath
+      table(s, dir, "documents")
+        .write.mode("overwrite").json(path)
+      sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm))
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSONL scan with a DECLARED schema (inference would be a second full
+    // pass over 100 TB and could mistype empty partitions); the oracle is
+    // the same rows from parquet, so the whole serialize→scan path is
+    // hash-checked end to end.
+    "e16_jsonl_scan" -> ((s, dir) => {
+      val path = e16JsonlPath(s, dir)
+      s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .json(path)
+        .orderBy("doc_id")
+    }),
+
     // A6/A7 — tolerant numeric coercion + floored long cast
     "e01_cast_coerce" -> ((s, dir) => {
       table(s, dir, "documents").select(
@@ -250,6 +291,8 @@ object EtlQueries {
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "e14_csv_scan" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "e16_jsonl_scan" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "e01_cast_coerce" ->
       """SELECT doc_id,
         |  TRY_CAST(lang AS DOUBLE) AS lang_num,
