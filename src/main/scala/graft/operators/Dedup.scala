@@ -300,19 +300,20 @@ object Dedup {
     // whole batch to dup-rate + fpp, which is the difference between
     // shuffling the batch and shuffling ~nothing. False POSITIVES only
     // cost a row's trip through the exact join, never a wrong result, so
-    // dd08 ≡ dd07 bit-for-bit and shares its oracle (hash-exact). Uses
-    // Spark's own runtime-filter machinery (BloomFilterAggregate /
-    // BloomFilterMightContain, both codegen'd), steered manually because
-    // the optimizer only injects it for selective broadcast-join dims.
+    // dd08 ≡ dd07 bit-for-bit and shares its oracle (hash-exact). The
+    // sketch builds with Spark's own BloomFilterAggregate (steered
+    // manually — the optimizer only injects runtime filters for selective
+    // broadcast-join dims) and ships to the probe as a BROADCAST variable
+    // read by the codegen'd BloomMightContainBroadcast expression, never
+    // as a plan literal (see the bloomSketch scaladoc for the measured
+    // literal-canonicalization cost that rules the inline form out).
     "dd08_bloom_incremental" -> ((s, dir) => {
-      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
       val d = table(s, dir, "documents")
         .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
       val existing = d.filter(col("doc_id") % 2 === 0)
       val batch = d.filter(col("doc_id") % 2 === 1)
-      val sketch = bloomSketch(s, dir)
-      val mc = C(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        E(lit(sketch)), E(xxhash64(col("fp")))))
+      val mc = graft.functions.BloomMightContainBroadcast
+        .bloomMightContain(bloomSketch(s, dir), xxhash64(col("fp")))
       val flagged = batch.withColumn("maybe_dup", mc)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("fp").orderBy("doc_id")
@@ -339,7 +340,7 @@ object Dedup {
         .orderBy("id_a", "id_b")))
 
   /** dd08's existing-corpus Bloom sketch per dir, memoized per process:
-    * ~1 MB of broadcast-sized INDEX state whose distributed build (one
+    * ~KB of broadcast INDEX state whose distributed build (one
     * aggregate over the existing fingerprints) would otherwise repeat per
     * invocation — the exact lifecycle of the PQ codebook / IVF centroid
     * memos in [[Similarity]]. A production incremental-dedup service
@@ -357,11 +358,14 @@ object Dedup {
     * appending, alongside the other refresh hooks in
     * [[graft.Caches]]'s housekeeping note. */
   private val bloomSketches =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
 
   /** Drop memoized dd08 Bloom sketches so the next plan rebuilds (see the
     * staleness note on `bloomSketches` — on a growing corpus this one is
-    * correctness-relevant, not just freshness-relevant). */
+    * correctness-relevant, not just freshness-relevant). Old broadcasts
+    * are left for the ContextCleaner: an in-flight query may still be
+    * probing one, so destroying eagerly here would be a use-after-free. */
   def refreshBloomSketches(): Unit = bloomSketches.clear()
 
   /** The memoized existing-corpus Bloom sketch, sized from the corpus
@@ -370,17 +374,26 @@ object Dedup {
     * would. The head() materializes broadcast-sized index state, like the
     * PQ codebook's collect().
     *
-    * The sketch enters the probe plan as a LITERAL, which is fine at this
-    * sizing (KB-scale) but measurably not at megabytes: a first cut used
-    * a fixed 1M-item / 1 MB sketch and dd08 paid ~+0.7 s PER INVOCATION
-    * in plan-time costs (Catalyst canonicalization hashes literal byte
-    * arrays, repeatedly, across rule batches) — with the build already
-    * memoized. At real index scale (GBs of Bloom bits) the sketch belongs
-    * in a broadcast variable read by a custom expression, exactly how
-    * Spark's injected runtime filters ship theirs via subquery results,
-    * never inline. */
-  private def bloomSketch(s: SparkSession, dir: String): Array[Byte] =
-    bloomSketches.computeIfAbsent(dir, { _ =>
+    * The sketch ships as a BROADCAST VARIABLE read by
+    * [[graft.functions.BloomMightContainBroadcast]], never as a plan
+    * literal: a first cut inlined the bytes via
+    * `BloomFilterMightContain(lit(sketch), …)` and a 1M-item / 1 MB
+    * sketch paid ~+0.7 s PER INVOCATION in plan-time costs (Catalyst
+    * canonicalization hashes literal byte arrays, repeatedly, across
+    * rule batches) — with the build already memoized. The broadcast form
+    * is how Spark's own injected runtime filters ship their sketches
+    * (subquery results, never inline), and it is the only transport that
+    * survives real index scale (MBs-GBs of Bloom bits): bytes move
+    * torrent-style once per executor, the plan holds a handle.
+    * `PlanLiteralSpec` pins the no-large-literal property.
+    *
+    * Memo keyed by (applicationId, dir): a broadcast is owned by its
+    * SparkContext, so a restarted context in the same JVM must not be
+    * served a dead handle. */
+  private def bloomSketch(
+      s: SparkSession,
+      dir: String): org.apache.spark.broadcast.Broadcast[Array[Byte]] =
+    bloomSketches.computeIfAbsent(s.sparkContext.applicationId + " " + dir, { _ =>
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
       val base = table(s, dir, "documents")
         .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
@@ -389,7 +402,8 @@ object Dedup {
       val bfAgg = C(new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(E(xxhash64(col("fp"))),
           E(lit(items)), E(lit(items * 8))).toAggregateExpression())
-      base.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+      s.sparkContext.broadcast(
+        base.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0))
     })
 
   /** Per-(band, chunk) bucket cap for [[simhashCandidates]]. 512 keeps every
