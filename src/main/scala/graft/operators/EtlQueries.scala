@@ -14,6 +14,49 @@ import graft.sources.Tables.table
   * engine. */
 object EtlQueries {
 
+  /** Collision-proof per-sfDir path component for the on-disk fixtures.
+    * An earlier cut used `dir.hashCode.toHexString`, but the memo keys on
+    * the FULL dir string — two sfDirs with colliding Int hashCodes in one
+    * process would overwrite each other's fixture and silently serve the
+    * first dir's memoized path the second dir's rows. A name-UUID (md5 of
+    * the dir bytes) cannot collide in practice. */
+  private def fixtureKey(dir: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
+  /** Sweep fixture dirs leaked by SIGKILL'd JVMs — the shutdown hooks
+    * below never ran, so without this the tmpdir grows by one fixture per
+    * killed process forever. Same liveness test as q37's warehouse sweep
+    * (`Relational.scala`): a dir whose embedded pid is dead, or whose
+    * process started AFTER the dir was written (recycled pid), belongs to
+    * no live writer. Runs once per prefix per process, on first fixture
+    * build; unparseable names are skipped, never a crash. */
+  private val sweptPrefixes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def sweepStaleFixtures(prefix: String): Unit =
+    if (sweptPrefixes.add(prefix)) {
+      val pidPat = ("^" + java.util.regex.Pattern.quote(prefix) + "(\\d{1,18})_").r
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .foreach { d =>
+          pidPat.findFirstMatchIn(d.getName)
+            .flatMap(m => m.group(1).toLongOption)
+            .filter(_ != ProcessHandle.current().pid())
+            .foreach { pid =>
+              val h = ProcessHandle.of(pid)
+              val pidDead = !h.map[java.lang.Boolean](_.isAlive).orElse(false)
+              val recycled = h
+                .flatMap[java.time.Instant](p => p.info().startInstant())
+                .map[java.lang.Boolean](si =>
+                  java.lang.Boolean.valueOf(si.toEpochMilli > d.lastModified()))
+                .orElse(false)
+              if (pidDead || recycled)
+                org.apache.commons.io.FileUtils.deleteQuietly(d)
+            }
+        }
+    }
+
   /** e14's on-disk CSV fixture, written ONCE per (process, sfDir) — the
     * builder runs 2-3× per bench round and must not re-write (a side effect
     * per invocation) or race a concurrent process (per-PID dir). The dir is
@@ -22,8 +65,9 @@ object EtlQueries {
   private val e14Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def e14CsvPath(s: SparkSession, dir: String): String =
     e14Paths.computeIfAbsent(dir, { _ =>
+      sweepStaleFixtures("graft_e14_csv_")
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_e14_csv_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}")
+        s"graft_e14_csv_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
       val path = f.getAbsolutePath
       table(s, dir, "supplier")
         .write.mode("overwrite").option("header", "true").csv(path)
@@ -47,8 +91,9 @@ object EtlQueries {
   private val e16Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def e16JsonlPath(s: SparkSession, dir: String): String =
     e16Paths.computeIfAbsent(dir, { _ =>
+      sweepStaleFixtures("graft_e16_jsonl_")
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_e16_jsonl_${ProcessHandle.current().pid()}_${dir.hashCode.toHexString}")
+        s"graft_e16_jsonl_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
       val path = f.getAbsolutePath
       table(s, dir, "documents")
         .write.mode("overwrite").json(path)

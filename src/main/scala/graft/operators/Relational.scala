@@ -437,25 +437,33 @@ object Relational {
         // its own — without this, the shared warehouse grows by two table
         // dirs per bench/test process forever. Runs once per (process,
         // dir) inside the memo; a live foreign pid's tables are untouched.
-        // PID-reuse residual: a recycled pid reads as alive, so an age
-        // fallback (>24 h) also sweeps — bench/test JVMs live minutes,
-        // and a table that old belongs to no live writer even if some
-        // unrelated process now wears its pid.
-        val pidPat = "_p(\\d+)$".r
-        val dayMs = 24L * 3600 * 1000
+        // PID-reuse tiebreak: a recycled pid reads as alive, but a process
+        // that STARTED AFTER the table dir was last written cannot be its
+        // writer — sweep it. A legitimately long-lived owner (started
+        // before it wrote the dir) keeps its tables indefinitely; an
+        // earlier cut swept any >24h dir unconditionally, which would
+        // have dropped a live day-old session's tables mid-run. Suffixes
+        // that don't parse as a pid (e.g. a stray >18-digit dir) are
+        // treated as not-ours and skipped, never a sweep crash.
+        val pidPat = "_p(\\d{1,18})$".r
         Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("graft_q37_"))
           .foreach { d =>
-            val foreign = pidPat.findFirstMatchIn(d.getName).exists { m =>
-              m.group(1).toLong != ProcessHandle.current().pid()
-            }
-            val pidDead = pidPat.findFirstMatchIn(d.getName).exists { m =>
-              !ProcessHandle.of(m.group(1).toLong)
-                .map[java.lang.Boolean](_.isAlive).orElse(false)
-            }
-            val aged = System.currentTimeMillis() - d.lastModified() > dayMs
-            if (foreign && (pidDead || aged))
-              org.apache.commons.io.FileUtils.deleteQuietly(d)
+            pidPat.findFirstMatchIn(d.getName)
+              .flatMap(m => m.group(1).toLongOption)
+              .filter(_ != ProcessHandle.current().pid())
+              .foreach { pid =>
+                val h = ProcessHandle.of(pid)
+                val pidDead = !h.map[java.lang.Boolean](_.isAlive).orElse(false)
+                val recycled = h
+                  .flatMap[java.time.Instant](p =>
+                    p.info().startInstant())
+                  .map[java.lang.Boolean](si =>
+                    java.lang.Boolean.valueOf(si.toEpochMilli > d.lastModified()))
+                  .orElse(false)
+                if (pidDead || recycled)
+                  org.apache.commons.io.FileUtils.deleteQuietly(d)
+              }
           }
         Seq(ot, lt).foreach { t =>
           // the in-memory catalog is per-JVM but the warehouse dir

@@ -287,9 +287,13 @@ object TextAnalysis {
       table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).as("tokens"))
-        .withColumn("offset", coalesce(sum("tokens").over(w), lit(0)).cast("int"))
+        // offset/bin stay LONG: a 100 TB shard's cumulative token count
+        // blows through 2^31 (an earlier cut cast both to int, which the
+        // oracle mirrored — so the gate could never catch the overflow);
+        // only per-doc tokens genuinely fits int.
+        .withColumn("offset", coalesce(sum("tokens").over(w), lit(0)).cast("long"))
         .select(col("doc_id"), col("source"), col("tokens").cast("int").as("tokens"),
-          floor(col("offset") / budget).cast("int").as("bin"),
+          floor(col("offset") / budget).as("bin"),
           (col("offset") % budget).as("bin_offset"))
         .orderBy("doc_id")
     }),
@@ -330,10 +334,10 @@ object TextAnalysis {
         |o AS (
         |  SELECT doc_id, source, tokens,
         |    CAST(COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
         |  FROM t)
         |SELECT doc_id, source, tokens,
-        |  CAST(off // 2048 AS INT) AS bin, off % 2048 AS bin_offset
+        |  CAST(off // 2048 AS BIGINT) AS bin, off % 2048 AS bin_offset
         |FROM o ORDER BY doc_id""".stripMargin,
     "tx11_repetition" ->
       """WITH g AS (
