@@ -91,6 +91,94 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Connected components over a duplicate-pair edge set via iterative
+    * min-label propagation — dd05's clustering stage, parameterized so the
+    * failure mode is testable. `rawEdges` has (id_a, id_b) with id_a <
+    * id_b; output is (doc_id, cluster_id = component-min id), ordered.
+    *
+    * The loop is DRIVER-CONTROLLED but every iteration is a distributed
+    * join — the standard large-scale CC pattern. Iterations are bounded by
+    * the component DIAMETER: `maxIter` (default 64) covers any plausible
+    * near-dup chain, and a corpus that still hasn't converged FAILS LOUDLY
+    * (the `require` below) rather than silently emitting half-propagated
+    * labels the oracle's exact transitive closure would refute —
+    * DedupSpec proves the require fires on a diameter > maxIter chain.
+    * A 100 TB corpus with a pathological dup chain would pay
+    * diameter-many shuffle rounds before failing; the known remedy is the
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), which contracts
+    * star neighborhoods instead of stepping one hop and converges in
+    * O(log n) rounds. Not adopted here: its per-round cost is higher and
+    * every observed dup graph is diameter-tiny — but it is the named
+    * escape hatch if the require ever fires in production.
+    *
+    * Both input caches are measured load-bearing (r7, ProfileQ CLEAR=1):
+    * `undirected` because every CC iteration re-reads it (reuse across
+    * LATER actions, which an exchange cannot serve), and `edges` because
+    * its swap branch re-runs the edge pipeline's post-exchange join+filter
+    * stages — ReusedExchange only shares up to the last exchange, so
+    * dropping this cache (per the dd06 lesson) measured ~+0.4 s, not a
+    * win. The dd06 rule is "consumers directly above ONE shared
+    * exchange"; edges' consumers are not.
+    *
+    * Per-round labels are materialized by an EAGER `localCheckpoint`, not
+    * `cache`+`count`: `labels` appears TWICE in each round's plan (the
+    * join's left side and inside `neighborMin`), so without lineage
+    * truncation the logical plan DOUBLES per round — a cache truncates
+    * only physical re-execution, and at diameter ~20 the driver OOMed
+    * stringifying the exponential plan before any executor did work (the
+    * adversarial chain test found this). The checkpoint is the same one
+    * job per round the cache's count() was, it fills the convergence
+    * observation, and it bounds the plan at constant size regardless of
+    * iteration count; superseded checkpoint RDDs are released by the
+    * ContextCleaner once unreferenced. */
+  def propagateMinLabels(rawEdges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val edges = rawEdges.cache()
+    val undirected = edges.unionByName(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
+    // Seed labels with min(self, min neighbor) — the first propagation
+    // round fused into one aggregation (vs distinct + join + groupBy).
+    var labels = undirected
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(min(col("id_b")).as("nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = undirected
+        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      // Carry the previous label through the select, and count moved
+      // labels via observe() IN the materializing action: the metric
+      // rides the checkpoint's job, so the convergence check adds no plan
+      // branch and no separate filtered re-scan (the r6 form counted over
+      // filter(cluster_id != prev) as a second action).
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .observe(obs, coalesce(sum(when(col("cluster_id") =!= col("prev"), 1L)), lit(0L)).as("moved"))
+        .localCheckpoint()
+      changed = obs.get("moved").asInstanceOf[Long]
+      labels = next.select("doc_id", "cluster_id")
+      iter += 1
+    }
+    if (changed != 0) {
+      // release before failing — a long-lived session catching the error
+      // must not inherit orphaned cached frames
+      undirected.unpersist(); edges.unpersist()
+      throw new IllegalStateException(
+        s"dd05 label propagation did not converge in $maxIter rounds " +
+          s"($changed labels still moving)")
+    }
+    val out = labels.orderBy("doc_id")
+    undirected.unpersist()
+    edges.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
     "dd01_exact_dedup" -> ((s, dir) => {
@@ -201,70 +289,8 @@ object Dedup {
     // loop is DRIVER-CONTROLLED but every iteration is a distributed
     // join — the standard large-scale CC pattern; iterations are bounded
     // by the cluster diameter (log n with doubling, tiny here).
-    "dd05_dup_clusters" -> ((s, dir) => {
-      // Both caches are measured load-bearing (r7, ProfileQ CLEAR=1):
-      // `undirected` because every CC iteration re-reads it (reuse across
-      // LATER actions, which an exchange cannot serve), and `edges`
-      // because its swap branch re-runs the edge pipeline's post-exchange
-      // join+filter stages — ReusedExchange only shares up to the last
-      // exchange, so dropping this cache (per the dd06 lesson) measured
-      // ~+0.4 s, not a win. The dd06 rule is "consumers directly above
-      // ONE shared exchange"; edges' consumers are not.
-      val edges = jaccardClusterEdges(s, dir).cache()
-      val undirected = edges.unionByName(
-        edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
-      // Seed labels with min(self, min neighbor) — the first propagation
-      // round fused into one aggregation (vs distinct + join + groupBy).
-      var cached = undirected
-        .groupBy(col("id_a").as("doc_id"))
-        .agg(min(col("id_b")).as("nbr_min"))
-        .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster_id"))
-        .cache()
-      var labels = cached
-      var changed = 1L
-      var iter = 0
-      // Min-label propagation converges in <= component-diameter rounds;
-      // 64 covers any plausible near-dup chain. A corpus that still hasn't
-      // converged must FAIL LOUDLY below, not silently emit half-propagated
-      // labels that the oracle's exact transitive closure would refute.
-      val maxIter = 64
-      while (changed > 0 && iter < maxIter) {
-        val neighborMin = undirected
-          .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
-          .groupBy(col("id_a").as("doc_id"))
-          .agg(min("cluster_id").as("nbr_min"))
-        // Carry the previous label through the select, and count moved
-        // labels via observe() IN the materializing action: the metric
-        // rides the same count() that fills the cache, so the convergence
-        // check adds no plan branch and no filtered re-scan of the cache
-        // (the r6 form counted over filter(cluster_id != prev) as a
-        // separate action on the cached frame).
-        val obs = org.apache.spark.sql.Observation()
-        val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("cluster_id").as("prev"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-          .observe(obs, coalesce(sum(when(col("cluster_id") =!= col("prev"), 1L)), lit(0L)).as("moved"))
-          .cache()
-        next.count()
-        changed = obs.get("moved").asInstanceOf[Long]
-        // Unpersist the CACHED handle: `labels` itself is a projection of it
-        // after the first round, and unpersist on a projection is a no-op —
-        // the round-2 form leaked one cached frame per iteration.
-        cached.unpersist()
-        cached = next
-        labels = next.select("doc_id", "cluster_id")
-        iter += 1
-      }
-      require(changed == 0,
-        s"dd05 label propagation did not converge in $maxIter rounds ($changed labels still moving)")
-      val out = labels.orderBy("doc_id")
-      undirected.unpersist()
-      edges.unpersist()
-      // the final iteration's cache backs the returned plan, so it must
-      // outlive this builder — hand its release to the session via Caches
-      graft.Caches.register(cached)
-      out
-    }),
+    "dd05_dup_clusters" -> ((s, dir) =>
+      propagateMinLabels(jaccardClusterEdges(s, dir))),
 
     // Incremental ingest dedup — the production shape for a GROWING corpus:
     // the existing corpus is already deduped, so a new batch only needs

@@ -155,4 +155,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, est) => a == 1 && b == 4 && est == 1.0 })
     assert(pairs.exists { case (a, b, est) => a == 1 && b == 2 && est > 0.5 })
   }
+
+  test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
+    // Min-label propagation moves the component-min one hop per round, so
+    // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With
+    // maxIter below that, the builder must throw loudly — never return
+    // half-propagated labels (which the oracle's exact transitive closure
+    // would refute, but only if the gate happened to exercise that corpus).
+    val chain = (0L until 20L).sliding(2)
+      .map { case Seq(a, b) => (a, b) }.toSeq.toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.propagateMinLabels(chain, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge in 3 rounds"))
+    // and with the bound above the diameter, the same chain converges to
+    // a single component labeled by its min id
+    val labels = Dedup.propagateMinLabels(chain, maxIter = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 20 && labels.forall(_._2 == 0L))
+    graft.Caches.releaseAll()
+  }
 }
