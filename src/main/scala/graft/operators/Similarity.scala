@@ -161,7 +161,8 @@ object Similarity {
     // Cell count here is the 10 label cells for oracle parity; at 100 TB
     // k scales with the corpus exactly like ss08's plane count (block
     // size n/k stays bounded), or the blocking swaps to ss08's LSH tables
-    // — the survivors-by-anti-join shape is unchanged either way.
+    // — the survivors-by-anti-join shape is unchanged either way (ss11
+    // below IS that swap, declared and overlap-tested).
     "ss10_semantic_dedup" -> ((s, dir) => {
       val e = emb(s, dir).withColumn("nrm", l2norm("v"))
       val cents = ivfCells(s, dir).withColumn("cnrm", l2norm("cv"))
@@ -185,6 +186,29 @@ object Similarity {
         .select(col("id_b").as("vec_id")).distinct()
       cells.join(dropped, Seq("vec_id"), "left_anti")
         .select("vec_id", "cell")
+        .orderBy("vec_id")
+    }),
+
+    // ss10's 100 TB form, delivered as a declared query rather than an
+    // in-code promise (the dd03→dd06 playbook): SAME SemDeDup semantics —
+    // near-dup pairs above cosine 0.3, survivors = anti-join on the
+    // dropped max-id side of every pair — but blocked by ss08's
+    // multi-table LSH buckets instead of centroid cells. The blocker is
+    // label-free and corpus-scaled (plane count grows with n, hot buckets
+    // refused at the cap), so the worst block stays bounded where ss10's
+    // k=10 cells each grow linearly with the corpus. Candidates differ
+    // from ss10's only through blocking (both sides verify the EXACT
+    // cosine), so survivor sets agree except where a blocker misses a
+    // pair — SimilaritySpec pins the overlap on the gate corpus.
+    // Rows-only-det (xxhash64-seeded planes have no DuckDB mirror).
+    "ss11_lsh_semantic_dedup" -> ((s, dir) => {
+      val n: Long = embCounts.computeIfAbsent(dir, d => Long.box(emb(s, d).count()))
+      val dropped = lshBlockedPairs(s, dir, tables = 2, planes = neardupPlanes(n),
+          bucketCap = defaultNeardupBucketCap)
+        .filter(dot("v_a", "v_b") / (col("n_a") * col("n_b")) > 0.3)
+        .select(col("id_b").as("vec_id")).distinct()
+      emb(s, dir).select("vec_id")
+        .join(dropped, Seq("vec_id"), "left_anti")
         .orderBy("vec_id")
     }),
 

@@ -122,6 +122,68 @@ class SimilaritySpec extends SparkSpec {
       s"candidate set $candidates is not <10% of all-pairs")
   }
 
+  test("ss11 lsh-blocked semantic dedup: survivors track ss10 and never over-drop") {
+    import org.apache.spark.sql.functions._
+    // Exact SemDeDup drop set: max-id side of EVERY cos>0.3 pair, no
+    // blocking at all. Both ss10 (cells) and ss11 (LSH buckets) verify
+    // exact cosine on their candidates, so each drop set is a SUBSET of
+    // this — a blocker can miss a pair (under-drop), never invent one.
+    val e = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", Similarity.l2norm("v"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val exactDropped = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.dot("v_a", "v_b") / (col("n_a") * col("n_b")) > 0.3)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactSurvivors = all -- exactDropped
+
+    val ss10 = Similarity.queries("ss10_semantic_dedup")(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ss11 = Similarity.queries("ss11_lsh_semantic_dedup")(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // never over-drop: every exact survivor survives both variants
+    assert(exactSurvivors.subsetOf(ss10), s"ss10 over-dropped ${exactSurvivors -- ss10}")
+    assert(exactSurvivors.subsetOf(ss11), s"ss11 over-dropped ${exactSurvivors -- ss11}")
+    assert(ss11.subsetOf(all) && ss10.subsetOf(all))
+    // Overlap on THIS corpus is bounded by LSH math, not by correctness:
+    // the synthetic embeddings are near-isotropic, so its cos>0.3 pairs
+    // sit at ~72° where an 8-plane table collides ~1.6% of the time (the
+    // same math behind ss08's low recall). Observed 0.66; the floor is a
+    // regression guard, not a target — the planted-dup test below is the
+    // deterministic agreement check.
+    val overlap = (ss10 intersect ss11).size.toDouble / (ss10 union ss11).size
+    info(f"ss10/ss11 survivor overlap = $overlap%.3f " +
+      s"(ss10 drops ${all.size - ss10.size}, ss11 drops ${all.size - ss11.size}, " +
+      s"exact drops ${exactDropped.size})")
+    assert(overlap >= 0.5, f"survivor sets diverged: overlap $overlap%.3f")
+  }
+
+  test("ss11 and ss10 both drop planted exact duplicates (deterministic agreement)") {
+    import org.apache.spark.sql.functions._
+    // Identical vectors land in the SAME bucket of EVERY LSH table (sign
+    // pattern is a function of the vector) and the same centroid cell, so
+    // for exact duplicates both blockers are exhaustive — no probability
+    // in the way: every planted max-id copy MUST be dropped by both.
+    val tmp = java.nio.file.Files.createTempDirectory("ss11dup").toString
+    val orig = graft.sources.Tables.table(spark, sf001, "embeddings")
+    val planted = orig.orderBy("vec_id").limit(20)
+      .withColumn("vec_id", col("vec_id") + lit(10000L))
+    orig.unionByName(planted)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val expectDropped = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ss11 = Similarity.queries("ss11_lsh_semantic_dedup")(spark, tmp)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ss10 = Similarity.queries("ss10_semantic_dedup")(spark, tmp)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(expectDropped.intersect(ss11).isEmpty,
+      s"ss11 kept planted duplicates: ${expectDropped.intersect(ss11)}")
+    assert(expectDropped.intersect(ss10).isEmpty,
+      s"ss10 kept planted duplicates: ${expectDropped.intersect(ss10)}")
+  }
+
   test("multi-probe lsh recall@10 is at least single-probe recall") {
     val exact = topk("ss01_cosine_topk")
     def recall(m: Map[Long, Seq[Long]]): Double = {
