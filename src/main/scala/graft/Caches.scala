@@ -19,6 +19,8 @@ import org.apache.spark.sql.DataFrame
   * count), [[graft.operators.Similarity.refreshCodebooks]] (ss06/ss07's
   * trained PQ codebook), [[graft.operators.Similarity.refreshIvfCentroids]]
   * (ss05's coarse quantizer),
+  * [[graft.operators.TextAnalysis.refreshBigramVocabs]] (tx15/tx16's
+  * subword vocab),
   * [[graft.operators.Dedup.refreshBloomSketches]] (dd08's existing-corpus
   * Bloom — on a GROWING corpus this one is correctness-relevant, see its
   * staleness note), and

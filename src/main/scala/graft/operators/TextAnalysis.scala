@@ -298,6 +298,46 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Real subword tokenization (vs tx03's chars/4 stand-in): greedy
+    // longest-match against the corpus-derived bigram vocab — one round
+    // of BPE, the minimal HONEST form of what a trainer's tokenizer does.
+    // The count is a pure per-row codegen'd JVM loop (no shuffle before
+    // the gate's orderBy); the vocab build is one distributed agg,
+    // memoized per (process, dir) like the PQ codebook. Hash-exact: the
+    // DuckDB oracle rebuilds the same vocab and replays the same scan via
+    // a recursive CTE over DISTINCT words (token count is a function of
+    // the word, so the recursion is vocabulary-sized, not corpus-sized —
+    // the same trick a 100 TB job uses to tokenize hot words once).
+    "tx15_subword_tokens" -> ((s, dir) => {
+      val vocab = bigramVocab(s, dir)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SubwordTokenizer.greedyTokenCount(col("text"), vocab)
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // tx14's packing arithmetic on tx15's SUBWORD counts — what a
+    // training job actually bins by. Same per-source window (global pack
+    // order would be a single-partition sort), same LONG offset/bin
+    // discipline (cumulative tokens overflow int32 at shard scale).
+    "tx16_pack_subword" -> ((s, dir) => {
+      val budget = 2048
+      val vocab = bigramVocab(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.SubwordTokenizer.greedyTokenCount(col("text"), vocab)
+            .as("tokens"))
+        .withColumn("offset", coalesce(sum("tokens").over(w), lit(0)).cast("long"))
+        .select(col("doc_id"), col("source"), col("tokens").cast("int").as("tokens"),
+          floor(col("offset") / budget).as("bin"),
+          (col("offset") % budget).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -319,7 +359,81 @@ object TextAnalysis {
         .orderBy("doc_id", "pos")
     }))
 
+  /** tx15/tx16's bigram-merge vocabulary: the corpus's 1024 most frequent
+    * within-word character bigrams, ties broken lexicographically (the
+    * determinism the oracle replays). Built by ONE distributed aggregate
+    * + TakeOrdered (the collect materializes ≤1024 two-char strings —
+    * broadcast-sized index state, the PQ-codebook lifecycle), memoized
+    * per (applicationId, dir) with the same immutable-snapshot staleness
+    * contract as the other per-dir memos; call [[refreshBigramVocabs]]
+    * after appending to a dir (quality drift only — a stale vocab still
+    * tokenizes deterministically, unlike dd08's correctness-relevant
+    * sketch). */
+  private val bigramVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Drop memoized tx15/tx16 vocabularies so the next plan rebuilds. */
+  def refreshBigramVocabs(): Unit = bigramVocabs.clear()
+
+  val vocabSize = 1024
+
+  private def bigramVocab(s: SparkSession, dir: String): Seq[String] =
+    bigramVocabs.computeIfAbsent(s.sparkContext.applicationId + " " + dir, { _ =>
+      table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        // length<2 words yield no bigram; the filter also dodges Spark's
+        // DESCENDING sequence(1, len-1) for len<2 (sequence(1,0)=[1,0]!)
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g").asc)
+        .limit(vocabSize)
+        .select("g").collect().map(_.getString(0)).toSeq
+    })
+
+  /** The shared vocab-build + recursive-tokenize CTE prelude of the
+    * tx15/tx16 oracles: DuckDB rebuilds the SAME vocab (same count, same
+    * tie-break) and replays the greedy scan one cursor step per recursion
+    * round, over DISTINCT words only. */
+  private val subwordCtePrelude =
+    """WITH RECURSIVE
+      |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |big AS (
+      |  SELECT substring(w, r, 2) AS g
+      |  FROM (SELECT w, unnest(range(1, len(w))) AS r FROM occ)),
+      |vocab AS (SELECT g FROM big GROUP BY g ORDER BY COUNT(*) DESC, g LIMIT 1024),
+      |dw AS (SELECT DISTINCT w FROM occ WHERE len(w) >= 1),
+      |rec AS (
+      |  SELECT w, 1 AS pos, 0 AS toks FROM dw
+      |  UNION ALL
+      |  SELECT w,
+      |    CASE WHEN pos + 1 <= len(w) AND substring(w, pos, 2) IN (SELECT g FROM vocab)
+      |         THEN pos + 2 ELSE pos + 1 END AS pos,
+      |    toks + 1 AS toks
+      |  FROM rec WHERE pos <= len(w)),
+      |wtok AS (SELECT w, toks AS n FROM rec WHERE pos > len(w)),
+      |counts AS (
+      |  SELECT d.doc_id, d.source, CAST(COALESCE(SUM(t.n), 0) AS BIGINT) AS n_tokens
+      |  FROM documents d
+      |  LEFT JOIN occ o ON d.doc_id = o.doc_id
+      |  LEFT JOIN wtok t ON o.w = t.w
+      |  GROUP BY d.doc_id, d.source)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "tx15_subword_tokens" ->
+      s"""$subwordCtePrelude
+         |SELECT doc_id, n_tokens FROM counts ORDER BY doc_id""".stripMargin,
+    "tx16_pack_subword" ->
+      s"""$subwordCtePrelude,
+         |o AS (
+         |  SELECT doc_id, source, CAST(n_tokens AS INT) AS tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM counts)
+         |SELECT doc_id, source, tokens,
+         |  CAST(off // 2048 AS BIGINT) AS bin, off % 2048 AS bin_offset
+         |FROM o ORDER BY doc_id""".stripMargin,
     "tx13_hash_split" ->
       """SELECT doc_id, substring(md5(lower(trim(text))), 1, 1) AS nibble,
         |  CASE WHEN substring(md5(lower(trim(text))), 1, 1) IN ('d', 'e') THEN 'val'

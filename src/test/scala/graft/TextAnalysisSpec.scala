@@ -84,8 +84,10 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("tx14 packing invariants: offsets are cumulative and bounded per shard") {
+    // bin/bin_offset are LONG (cumulative shard tokens overflow int32 at
+    // 100 TB; the advisory-fix round widened them)
     val rows = graft.SparkEntry.queries("tx14_pack_sequences")(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     rows.foreach { case (_, _, tokens, bin, off) =>
       assert(off >= 0 && off < 2048 && bin >= 0 && tokens > 0)
@@ -94,7 +96,65 @@ class TextAnalysisSpec extends SparkSpec {
     rows.groupBy(_._2).foreach { case (src, rs) =>
       var cum = 0L
       rs.sortBy(_._1).foreach { case (id, _, tokens, bin, off) =>
-        assert(bin.toLong * 2048 + off == cum,
+        assert(bin * 2048 + off == cum,
+          s"doc $id in $src: bin/offset (${bin}, $off) != cumulative $cum")
+        cum += tokens
+      }
+    }
+  }
+
+  test("tx15 greedy longest-match tokenization semantics (handpicked vocab)") {
+    import graft.functions.SubwordTokenizer
+    import spark.implicits._
+    val df = Seq((1L, "aab ba"), (2L, ""), (3L, "xyz")).toDF("id", "t")
+    def run(vocab: Seq[String]) = df
+      .select(col("id"), SubwordTokenizer.greedyTokenCount(col("t"), vocab).as("n"),
+        SubwordTokenizer.greedyTokens(col("t"), vocab).as("toks"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[String](2))).toMap
+    // vocab {ab}: "aab" -> a|ab (greedy takes the bigram when the cursor
+    // reaches it), "ba" -> b|a (no match at cursor 0 consumes 1 char)
+    val withAb = run(Seq("ab"))
+    assert(withAb(1L) == ((4, Seq("a", "ab", "b", "a"))))
+    assert(withAb(2L) == ((0, Seq())))
+    assert(withAb(3L) == ((3, Seq("x", "y", "z"))))
+    // vocab {aa, ab}: matching is leftmost-greedy, so "aab" takes aa at
+    // cursor 0 and never sees ab
+    assert(run(Seq("aa", "ab"))(1L) == ((4, Seq("aa", "b", "b", "a"))))
+    // empty vocab degenerates to character count per word
+    assert(run(Seq.empty)(1L)._1 == 5)
+  }
+
+  test("tx15 vocab memo: repeat invocations and a refresh are result-invariant") {
+    def run() = graft.SparkEntry.queries("tx15_subword_tokens")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val r1 = run()
+    val r2 = run()
+    graft.operators.TextAnalysis.refreshBigramVocabs()
+    val r3 = run()
+    assert(r1 == r2, "memoized vocab changed the result")
+    assert(r2 == r3, "re-deriving after refreshBigramVocabs() changed the result")
+    // counts are subword counts: strictly more tokens than words whenever
+    // any word exceeds 2 chars, never more than character count
+    val chars = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r1.foreach { case (id, n) => assert(n <= chars(id), s"doc $id: $n tokens > ${chars(id)} chars") }
+  }
+
+  test("tx16 packs tx15's subword counts with tx14's window invariants") {
+    val tx15 = graft.SparkEntry.queries("tx15_subword_tokens")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.queries("tx16_pack_subword")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, tokens, bin, off) =>
+      assert(tokens.toLong == tx15(id), s"doc $id: tx16 tokens $tokens != tx15 ${tx15(id)}")
+      assert(off >= 0 && off < 2048 && bin >= 0)
+    }
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (id, _, tokens, bin, off) =>
+        assert(bin * 2048 + off == cum,
           s"doc $id in $src: bin/offset (${bin}, $off) != cumulative $cum")
         cum += tokens
       }
