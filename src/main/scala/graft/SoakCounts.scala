@@ -51,6 +51,12 @@ object SoakCounts {
     p("tx10_vs_tx12_pair_set_diff", diff)
     if (diff != 0)
       println(s"WARN tx10/tx12 pair sets differ by $diff rows (hash collision or bug)")
+    // refusal counters accumulated by the capped stages above — on the
+    // zipfian cuts these record the boilerplate head the df cap trims
+    // while the unique tail carries the flagged pairs (SOAK note 1)
+    graft.operators.Layout.refusedRows.toSeq.sortBy(_._1).foreach {
+      case (tag, n) => p(s"refused[$tag]", n)
+    }
     spark.stop()
   }
 }

@@ -64,6 +64,51 @@ def gen_documents(n, rng):
         "n_chars": pa.array([len(t) for t in texts], pa.int64())})
 
 
+BOILERPLATE = ("this document is provided under the standard license terms "
+               "of the corpus collection").split()
+
+
+def gen_documents_zipf(n, rng):
+    """Zipfian-gram-df cut for the DECONTAMINATION soak (round-7 verdict
+    ask #3): the 30-word-vocab cuts above give every trigram a df that
+    grows linearly with the corpus, so a fixed df cap eventually refuses
+    the whole index and tx10/tx12 carry no signal at 10x. Natural text is
+    zipfian - boilerplate head, enormous unique tail - so this generator
+    samples word ranks log-uniformly from a 30k vocabulary (df ~ 1/rank),
+    prefixes ~30% of docs with a fixed BOILERPLATE sentence (head grams
+    the cap must refuse, observably), and PLANTS contamination: ~25% of
+    eval docs (doc_id % 50 == 0, tx10's split) share a unique 6-word
+    phrase (4 trigrams, df=2, far under the cap) with the next corpus
+    doc. Expected flagged pairs are therefore ~n/200, LINEAR in the
+    corpus - nonzero and deterministic at every scale."""
+    ids, texts, langs, sources = [], [], [], []
+    V = 30_000
+    pending_phrase = None  # planted into the doc after its eval twin
+    for i in range(n):
+        words = [f"w{int(V ** rng.random())}"
+                 for _ in range(rng.randint(10, 100))]
+        if rng.random() < 0.3:
+            words = BOILERPLATE + words
+        if i % 50 == 0 and rng.random() < 0.25:
+            phrase = [f"leak{i}x{j}" for j in range(6)]
+            words += phrase
+            pending_phrase = phrase
+        elif pending_phrase is not None:
+            words += pending_phrase
+            pending_phrase = None
+        text = " ".join(words)
+        ids.append(i)
+        texts.append(text)
+        langs.append(rng.choice(LANGS))
+        sources.append(f"src{rng.randrange(20)}")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+
 def gen_embeddings(n, rng):
     ids, vecs, labels = [], [], []
     for i in range(n):
@@ -80,11 +125,18 @@ def gen_embeddings(n, rng):
 
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "soak"
-    for name, docs, embs in [("sf0.5", 25_000, 10_000), ("sf1.0", 50_000, 20_000)]:
+    cuts = [("sf0.5", gen_documents, 25_000, 10_000),
+            ("sf1.0", gen_documents, 50_000, 20_000),
+            # zipfian decontamination cuts (three points so the soak can
+            # name a per-doubling ratio); prefix-nested like the sf cuts
+            ("zipf0.1", gen_documents_zipf, 5_000, 2_000),
+            ("zipf0.5", gen_documents_zipf, 25_000, 10_000),
+            ("zipf1.0", gen_documents_zipf, 50_000, 20_000)]
+    for name, gen_docs, docs, embs in cuts:
         out = os.path.join(root, name)
         os.makedirs(out, exist_ok=True)
         rng = random.Random(42)  # restarted per cut: documents prefix-nest (see docstring)
-        pq.write_table(gen_documents(docs, rng), f"{out}/documents.parquet")
+        pq.write_table(gen_docs(docs, rng), f"{out}/documents.parquet")
         pq.write_table(gen_embeddings(embs, rng), f"{out}/embeddings.parquet")
         for t in ["region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events"]:
