@@ -62,6 +62,7 @@ object Bench {
       "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
       "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental"),
+      "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan")) // fixture write at builder time, like e14
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
       .foreach { case (n, _) =>

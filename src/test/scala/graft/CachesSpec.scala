@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
 class CachesSpec extends SparkSpec {
 
   test("builder-registered caches release to StorageLevel.NONE after the action") {
-    for (q <- Seq("ss05_ivf_ann", "dd05_dup_clusters")) {
+    for (q <- Seq("ss05_ivf_ann")) {
       Caches.releaseAll() // drop registrations left by other suites' builders
       assert(SparkEntry.queries(q)(spark, sf001).count() >= 0)
       val released = Caches.releaseAll()
@@ -29,5 +29,16 @@ class CachesSpec extends SparkSpec {
     assert(SparkEntry.queries("dd06_capped_jaccard")(spark, sf001).count() >= 0)
     assert(Caches.releaseAll().isEmpty,
       "dd06 should lean on exchange reuse, not a postings cache")
+  }
+
+  test("dd05 registers no builder cache (round-8: checkpointed rounds replace it)") {
+    // the CC loop's per-round labels are localCheckpoint'd (lineage
+    // truncation — see propagateMinLabels); superseded checkpoint RDDs
+    // are the ContextCleaner's to release, not the session's, and the
+    // in-loop edge caches are unpersisted by the builder itself
+    Caches.releaseAll()
+    assert(SparkEntry.queries("dd05_dup_clusters")(spark, sf001).count() >= 0)
+    assert(Caches.releaseAll().isEmpty,
+      "dd05 should checkpoint rounds, not register session-owned caches")
   }
 }
