@@ -108,9 +108,11 @@ object Dedup {
     * large-star/small-star formulation (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14), which contracts
     * star neighborhoods instead of stepping one hop and converges in
-    * O(log n) rounds. Not adopted here: its per-round cost is higher and
-    * every observed dup graph is diameter-tiny — but it is the named
-    * escape hatch if the require ever fires in production.
+    * O(log n) rounds — delivered as [[propagateMinLabelsLogN]] / dd09
+    * (hash-exact against this method's shared oracle). dd05 keeps the
+    * one-hop form as its declared semantics: per-round cost is lower and
+    * every observed dup graph is diameter-tiny; dd09 is what to run if
+    * this bound ever fires in production.
     *
     * Both input caches are measured load-bearing (r7, ProfileQ CLEAR=1):
     * `undirected` because every CC iteration re-reads it (reuse across
@@ -177,6 +179,73 @@ object Dedup {
     undirected.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round escape hatch named in
+    * [[propagateMinLabels]]'s scaladoc, delivered as a first-class
+    * method: one-hop min-label propagation pays DIAMETER-many shuffle
+    * rounds (a pathological dup chain at 100 TB), star contraction
+    * roughly halves every component's height per round regardless of
+    * shape.
+    *
+    * State is the distinct edge set oriented large→small (hi > lo).
+    * Large-star connects each node's strictly-larger neighbors to its
+    * neighborhood min (component connectivity preserved — every edge
+    * (w, u), w < u re-emits u from w's side); small-star then connects
+    * each node and its smaller neighbors to their min. The fixed point
+    * is a star per component rooted at the component min, so labels fall
+    * out of the final edge set directly: (hi → lo) plus (lo → lo).
+    * Output schema/semantics are EXACTLY [[propagateMinLabels]]'s
+    * (every node of the input edge set labeled with its component min),
+    * so dd09 shares dd05's oracle verbatim — the dd08≡dd07 playbook.
+    *
+    * Per-round materialization is the same eager `localCheckpoint`
+    * lineage-truncation dd05's loop uses; the fixed-point check is an
+    * EXACT set compare (count + one-way exceptAll on distinct sets), not
+    * a probabilistic checksum. */
+  def propagateMinLabelsLogN(rawEdges: DataFrame, maxIter: Int = 32): DataFrame = {
+    var e = rawEdges
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var done = e.isEmpty
+    while (!done && iter < maxIter) {
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v > u
+      val und = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m1 = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = und.join(m1, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star over the large→small orientation: m(u) = min(Γ⁻(u)),
+      // emit (v, m) for the smaller neighbors plus (u, m) itself
+      val m2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(m2, "hi")
+        .select(col("lo").as("hi2"), col("m"))
+        .filter(col("hi2") =!= col("m"))
+        .select(col("hi2").as("hi"), col("m").as("lo"))
+        .unionByName(m2.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      done = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      e = ss
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"dd09 star contraction did not converge in $maxIter rounds")
+    e.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .unionByName(e.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+      .distinct()
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,6 +360,17 @@ object Dedup {
     // by the cluster diameter (log n with doubling, tiny here).
     "dd05_dup_clusters" -> ((s, dir) =>
       propagateMinLabels(jaccardClusterEdges(s, dir))),
+
+    // dd05's clustering with the O(log n)-round star-contraction CC in
+    // place of one-hop min-label propagation — same edges, same label
+    // semantics (component min), so it shares dd05's oracle verbatim and
+    // is hash-exact. This is the form that survives a pathological dup
+    // CHAIN at 100 TB: dd05 pays diameter-many shuffle rounds (and fails
+    // loudly past its bound); dd09 halves component height per round
+    // (DedupSpec: a diameter-100 chain converges in <= 16 rounds where
+    // dd05's bound would need > 100).
+    "dd09_dup_clusters_logn" -> ((s, dir) =>
+      propagateMinLabelsLogN(jaccardClusterEdges(s, dir))),
 
     // Incremental ingest dedup — the production shape for a GROWING corpus:
     // the existing corpus is already deduped, so a new batch only needs
@@ -466,7 +546,46 @@ object Dedup {
       .distinct()
   }
 
+  /** dd05's oracle: exact transitive closure (recursive reach CTE) over
+    * the same df-capped jaccard edges, labels = component min. dd09
+    * computes THE SAME function by star contraction, so both keys carry
+    * this SQL verbatim (the dd08≡dd07 shared-oracle playbook). */
+  private val clustersOracle: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents),
+      |ex AS (SELECT doc_id, lang, source, unnest(sh) AS h FROM d),
+      |keep AS (
+      |  SELECT lang, source, h FROM ex GROUP BY 1, 2, 3 HAVING COUNT(*) <= 16),
+      |kept AS (
+      |  SELECT ex.doc_id, ex.lang, ex.source, ex.h
+      |  FROM ex JOIN keep USING (lang, source, h)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM kept a JOIN kept b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.05),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id_a, id_a FROM edges
+      |  UNION
+      |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dd09_dup_clusters_logn" -> clustersOracle,
     "dd01_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -495,39 +614,7 @@ object Dedup {
         |    SELECT 1 FROM d WHERE d.doc_id % 2 = 0 AND d.fp = b.fp))
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // mirrors the engine's df-capped edge generation (df <= 16 per block)
-    "dd05_dup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-        |  FROM documents),
-        |ex AS (SELECT doc_id, lang, source, unnest(sh) AS h FROM d),
-        |keep AS (
-        |  SELECT lang, source, h FROM ex GROUP BY 1, 2, 3 HAVING COUNT(*) <= 16),
-        |kept AS (
-        |  SELECT ex.doc_id, ex.lang, ex.source, ex.h
-        |  FROM ex JOIN keep USING (lang, source, h)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM kept a JOIN kept b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.05),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id)
-        |SELECT id AS doc_id, MIN(r) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dd05_dup_clusters" -> clustersOracle,
     "dd06_capped_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

@@ -156,6 +156,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, est) => a == 1 && b == 2 && est > 0.5 })
   }
 
+  test("dd09's star contraction handles a diameter-100 chain in O(log n) rounds") {
+    // The exact corpus shape that breaks one-hop propagation: a path graph
+    // needs diameter-many one-hop rounds (dd05 with maxIter 64 would FAIL
+    // on this input — correctly, loudly), while star contraction halves
+    // component height per round. maxIter 16 >> log2(101) proves the
+    // log-round claim with margin; the labels must be the exact component
+    // min for every node.
+    val chain = (0L until 101L).sliding(2)
+      .map { case Seq(a, b) => (a, b) }.toSeq.toDF("id_a", "id_b")
+    val labels = Dedup.propagateMinLabelsLogN(chain, maxIter = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 101 && labels.forall(_._2 == 0L))
+  }
+
+  test("dd09 labels equal dd05 labels on random multi-component graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // ~3 loose clusters + isolated pairs; ids spread so component mins
+      // are nontrivial
+      val edges = (1 to 120).map { _ =>
+        val base = rng.nextInt(3) * 1000
+        val a = base + rng.nextInt(40)
+        val b = base + rng.nextInt(40)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val df = edges.toDF("id_a", "id_b")
+      val viaHops = Dedup.propagateMinLabels(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Caches.releaseAll()
+      val viaStars = Dedup.propagateMinLabelsLogN(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars == viaHops, s"trial $trial: label maps diverged")
+    }
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With
