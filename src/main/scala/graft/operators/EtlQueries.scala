@@ -107,7 +107,49 @@ object EtlQueries {
       path
     })
 
+  /** e17's lang-partitioned parquet fixture — same once-per-(process,
+    * sfDir) lifecycle as e14/e16. Hive-style `partitionBy("lang")` layout:
+    * the partition column lives in directory names, not data files, which
+    * is the physical shape a 100 TB date/lang-partitioned corpus table
+    * actually has on an object store. */
+  private val e17Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def e17PartitionedPath(s: SparkSession, dir: String): String =
+    e17Paths.computeIfAbsent(dir, { _ =>
+      sweepStaleFixtures("graft_e17_part_")
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e17_part_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
+      val path = f.getAbsolutePath
+      table(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm))
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Partition-pruned scan as a DECLARED query (PruningSpec asserts the
+    // mechanism; this makes it gate-checked end to end): the fixture is
+    // the documents table rewritten Hive-partitioned by lang, the query
+    // filters one lang, and the plan must carry the predicate as a
+    // PartitionFilter — directory-level pruning, zero IO for the other
+    // partitions. On a 100 TB corpus partitioned by (date, lang) this is
+    // the difference between scanning a shard and scanning the lake; the
+    // oracle replays the same filter on the unpartitioned parquet, so the
+    // write→prune→scan round trip is hash-checked (partition-column
+    // round-trip included — lang travels through directory names).
+    "e17_partition_prune" -> ((s, dir) => {
+      val path = e17PartitionedPath(s, dir)
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // JSONL scan with a DECLARED schema (inference would be a second full
     // pass over 100 TB and could mistype empty partitions); the oracle is
     // the same rows from parquet, so the whole serialize→scan path is
@@ -338,6 +380,9 @@ object EtlQueries {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "e16_jsonl_scan" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "e17_partition_prune" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "e01_cast_coerce" ->
       """SELECT doc_id,
         |  TRY_CAST(lang AS DOUBLE) AS lang_num,

@@ -28,4 +28,14 @@ class PruningSpec extends SparkSpec {
       .filter(col("o_orderstatus") === "O").count()
     assert(read.count() == expected)
   }
+
+  test("e17 (the DECLARED pruning query) carries lang as a PartitionFilter") {
+    val df = SparkEntry.queries("e17_partition_prune")(spark, sf001)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:"), s"no PartitionFilters in:\n$scan")
+    assert(scan.contains("= en)"), s"lang=en not a partition filter:\n$scan")
+    // the data files must not even carry the partition column
+    assert(scan.contains("ReadSchema") && !scan.contains("lang:string"),
+      s"lang leaked into the data-file schema (not directory-partitioned?):\n$scan")
+  }
 }
