@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * Each rep builds a FRESH DataFrame so every invocation pays full
   * analysis/optimization — that is where the literal form bleeds. REPS
-  * round-robin, read min. */
+  * round-robin, read min. ITEMS scales the sketch (default 1M ≈ 1 MB at
+  * 8 bits/item; 10M ≈ 10 MB shows the literal's cost growing with bytes
+  * while the broadcast form stays flat). */
 object ProfileBloom {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
@@ -29,10 +31,11 @@ object ProfileBloom {
       .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
       .filter(col("doc_id") % 2 === 1)
 
-    // 1M-item / ~1 MB sketch — the sizing that exposed the literal cost
+    // default 1M items / ~1 MB — the sizing that exposed the literal cost
+    val items = sys.env.getOrElse("ITEMS", "1000000").toLong
     val bfAgg = C(new org.apache.spark.sql.catalyst.expressions.aggregate
       .BloomFilterAggregate(E(xxhash64(col("fp"))),
-        E(lit(1000000L)), E(lit(8000000L))).toAggregateExpression())
+        E(lit(items)), E(lit(items * 8))).toAggregateExpression())
     val sketch = graft.sources.Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))
       .filter(col("doc_id") % 2 === 0)
@@ -45,11 +48,11 @@ object ProfileBloom {
     }
 
     val variants: Seq[(String, () => Double)] = Seq(
-      "literal_1mb" -> (() => time {
+      "literal" -> (() => time {
         batch().filter(C(org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(E(lit(sketch)), E(xxhash64(col("fp")))))).count()
       }),
-      "broadcast_1mb" -> (() => time {
+      "broadcast" -> (() => time {
         batch().filter(graft.functions.BloomMightContainBroadcast
           .bloomMightContain(bc, xxhash64(col("fp")))).count()
       }),

@@ -98,6 +98,30 @@ object EtlProperties extends Properties("graft.etl") {
       got == expected
     }
 
+  property("greedy tokenizer: count == tokens.length and tokens rebuild the words") =
+    Prop.forAllNoShrink(for {
+      words <- Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)).map(_.take(8))
+      vocab <- Gen.listOfN(12, for {
+        a <- Gen.alphaLowerChar; b <- Gen.alphaLowerChar
+      } yield s"$a$b")
+    } yield (words, vocab.distinct)) { case (words, vocab) =>
+      import graft.functions.SubwordTokenizer
+      val text = words.mkString(" ")
+      val row = Seq(Tuple1(text)).toDF("t")
+        .select(SubwordTokenizer.greedyTokenCount($"t", vocab).as("n"),
+          SubwordTokenizer.greedyTokens($"t", vocab).as("toks"))
+        .collect()(0)
+      val n = row.getInt(0)
+      val toks = row.getSeq[String](1)
+      // the count IS the token list's length; tokenization is a
+      // partition of each word (concatenating tokens rebuilds the text
+      // minus spaces); every token is 1-2 chars and every 2-char token
+      // is a vocab entry
+      n == toks.length &&
+        toks.mkString == words.mkString &&
+        toks.forall(t => t.length == 1 || (t.length == 2 && vocab.contains(t)))
+    }
+
   property("word n-gram generator emits max(0, words - n + 1) rows") =
     Prop.forAllNoShrink(for {
       words <- Gen.listOfN(6, Gen.identifier.suchThat(_.nonEmpty)).map(_.take(6))
