@@ -51,6 +51,20 @@ object SoakCounts {
     p("tx10_vs_tx12_pair_set_diff", diff)
     if (diff != 0)
       println(s"WARN tx10/tx12 pair sets differ by $diff rows (hash collision or bug)")
+    // dd09 (star contraction) must label EXACTLY like dd05 (one-hop
+    // propagation) at soak scale, not just on the 500-doc gate corpus —
+    // same exceptAll-both-ways discipline as tx10/tx12 above
+    val dd05df = SparkEntry.queries("dd05_dup_clusters")(spark, dir)
+    val dd09df = SparkEntry.queries("dd09_dup_clusters_logn")(spark, dir)
+    p("dd05_labeled_nodes", dd05df.count())
+    p("dd05_vs_dd09_label_diff",
+      dd05df.exceptAll(dd09df).count() + dd09df.exceptAll(dd05df).count())
+    spark.catalog.clearCache(); Caches.releaseAll()
+    // SemDeDup survivor counts: ss11 (LSH blocks) can only keep MORE than
+    // ss10 (cells find different candidates) and both at least the exact
+    // survivor floor — the counts make the soak trend checkable
+    p("ss10_survivors", SparkEntry.queries("ss10_semantic_dedup")(spark, dir).count())
+    p("ss11_survivors", SparkEntry.queries("ss11_lsh_semantic_dedup")(spark, dir).count())
     // refusal counters accumulated by the capped stages above — on the
     // zipfian cuts these record the boilerplate head the df cap trims
     // while the unique tail carries the flagged pairs (SOAK note 1)
