@@ -208,6 +208,41 @@ class StreamingSpec extends SparkSpec {
       s"stream kept ${streamed.size} fps, batch kept ${batch.size}")
   }
 
+  test("bloom-prefiltered streaming dedup (dd08 twin) keeps exactly the plain form's fp set") {
+    val docs = Tables.table(spark, sf001, "documents").select("doc_id", "text")
+    val existingDocs = docs.filter(col("doc_id") % 2 === 0)
+    val existing = existingDocs
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("fp")).distinct()
+    // distributed sketch build over the static corpus, like dd08's
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
+    val bfAgg = C(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(E(xxhash64(col("fp"))),
+        E(lit(4096L)), E(lit(4096L * 8))).toAggregateExpression())
+    val sketch = spark.sparkContext.broadcast(
+      existing.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0))
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup-bloom").toString
+    docs.filter(col("doc_id") % 2 === 1).write.mode("overwrite").parquet(tmp)
+
+    val out = graft.streaming.Stateful.incrementalDedupBloom(
+      spark.readStream.schema(docs.schema).parquet(tmp), existing, sketch)
+    // the broadcast probe must be IN the streaming plan (replanned per
+    // micro-batch — the transport this expression exists for)
+    assert(out.queryExecution.analyzed.toString
+      .contains("bloom_might_contain_broadcast"))
+    val q = out.writeStream.format("memory").queryName("incdedup_bloom_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val bloomed = spark.sql("SELECT fp FROM incdedup_bloom_test").collect()
+      .map(_.getString(0)).toSet
+    val batch = graft.operators.Dedup.queries("dd07_incremental_dedup")(spark, sf001)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(bloomed == batch,
+      s"bloom stream kept ${bloomed.size} fps, batch kept ${batch.size}")
+  }
+
   test("watermarked incremental dedup (bounded state) keeps the same fp set here") {
     // Same contract as the unbounded variant when every in-stream duplicate
     // falls inside the watermark window (all synthetic ts within one hour
