@@ -5,16 +5,40 @@ import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 1-min /proc/loadavg. The `start` sample is taken BEFORE any Spark
-    // work and is the only one that reads as pure external load; samples at
-    // pass boundaries include the bench's own just-finished pass (local[32]
-    // saturates the box, so 4-6 is the self-load norm mid-record — compare
-    // later samples against that norm, and `start` against idle).
+    // 1-min /proc/loadavg. `start`/`pass_*` samples are post-gate (below):
+    // each is taken after the gate has waited for the load (external AND
+    // the bench's own decaying tail) to fall under the limit, so any gated
+    // sample >= limit means that gate gave up (named in load_exceeded).
+    // `end` alone is ungated — it still reads the just-finished pass's
+    // self-load (local[32] saturates the box; 4-6 is that norm).
     def load1(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case NonFatal(_) => -1.0 }
-    val loadStart = load1()
+    // Load GATE (r8 verdict #1, mandatory): two consecutive rounds the
+    // recorded number carried a ~1.1-1.2x contention factor that the judge
+    // had to strip with a manual quiet rerun. Rather than annotate load and
+    // hope, each timed pass now WAITS (bounded) for the 1-min load to drop
+    // below the limit before it starts. The wait also absorbs the bench's
+    // OWN load tail: local[32] saturates the box, so the 1-min average
+    // needs ~60*ln(L/1.5) s to decay after a pass — that decay time is the
+    // price of a trustworthy cross-round record. If the box never quiets
+    // within the bound, the pass runs anyway and the record carries a loud
+    // "load_exceeded" list naming the gates that gave up — a noisy record
+    // must say so itself, not wait for a judge rerun to discover it.
+    val loadLimit = sys.env.get("SPARK_GRAFT_LOAD_LIMIT").map(_.toDouble).getOrElse(1.5)
+    val gateBoundSec = sys.env.get("SPARK_GRAFT_LOAD_BOUND_SEC").map(_.toInt).getOrElse(300)
+    var gaveUp = List.empty[String]
+    def gate(label: String): Double = {
+      val deadline = System.nanoTime() + gateBoundSec * 1000000000L
+      var l = load1()
+      while (l >= loadLimit && l >= 0 && System.nanoTime() < deadline) {
+        Thread.sleep(5000); l = load1()
+      }
+      if (l >= loadLimit) gaveUp ::= label
+      l
+    }
+    val loadStart = gate("start")
     val spark = Sessions.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // JIT/classloading/parquet-reader warmup so the first timed query isn't
@@ -112,9 +136,9 @@ object Bench {
     // 2.25 s on a quiet box). The load annotation lets a reader judge
     // record fidelity without rerunning (see load1's note on
     // self-load-vs-external attribution).
-    val loadA = load1()
+    val loadA = gate("pass_a")
     val passA = suite.map { case (name, fn) => name -> timed(fn) }
-    val loadB = load1()
+    val loadB = gate("pass_b")
     val passB = suite.map { case (name, fn) => name -> timed(fn) }
     // Third targeted pass for queries whose two samples still disagree >2x
     // (a window longer than one full pass, or a real bimodal query) or
@@ -125,7 +149,7 @@ object Bench {
         if a.isEmpty || b.isEmpty ||
           math.max(a.get, b.get) > 2 * math.min(a.get, b.get) => (name, fn)
     }
-    val loadC = load1()
+    val loadC = if (flagged.isEmpty) load1() else gate("pass_c")
     val passC = flagged.map { case (name, fn) => name -> timed(fn) }.toMap
     val loadEnd = load1()
     val results: Seq[(String, Double)] =
@@ -154,8 +178,14 @@ object Bench {
     // HEAD-clipped by the driver's 2000-char tail capture at 89 queries,
     // so anything that must survive capture has to also ride the compact
     // line.
+    // The gate fields ride the SAME string as the samples so they appear in
+    // both the full and the guaranteed-parseable compact line: a record that
+    // gave up waiting must be impossible to read as a quiet one.
+    val exceeded =
+      if (gaveUp.isEmpty) ""
+      else gaveUp.reverse.map("\"" + _ + "\"").mkString(",\"load_exceeded\":[", ",", "]")
     val load =
-      s""""load_1min":{"start":${f(loadStart)},"pass_a":${f(loadA)},"pass_b":${f(loadB)},"pass_c":${f(loadC)},"end":${f(loadEnd)}}"""
+      s""""load_1min":{"start":${f(loadStart)},"pass_a":${f(loadA)},"pass_b":${f(loadB)},"pass_c":${f(loadC)},"end":${f(loadEnd)}},"load_gate":{"limit":${f(loadLimit)},"bound_sec":$gateBoundSec}$exceeded"""
     val full =
       s"""{"metric":"total","unit":"sec","timing":"interleaved min-of-2 passes + targeted 3rd; e14 fixture + index-state memos pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write)",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a

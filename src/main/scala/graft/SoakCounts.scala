@@ -60,11 +60,23 @@ object SoakCounts {
     p("dd05_vs_dd09_label_diff",
       dd05df.exceptAll(dd09df).count() + dd09df.exceptAll(dd05df).count())
     spark.catalog.clearCache(); Caches.releaseAll()
-    // SemDeDup survivor counts: ss11 (LSH blocks) can only keep MORE than
-    // ss10 (cells find different candidates) and both at least the exact
-    // survivor floor — the counts make the soak trend checkable
-    p("ss10_survivors", SparkEntry.queries("ss10_semantic_dedup")(spark, dir).count())
-    p("ss11_survivors", SparkEntry.queries("ss11_lsh_semantic_dedup")(spark, dir).count())
+    // SemDeDup survivor counts: NEITHER survivor set dominates the other —
+    // both are supersets of the exact-survivor floor (neither blocker
+    // over-drops, per SimilaritySpec), but each can drop a survivor the
+    // other keeps: ss10's cells compare a cos>0.3 pair whose endpoints
+    // share a centroid cell that ss11's LSH tables may never collide, and
+    // vice versa. The overlap fraction (|A∩B|/|A∪B| over survivor vec_ids)
+    // carries the AGREEMENT signal at scale, which raw cardinalities
+    // can't: two counts moving together could still be disjoint sets.
+    val ss10df = SparkEntry.queries("ss10_semantic_dedup")(spark, dir).select("vec_id")
+    val ss11df = SparkEntry.queries("ss11_lsh_semantic_dedup")(spark, dir).select("vec_id")
+    val n10 = ss10df.count(); val n11 = ss11df.count()
+    p("ss10_survivors", n10)
+    p("ss11_survivors", n11)
+    val inter1011 = ss10df.intersect(ss11df).count()
+    val union1011 = n10 + n11 - inter1011
+    println(f"COUNT ${"ss10_vs_ss11_overlap_frac"}%-40s ${
+      if (union1011 == 0) 1.0 else inter1011.toDouble / union1011}%12.4f")
     // refusal counters accumulated by the capped stages above — on the
     // zipfian cuts these record the boilerplate head the df cap trims
     // while the unique tail carries the flagged pairs (SOAK note 1)

@@ -62,15 +62,34 @@ case class BloomMightContainBroadcast(bc: Broadcast[Array[Byte]], child: Express
 object BloomMightContainBroadcast {
   /** Deserialized filters keyed by broadcast id: each JVM (driver for
     * `eval`, every executor for generated code) pays `readFrom` once per
-    * sketch, not once per task. Entries are dropped when nothing holds the
-    * broadcast — the map is tiny (one filter per live sketch generation)
-    * so no eviction is needed at this lifecycle. */
+    * sketch, not once per task. Values are SOFT references: a deserialized
+    * filter at production sizing is MBs-GBs, one per sketch GENERATION
+    * (`refreshBloomSketches` on a growing corpus, stream restarts), and a
+    * plain strong map would strand every superseded generation for the
+    * JVM's lifetime — including on executors, which no driver-side refresh
+    * hook can reach. Soft values let the collector reclaim superseded
+    * filters under memory pressure (live ones merely pay a rare
+    * re-`readFrom` from the still-held broadcast bytes if cleared
+    * mid-probe); the emptied map entries themselves (a Long and a dead
+    * reference) are purged on the next cache miss. */
   private val filters =
-    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+    new java.util.concurrent.ConcurrentHashMap[
+      Long, java.lang.ref.SoftReference[BloomFilter]]()
 
-  private def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter =
-    filters.computeIfAbsent(
-      bc.id, _ => BloomFilter.readFrom(new ByteArrayInputStream(bc.value)))
+  private def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter = {
+    val ref = filters.get(bc.id)
+    val cached = if (ref != null) ref.get() else null
+    if (cached != null) cached
+    else {
+      // miss (first probe of this sketch in this JVM, or GC-cleared):
+      // sweep dead entries, then deserialize and re-cache. Benign race —
+      // concurrent misses each build a correct filter and last-put wins.
+      filters.forEach((id, r) => if (r.get() == null) filters.remove(id, r))
+      val f = BloomFilter.readFrom(new ByteArrayInputStream(bc.value))
+      filters.put(bc.id, new java.lang.ref.SoftReference(f))
+      f
+    }
+  }
 
   /** Column-level surface: true iff the broadcast sketch might contain the
     * `xxhash64` value in `hashed`. */

@@ -95,6 +95,9 @@ object Dedup {
     * min-label propagation — dd05's clustering stage, parameterized so the
     * failure mode is testable. `rawEdges` has (id_a, id_b) with id_a <
     * id_b; output is (doc_id, cluster_id = component-min id), ordered.
+    * Self-loops are dropped on entry (no connectivity information), so a
+    * node incident ONLY to self-loops does not appear in the output —
+    * the same contract as [[propagateMinLabelsLogN]].
     *
     * The loop is DRIVER-CONTROLLED but every iteration is a distributed
     * join — the standard large-scale CC pattern. Iterations are bounded by
@@ -135,7 +138,13 @@ object Dedup {
     * iteration count; superseded checkpoint RDDs are released by the
     * ContextCleaner once unreferenced. */
   def propagateMinLabels(rawEdges: DataFrame, maxIter: Int = 64): DataFrame = {
-    val edges = rawEdges.cache()
+    // Self-loops carry no connectivity information: drop them so a node
+    // whose ONLY incident edges are self-loops is excluded from the
+    // output — the SAME contract as [[propagateMinLabelsLogN]] (which
+    // filters hi != lo up front), keeping the two public methods
+    // interchangeable on ARBITRARY input, not just the id_a < id_b edges
+    // the dd05/dd09 query path produces (DedupSpec pins the agreement).
+    val edges = rawEdges.filter(col("id_a") =!= col("id_b")).cache()
     val undirected = edges.unionByName(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).cache()
     // Seed labels with min(self, min neighbor) — the first propagation
@@ -198,22 +207,34 @@ object Dedup {
     * is a star per component rooted at the component min, so labels fall
     * out of the final edge set directly: (hi → lo) plus (lo → lo).
     * Output schema/semantics are EXACTLY [[propagateMinLabels]]'s
-    * (every node of the input edge set labeled with its component min),
-    * so dd09 shares dd05's oracle verbatim — the dd08≡dd07 playbook.
+    * (every node of the input edge set labeled with its component min;
+    * both forms drop self-loops on entry, so self-loop-only nodes are
+    * excluded from each), so dd09 shares dd05's oracle verbatim — the
+    * dd08≡dd07 playbook.
     *
     * Per-round materialization is the same eager `localCheckpoint`
-    * lineage-truncation dd05's loop uses; the fixed-point check is an
-    * EXACT set compare (count + one-way exceptAll on distinct sets), not
-    * a probabilistic checksum. */
+    * lineage-truncation dd05's loop uses. The fixed-point check is still
+    * an EXACT set compare, but it no longer pays standalone jobs per
+    * round (the r8 form ran count+count+exceptAll — up to three extra
+    * edge-set passes per contraction — on top of the checkpoint): each
+    * round's cardinality rides the checkpoint's own materializing job
+    * via `observe()` (dd05's convergence-metric playbook), the prior
+    * round's count is remembered, and the one-way `exceptAll` — which
+    * proves set equality given equal cardinalities of two distinct
+    * sets — runs ONLY when the counts match, i.e. typically once, at
+    * the fixed point. */
   def propagateMinLabelsLogN(rawEdges: DataFrame, maxIter: Int = 32): DataFrame = {
+    val obs0 = org.apache.spark.sql.Observation()
     var e = rawEdges
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
+    var eCount = obs0.get("n").asInstanceOf[Long]
     var iter = 0
-    var done = e.isEmpty
+    var done = eCount == 0L
     while (!done && iter < maxIter) {
       // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) for v > u
       val und = e.select(col("hi").as("u"), col("lo").as("v"))
@@ -228,15 +249,19 @@ object Dedup {
       // small-star over the large→small orientation: m(u) = min(Γ⁻(u)),
       // emit (v, m) for the smaller neighbors plus (u, m) itself
       val m2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      val obs = org.apache.spark.sql.Observation()
       val ss = ls.join(m2, "hi")
         .select(col("lo").as("hi2"), col("m"))
         .filter(col("hi2") =!= col("m"))
         .select(col("hi2").as("hi"), col("m").as("lo"))
         .unionByName(m2.select(col("hi"), col("m").as("lo")))
         .distinct()
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      done = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      val ssCount = obs.get("n").asInstanceOf[Long]
+      done = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
+      eCount = ssCount
       iter += 1
     }
     if (!done)
@@ -491,7 +516,7 @@ object Dedup {
     * (subquery results, never inline), and it is the only transport that
     * survives real index scale (MBs-GBs of Bloom bits): bytes move
     * torrent-style once per executor, the plan holds a handle.
-    * `PlanLiteralSpec` pins the no-large-literal property.
+    * `BloomBroadcastSpec` pins the no-large-literal property.
     *
     * Memo keyed by (applicationId, dir): a broadcast is owned by its
     * SparkContext, so a restarted context in the same JVM must not be
@@ -499,7 +524,7 @@ object Dedup {
   private def bloomSketch(
       s: SparkSession,
       dir: String): org.apache.spark.broadcast.Broadcast[Array[Byte]] =
-    bloomSketches.computeIfAbsent(s.sparkContext.applicationId + " " + dir, { _ =>
+    bloomSketches.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, { _ =>
       import org.apache.spark.sql.graftbridge.ColumnBridge.{column => C, expression => E}
       val base = table(s, dir, "documents")
         .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("fp"))

@@ -191,6 +191,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("both CC forms share one contract on self-loops: dropped, including self-loop-only nodes") {
+    // Self-loops carry no connectivity information. Before r9 the two
+    // public CC methods disagreed on them: the logN form filtered hi != lo
+    // up front (self-loop-only node vanishes) while one-hop propagation
+    // labeled it with itself. Both now drop self-loops on entry, so on
+    // ARBITRARY input — not just the id_a < id_b edges the query path
+    // builds — the methods stay interchangeable: node 7 (self-loop only)
+    // appears in NEITHER output; node 1's self-loop doesn't perturb its
+    // component label.
+    val edges = Seq((1L, 1L), (1L, 2L), (7L, 7L), (3L, 4L)).toDF("id_a", "id_b")
+    val viaHops = Dedup.propagateMinLabels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.releaseAll()
+    val viaStars = Dedup.propagateMinLabelsLogN(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHops == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    assert(viaStars == viaHops)
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With
