@@ -87,6 +87,7 @@ object Bench {
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
       "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental"),
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
+      "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14
       "e17_partition_prune" -> Seq("e17_partition_prune"))
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }

@@ -9,17 +9,21 @@ import org.apache.spark.sql.graftbridge.TypeBridge.AbstractDataType
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Greedy longest-match subword tokenization against a fixed bigram-merge
+/** Greedy longest-match subword tokenization against a fixed merge
   * vocabulary — the real-tokenizer replacement for tx03's chars/4
   * heuristic and tx14's whitespace counts (training jobs pack TOKENIZER
-  * tokens, not words). The scheme is one round of BPE: the vocabulary is
-  * the corpus's most frequent character bigrams (built distributedly and
-  * memoized in [[graft.operators.TextAnalysis]]); tokenization scans each
-  * whitespace word left to right, consuming a vocab bigram where one
-  * matches and a single character otherwise. Deterministic (no
+  * tokens, not words). Vocabulary entries are VARIABLE-LENGTH (2 chars
+  * and up): tx15's corpus-frequent bigrams are the one-merge-round
+  * special case, and tx17's iterated BPE rounds add merged tokens up to
+  * 8 chars ([[graft.operators.TextAnalysis]] builds both distributedly
+  * and memoizes them). Tokenization scans each whitespace word left to
+  * right; at each position it probes the vocab longest-first (bounded by
+  * the vocab's own max entry length) and consumes the longest matching
+  * entry, or a single character when nothing matches. Deterministic (no
   * randomness, ties in the vocab build broken lexicographically) and
-  * oracle-expressible: DuckDB replays the exact scan with a recursive CTE
-  * (tx08's playbook), so tx15/tx16 are hash-exact.
+  * oracle-expressible: DuckDB replays the exact scan with a recursive
+  * CTE whose step is the same length-descending probe (tx08's playbook),
+  * so tx15/tx16/tx17 are hash-exact.
   *
   * One JVM loop per text, whole-stage-codegen'd like `CdcChunks`; the
   * vocab rides the expression as a small Seq (KBs — canonicalization-safe,
@@ -29,9 +33,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * semantics on BMP text; the gate corpus is ASCII. */
 object SubwordTokenizer {
 
+  /** Longest vocab entry that matches `s` at `p` within the word ending
+    * (exclusive) at `end`; 1 when no entry matches (single-char token).
+    * The probe is length-DESCENDING so a longer merged token always
+    * beats its own prefix ("abc" beats "ab" at the same position). */
+  private def matchLen(s: String, p: Int, end: Int, vocab: java.util.HashSet[String],
+      maxLen: Int): Int = {
+    var l = math.min(maxLen, end - p)
+    while (l >= 2) {
+      if (vocab.contains(s.substring(p, p + l))) return l
+      l -= 1
+    }
+    1
+  }
+
   /** Greedy token count of `text`: per whitespace word, longest-match scan
-    * against the bigram vocab (consume 2 chars on a hit, 1 otherwise). */
-  def evalCount(text: UTF8String, vocab: java.util.HashSet[String]): Int = {
+    * against the vocab (consume the longest matching entry, 1 char on a
+    * miss). */
+  def evalCount(text: UTF8String, vocab: java.util.HashSet[String], maxLen: Int): Int = {
     val s = text.toString
     val len = s.length
     var count = 0
@@ -43,8 +62,7 @@ object SubwordTokenizer {
         if (end < 0) end = len
         var p = i
         while (p < end) {
-          if (p + 2 <= end && vocab.contains(s.substring(p, p + 2))) p += 2
-          else p += 1
+          p += matchLen(s, p, end, vocab, maxLen)
           count += 1
         }
         i = end
@@ -53,8 +71,9 @@ object SubwordTokenizer {
     count
   }
 
-  /** The token strings themselves (spec/debug surface; tx15 ships counts). */
-  def evalTokens(text: UTF8String, vocab: java.util.HashSet[String]): ArrayData = {
+  /** The token strings themselves (spec/debug surface; tx15/tx17 ship
+    * counts). */
+  def evalTokens(text: UTF8String, vocab: java.util.HashSet[String], maxLen: Int): ArrayData = {
     val s = text.toString
     val len = s.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -66,7 +85,7 @@ object SubwordTokenizer {
         if (end < 0) end = len
         var p = i
         while (p < end) {
-          val step = if (p + 2 <= end && vocab.contains(s.substring(p, p + 2))) 2 else 1
+          val step = matchLen(s, p, end, vocab, maxLen)
           out += UTF8String.fromString(s.substring(p, p + step))
           p += step
         }
@@ -82,13 +101,19 @@ object SubwordTokenizer {
     set
   }
 
+  /** Max entry length bounds the per-position probe; 1 on an empty vocab
+    * so the scan degenerates to single characters without probing. */
+  private def maxEntryLen(vocab: Seq[String]): Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+
   /** Token count under greedy longest-match against `vocab`. */
-  case class GreedyBigramTokenCount(child: Expression, vocab: Seq[String])
+  case class GreedySubwordTokenCount(child: Expression, vocab: Seq[String])
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = IntegerType
     @transient private lazy val vset = toSet(vocab)
-    def countTokens(t: UTF8String): Int = evalCount(t, vset)
+    @transient private lazy val maxLen = maxEntryLen(vocab)
+    def countTokens(t: UTF8String): Int = evalCount(t, vset, maxLen)
     override def nullSafeEval(input: Any): Any =
       java.lang.Integer.valueOf(countTokens(input.asInstanceOf[UTF8String]))
     // references `this` so the generated code shares the expression's own
@@ -96,35 +121,37 @@ object SubwordTokenizer {
     // need its own registry; the BloomMightContainBroadcast pattern)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("greedyTok", this,
-        classOf[GreedyBigramTokenCount].getName)
+        classOf[GreedySubwordTokenCount].getName)
       defineCodeGen(ctx, ev, c => s"$ref.countTokens($c)")
     }
-    override protected def withNewChildInternal(c: Expression): GreedyBigramTokenCount =
+    override protected def withNewChildInternal(c: Expression): GreedySubwordTokenCount =
       copy(child = c)
-    override def prettyName: String = "greedy_bigram_token_count"
+    override def prettyName: String = "greedy_subword_token_count"
   }
 
-  /** The token array (same scan as the count; spec surface). */
-  case class GreedyBigramTokens(child: Expression, vocab: Seq[String])
+  /** The token array (same scan as the count; spec surface and the
+    * adjacent-pair source of the iterated vocab build). */
+  case class GreedySubwordTokens(child: Expression, vocab: Seq[String])
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     @transient private lazy val vset = toSet(vocab)
-    def tokens(t: UTF8String): ArrayData = evalTokens(t, vset)
+    @transient private lazy val maxLen = maxEntryLen(vocab)
+    def tokens(t: UTF8String): ArrayData = evalTokens(t, vset, maxLen)
     override def nullSafeEval(input: Any): Any =
       tokens(input.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("greedyTokArr", this,
-        classOf[GreedyBigramTokens].getName)
+        classOf[GreedySubwordTokens].getName)
       defineCodeGen(ctx, ev, c => s"$ref.tokens($c)")
     }
-    override protected def withNewChildInternal(c: Expression): GreedyBigramTokens =
+    override protected def withNewChildInternal(c: Expression): GreedySubwordTokens =
       copy(child = c)
-    override def prettyName: String = "greedy_bigram_tokens"
+    override def prettyName: String = "greedy_subword_tokens"
   }
 
   def greedyTokenCount(c: Column, vocab: Seq[String]): Column =
-    ColumnBridge.column(GreedyBigramTokenCount(ColumnBridge.expression(c), vocab))
+    ColumnBridge.column(GreedySubwordTokenCount(ColumnBridge.expression(c), vocab))
   def greedyTokens(c: Column, vocab: Seq[String]): Column =
-    ColumnBridge.column(GreedyBigramTokens(ColumnBridge.expression(c), vocab))
+    ColumnBridge.column(GreedySubwordTokens(ColumnBridge.expression(c), vocab))
 }

@@ -338,6 +338,28 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // tx15 with an ITERATED merge table — the depth step from one BPE
+    // round to the real mechanism: each extra round re-tokenizes the
+    // corpus's distinct words with the vocab so far (the same codegen'd
+    // greedy scan tx15 ships), counts ADJACENT-TOKEN concatenations
+    // weighted by word frequency, and admits the top-K new merges (ties
+    // lexicographic) — so round 2 mints up-to-4-char tokens from bigram
+    // pairs and round 3 up-to-8-char tokens, and the scan's longest-match
+    // probe now steps variable lengths, consuming a whole merged token
+    // where tx15's bigram scan could only ever step 2. Each round is one
+    // distributed agg + a ≤K-string collect (broadcast-sized index state,
+    // the PQ-codebook lifecycle); the corpus is never reshuffled. Hash-
+    // exact: the oracle rebuilds every round and replays the same
+    // length-descending probe per recursion step (generated SQL below).
+    "tx17_subword_merged" -> ((s, dir) => {
+      val vocab = mergedVocab(s, dir)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SubwordTokenizer.greedyTokenCount(col("text"), vocab)
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -392,6 +414,117 @@ object TextAnalysis {
         .select("g").collect().map(_.getString(0)).toSeq
     })
 
+  /** tx17's iterated-merge vocabulary: [[bigramVocab]]'s 1024 bigrams
+    * plus `mergeRounds` further BPE rounds of `mergeTopK` merges each.
+    * A round tokenizes the corpus's DISTINCT words (length ≥ 2) with the
+    * vocab so far, explodes adjacent-token concatenations, weights by
+    * word frequency, drops strings already in the vocab (anti-join
+    * against the ≤2k-entry broadcast side), and admits the top-K by
+    * (count DESC, string ASC) — fully deterministic, so the oracle can
+    * rebuild it. Each round is one distributed agg + TakeOrdered + a
+    * ≤K-string collect; same memo/staleness contract as [[bigramVocab]]
+    * ([[refreshMergedVocabs]] after appending to a dir). */
+  private val mergedVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Drop memoized tx17 vocabularies so the next plan rebuilds. */
+  def refreshMergedVocabs(): Unit = mergedVocabs.clear()
+
+  /** Extra merge rounds on top of the bigram round; round r mints tokens
+    * up to 2^(r+1) chars, so 2 rounds prove the variable-length mechanism
+    * with up-to-8-char entries. */
+  val mergeRounds = 2
+  val mergeTopK = 512
+
+  private def mergedVocab(s: SparkSession, dir: String): Seq[String] =
+    mergedVocabs.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, { _ =>
+      val wf = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      var vocab = bigramVocab(s, dir)
+      for (_ <- 1 to mergeRounds) {
+        val vdf = s.createDataset(vocab)(org.apache.spark.sql.Encoders.STRING).toDF("g")
+        val add = wf
+          .select(col("c"),
+            graft.functions.SubwordTokenizer.greedyTokens(col("w"), vocab).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(0, size(t)-2), i -> concat(t[i], t[i+1]))")).as("g"))
+          .groupBy("g").agg(sum("c").as("mc"))
+          .join(vdf, Seq("g"), "left_anti")
+          .orderBy(col("mc").desc, col("g").asc)
+          .limit(mergeTopK)
+          .select("g").collect().map(_.getString(0)).toSeq
+        vocab = vocab ++ add
+      }
+      vocab
+    })
+
+  /** One length-descending greedy probe as a SQL CASE: the longest vocab
+    * entry (≤ `maxL`) matching at `pos` wins, 1 char on a miss — the
+    * exact step [[graft.functions.SubwordTokenizer]]'s JVM scan takes. */
+  private def probeCase(vcte: String, maxL: Int): String =
+    (maxL to 2 by -1).map(l =>
+      s"WHEN pos+${l - 1} <= len(w) AND substring(w, pos, $l) IN (SELECT g FROM $vcte) THEN $l")
+      .mkString("CASE ", " ", " ELSE 1 END")
+
+  /** One oracle merge round: tokenize distinct words with v<k-1> (probe
+    * bounded by that vocab's max entry length), emit each step's
+    * adjacent-pair concatenation, weight by word frequency, top-K new
+    * strings → v<k>. */
+  private def mergeRoundCte(k: Int, maxL: Int): String = {
+    val step = probeCase(s"v${k - 1}", maxL)
+    s"""r$k AS (
+       |  SELECT w, 1 AS pos, '' AS prev, '' AS merged FROM dw2
+       |  UNION ALL
+       |  SELECT w, pos + $step AS pos,
+       |    substring(w, pos, $step) AS prev,
+       |    CASE WHEN prev <> '' THEN prev || substring(w, pos, $step) ELSE '' END AS merged
+       |  FROM r$k WHERE pos <= len(w)),
+       |p$k AS (
+       |  SELECT merged AS g, SUM(c) AS mc
+       |  FROM r$k JOIN wf USING (w)
+       |  WHERE merged <> '' AND merged NOT IN (SELECT g FROM v${k - 1})
+       |  GROUP BY merged),
+       |v${k}a AS (SELECT g FROM p$k ORDER BY mc DESC, g LIMIT $mergeTopK),
+       |v$k AS (SELECT g FROM v${k - 1} UNION ALL SELECT g FROM v${k}a)""".stripMargin
+  }
+
+  /** tx17's generated oracle: rebuild the bigram vocab, replay every
+    * merge round, then tokenize with the final vocab — each stage the
+    * exact SQL mirror of the engine's scan (`mergeRoundCte`/`probeCase`
+    * document the correspondence). */
+  private lazy val tx17Oracle: String = {
+    val finalV = mergeRounds + 1
+    val rounds = (2 to finalV).map(k => mergeRoundCte(k, maxL = 1 << (k - 1)))
+      .mkString(",\n")
+    val finalStep = probeCase(s"v$finalV", 1 << finalV)
+    s"""WITH RECURSIVE
+       |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |big AS (
+       |  SELECT substring(w, r, 2) AS g
+       |  FROM (SELECT w, unnest(range(1, len(w))) AS r FROM occ)),
+       |v1 AS (SELECT g FROM big GROUP BY g ORDER BY COUNT(*) DESC, g LIMIT $vocabSize),
+       |wf AS (SELECT w, COUNT(*) AS c FROM occ WHERE len(w) >= 2 GROUP BY w),
+       |dw2 AS (SELECT w FROM wf),
+       |$rounds,
+       |dw AS (SELECT DISTINCT w FROM occ WHERE len(w) >= 1),
+       |rec AS (
+       |  SELECT w, 1 AS pos, 0 AS toks FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + $finalStep AS pos, toks + 1 AS toks
+       |  FROM rec WHERE pos <= len(w)),
+       |wtok AS (SELECT w, toks AS n FROM rec WHERE pos > len(w)),
+       |counts AS (
+       |  SELECT d.doc_id, CAST(COALESCE(SUM(t.n), 0) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  LEFT JOIN occ o ON d.doc_id = o.doc_id
+       |  LEFT JOIN wtok t ON o.w = t.w
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, n_tokens FROM counts ORDER BY doc_id""".stripMargin
+  }
+
   /** The shared vocab-build + recursive-tokenize CTE prelude of the
     * tx15/tx16 oracles: DuckDB rebuilds the SAME vocab (same count, same
     * tie-break) and replays the greedy scan one cursor step per recursion
@@ -421,6 +554,7 @@ object TextAnalysis {
       |  GROUP BY d.doc_id, d.source)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "tx17_subword_merged" -> tx17Oracle,
     "tx15_subword_tokens" ->
       s"""$subwordCtePrelude
          |SELECT doc_id, n_tokens FROM counts ORDER BY doc_id""".stripMargin,

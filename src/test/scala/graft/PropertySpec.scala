@@ -122,6 +122,49 @@ object EtlProperties extends Properties("graft.etl") {
         toks.forall(t => t.length == 1 || (t.length == 2 && vocab.contains(t)))
     }
 
+  property("greedy tokenizer, MULTI-LENGTH vocab: longest match wins, scan equals a reference fold") =
+    Prop.forAllNoShrink(for {
+      words <- Gen.listOfN(8, Gen.identifier.suchThat(_.nonEmpty)).map(_.take(8))
+      // variable-length entries (2..8 chars) drawn from a 3-letter
+      // alphabet so words actually hit them, plus entries sliced from the
+      // words themselves so longest-vs-prefix contention is guaranteed
+      // (an "ab" prefix of an "abc" entry at the same position)
+      rand <- Gen.listOfN(10, for {
+        l <- Gen.chooseNum(2, 8)
+        cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield (words, rand)) { case (words, rand) =>
+      import graft.functions.SubwordTokenizer
+      val sliced = words.filter(_.length >= 3)
+        .flatMap(w => Seq(w.take(2), w.take(3), w.substring(1, math.min(4, w.length))))
+      val vocab = (rand ++ sliced).distinct.filter(_.length >= 2)
+      val text = words.mkString(" ")
+      val row = Seq(Tuple1(text)).toDF("t")
+        .select(SubwordTokenizer.greedyTokenCount($"t", vocab).as("n"),
+          SubwordTokenizer.greedyTokens($"t", vocab).as("toks"))
+        .collect()(0)
+      val n = row.getInt(0)
+      val toks = row.getSeq[String](1)
+      // independent reference scan: at each position take the longest
+      // vocab entry that fits, else 1 char
+      val vset = vocab.toSet
+      def ref(w: String): List[String] = {
+        def step(p: Int): List[String] =
+          if (p >= w.length) Nil
+          else {
+            val l = (math.min(8, w.length - p) to 2 by -1)
+              .find(k => vset.contains(w.substring(p, p + k))).getOrElse(1)
+            w.substring(p, p + l) :: step(p + l)
+          }
+        step(0)
+      }
+      val expected = words.flatMap(ref)
+      n == toks.length &&
+        toks == expected &&
+        toks.mkString == words.mkString &&
+        toks.forall(t => t.length == 1 || vset.contains(t))
+    }
+
   property("word n-gram generator emits max(0, words - n + 1) rows") =
     Prop.forAllNoShrink(for {
       words <- Gen.listOfN(6, Gen.identifier.suchThat(_.nonEmpty)).map(_.take(6))
