@@ -85,7 +85,7 @@ object Bench {
       "ss05_ivf_ann" -> Seq("ss05_ivf_ann", "ss10_semantic_dedup"),
       "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
-      "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental"),
+      "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental", "st06_bloom_ingest_dedup"),
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14

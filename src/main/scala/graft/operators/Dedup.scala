@@ -521,7 +521,7 @@ object Dedup {
     * Memo keyed by (applicationId, dir): a broadcast is owned by its
     * SparkContext, so a restarted context in the same JVM must not be
     * served a dead handle. */
-  private def bloomSketch(
+  private[graft] def bloomSketch(
       s: SparkSession,
       dir: String): org.apache.spark.broadcast.Broadcast[Array[Byte]] =
     bloomSketches.computeIfAbsent(s.sparkContext.applicationId + "|" + dir, { _ =>

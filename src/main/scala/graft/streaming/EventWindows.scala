@@ -63,6 +63,35 @@ object EventWindows {
         .orderBy("event_type")
     }),
 
+    // Batch twin of the streaming Bloom-prefiltered ingest dedup,
+    // routed through the EXACT helper the stream runs
+    // ([[Stateful.incrementalDedupBloom]]; StreamingSpec asserts
+    // stream/batch parity on the same inputs) — so dd08's broadcast-
+    // sketch transport and definite-new bypass are oracle-checked in
+    // their streaming shape too, not just dd08's batch shape. One
+    // deliberate normalization: the helper's within-batch tie-break is
+    // ARRIVAL order (dropDuplicates — the right semantics on a stream,
+    // nondeterministic in a batch), so the declared query pre-reduces
+    // the batch to keep-first by doc_id before the helper. The surviving
+    // FP SET is identical with or without the pre-reduction (the
+    // anti-join and dedup operate on whole fingerprints — spec-pinned);
+    // pinning the kept doc_id to the minimum makes the result
+    // deterministic and lets st06 share dd07/dd08's oracle verbatim.
+    "st06_bloom_ingest_dedup" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val batch = d.filter(col("doc_id") % 2 === 1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "text")
+      Stateful.incrementalDedupBloom(batch,
+        d.filter(col("doc_id") % 2 === 0).select("fp"),
+        graft.operators.Dedup.bloomSketch(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -89,6 +118,11 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    // st06 computes EXACTLY dd07/dd08's result (Bloom split is a pure
+    // pre-filter; keep-first pinned by the pre-reduction) — the oracle
+    // is SHARED verbatim, by reference.
+    "st06_bloom_ingest_dedup" ->
+      graft.operators.Dedup.oracle("dd07_incremental_dedup"),
     "st05_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.user_id,

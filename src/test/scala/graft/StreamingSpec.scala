@@ -243,6 +243,34 @@ class StreamingSpec extends SparkSpec {
       s"bloom stream kept ${bloomed.size} fps, batch kept ${batch.size}")
   }
 
+  test("st06's keep-first pre-reduction is fp-set-invariant through the bloom helper") {
+    // st06 pre-reduces the batch to keep-first-by-doc_id before the
+    // streaming helper so the kept doc_id is deterministic (the helper's
+    // own dropDuplicates is arrival-order). The SURVIVING FP SET must be
+    // identical with or without that pre-reduction — the anti-join and
+    // dedup operate on whole fingerprints — which is exactly what lets
+    // st06 share dd07/dd08's oracle verbatim.
+    val d = Tables.table(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+    val existing = d.filter(col("doc_id") % 2 === 0).select("fp")
+    val raw = d.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val sketch = graft.operators.Dedup.bloomSketch(spark, sf001)
+    val rawFps = graft.streaming.Stateful
+      .incrementalDedupBloom(raw, existing, sketch)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val st06Rows = graft.streaming.EventWindows
+      .queries("st06_bloom_ingest_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(st06Rows.map(_._2).toSet == rawFps,
+      "pre-reduction changed the surviving fp set")
+    // and st06's rows are exactly dd07's (the shared-oracle claim)
+    val dd07 = graft.operators.Dedup
+      .queries("dd07_incremental_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(st06Rows.toSeq == dd07.toSeq, "st06 diverged from dd07")
+  }
+
   test("watermarked incremental dedup (bounded state) keeps the same fp set here") {
     // Same contract as the unbounded variant when every in-stream duplicate
     // falls inside the watermark window (all synthetic ts within one hour
