@@ -75,8 +75,15 @@ object SoakCounts {
     p("ss11_survivors", n11)
     val inter1011 = ss10df.intersect(ss11df).count()
     val union1011 = n10 + n11 - inter1011
+    p("ss10_and_ss11_survivors", inter1011)
     println(f"COUNT ${"ss10_vs_ss11_overlap_frac"}%-40s ${
       if (union1011 == 0) 1.0 else inter1011.toDouble / union1011}%12.4f")
+    // Jaccard overlap MUST fall as the corpus grows (ss10's fixed-k cells
+    // saturate survivors while ss11's tracks the corpus, so |A|<<|B|);
+    // the agreement signal is CONTAINMENT of the saturated set — what
+    // fraction of ss10's survivors ss11 also keeps.
+    println(f"COUNT ${"ss10_in_ss11_containment"}%-40s ${
+      if (n10 == 0) 1.0 else inter1011.toDouble / n10}%12.4f")
     // refusal counters accumulated by the capped stages above — on the
     // zipfian cuts these record the boilerplate head the df cap trims
     // while the unique tail carries the flagged pairs (SOAK note 1)

@@ -109,6 +109,44 @@ def gen_documents_zipf(n, rng):
         "n_chars": pa.array([len(t) for t in texts], pa.int64())})
 
 
+def gen_documents_chain(n, rng):
+    """Long-CHAIN corpus for the dd05-vs-dd09 CC soak (round-8 verdict
+    ask #5): the zipf/sf cuts only produce diameter-tiny dup graphs, where
+    one-hop propagation (dd05) wins on constant factors - this cut builds
+    the corpus shape dd09 exists for. 10 chains of 251 docs each: doc k of
+    a chain is a 40-word window at stride 20 over a chain-unique word
+    stream, so consecutive docs share 18 of their 38 shingles (jaccard
+    18/58 = 0.31 >= 0.05 - an edge), non-consecutive docs share nothing,
+    and every shingle has df <= 2 (far under dd05's df-16 cap). The dup
+    graph is 10 disjoint paths of DIAMETER 250: dd05's min-label
+    propagation needs ~250 one-hop rounds (its maxIter-64 require MUST
+    fire), dd09's star contraction ~ceil(log2(250)) + c. The rest is
+    unique filler so edge generation still runs at soak scale."""
+    CHAINS, CLEN, WORDS, STRIDE = 10, 251, 40, 20
+    ids, texts, langs, sources = [], [], [], []
+    i = 0
+    for c in range(CHAINS):
+        stream = [f"c{c}p{p}" for p in range(STRIDE * (CLEN - 1) + WORDS)]
+        for k in range(CLEN):
+            ids.append(i)
+            texts.append(" ".join(stream[STRIDE * k:STRIDE * k + WORDS]))
+            langs.append("en")
+            sources.append(f"chain{c}")
+            i += 1
+    while i < n:
+        ids.append(i)
+        texts.append(" ".join(f"f{i}w{j}" for j in range(rng.randint(10, 100))))
+        langs.append(rng.choice(LANGS))
+        sources.append(f"src{rng.randrange(20)}")
+        i += 1
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+
 def gen_embeddings(n, rng):
     ids, vecs, labels = [], [], []
     for i in range(n):
@@ -131,7 +169,9 @@ def main():
             # name a per-doubling ratio); prefix-nested like the sf cuts
             ("zipf0.1", gen_documents_zipf, 5_000, 2_000),
             ("zipf0.5", gen_documents_zipf, 25_000, 10_000),
-            ("zipf1.0", gen_documents_zipf, 50_000, 20_000)]
+            ("zipf1.0", gen_documents_zipf, 50_000, 20_000),
+            # diameter-250 dup-chain cut (dd05's bound vs dd09's log rounds)
+            ("chain", gen_documents_chain, 20_000, 2_000)]
     for name, gen_docs, docs, embs in cuts:
         out = os.path.join(root, name)
         os.makedirs(out, exist_ok=True)
