@@ -293,6 +293,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd10's signature stage: distinct 3-word shingles per document, as
+    * sorted long hashes (`sh`, the exact-verify representation — a
+    * merge-walk intersect, no per-pair set build) and as a k-hash MinHash
+    * signature over the shingle strings (`sig`, MinHashSig's input
+    * contract). One row per input document, computed in one codegen'd
+    * projection — no shuffle. */
+  def fuzzySigs(docs: DataFrame, k: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      SketchExprs.shingleHashes(col("text"), 3).as("sh"),
+      SketchExprs.minhashSig(SketchExprs.wordShingles(col("text"), 3), k).as("sig"))
+
+  /** dd10's LSH blocking stage: split each signature into `bands` bands of
+    * `rows` hashes, bucket by the band slice's hash, and emit candidate
+    * pairs that share any (band, bucket) — the banded equi-join, never
+    * all-pairs. p(candidate | jaccard j) = 1 - (1 - j^rows)^bands; at the
+    * dd10 defaults (16 × 4) that is 0.988 at j = 0.7, ~1 at j ≥ 0.8, and
+    * exactly 1 for exact duplicates (identical signatures collide in
+    * every band). DedupSpec asserts gate-scale recall is exactly 1 vs the
+    * all-pairs j ≥ 0.7 truth — the license for dd10's hash-exact oracle. */
+  def fuzzyCandidatePairs(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        SketchExprs.longSliceHash(col("sig"), b * rows, rows).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** The END-TO-END fuzzy-dedup pipeline (the SlimPajama/RefinedWeb
+    * production recipe) over a (doc_id, text) frame: MinHash signatures →
+    * LSH band buckets → candidate pairs → EXACT-jaccard verification
+    * (≥ `minJaccard`, default 0.7 — the standard near-dup threshold) →
+    * O(log n) star-contraction connected components → keep each cluster's
+    * min doc_id. Every stage is the 100 TB form: the only pair join is
+    * the banded bucket equi-join, verification ships shingle sets ONLY
+    * for candidate pairs, clustering is dd09's contraction, and the final
+    * drop is an anti-join on doc_id (the drop side can be a large
+    * fraction of the corpus, so no broadcast hint — AQE picks one when it
+    * is small). LSH here is a candidate PRUNER under an exact verify:
+    * false positives cost only a verification row; false negatives are
+    * the recall the band/row choice buys (see [[fuzzyCandidatePairs]]).
+    * Jaccard is over distinct shingle HASHES vs the oracle's distinct
+    * shingle STRINGS — collision-free at gate scale (the dd03 contract,
+    * hash-exact since r4). */
+  def fuzzyDedupSurvivors(docs: DataFrame, k: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7): DataFrame = {
+    val d = fuzzySigs(docs, k)
+    val edges = fuzzyCandidatePairs(d, bands, k / bands)
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", SketchExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+      .filter(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        >= minJaccard)
+      .select("id_a", "id_b")
+    val drops = propagateMinLabelsLogN(edges)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.select("doc_id")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
     "dd01_exact_dedup" -> ((s, dir) => {
@@ -416,6 +485,12 @@ object Dedup {
     // dd05's bound would need > 100).
     "dd09_dup_clusters_logn" -> ((s, dir) =>
       propagateMinLabelsLogN(jaccardClusterEdges(s, dir))),
+
+    // The end-to-end fuzzy-dedup pipeline as ONE declared query — see
+    // [[fuzzyDedupSurvivors]] for the stage-by-stage 100 TB shape and the
+    // recall argument that licenses its hash-exact oracle.
+    "dd10_fuzzy_dedup" -> ((s, dir) =>
+      fuzzyDedupSurvivors(table(s, dir, "documents"))),
 
     // Incremental ingest dedup — the production shape for a GROWING corpus:
     // the existing corpus is already deduped, so a new batch only needs
@@ -631,6 +706,32 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dd09_dup_clusters_logn" -> clustersOracle,
+    // The exact pipeline dd10's LSH prunes candidates FOR: all-pairs
+    // jaccard >= 0.7 edges (same distinct-shingle definition as the
+    // clusters oracle), exact transitive closure, keep each component's
+    // min. Valid as dd10's oracle because gate-scale recall is exactly 1
+    // (DedupSpec asserts candidates ⊇ the all-pairs truth); the oracle's
+    // all-pairs join is the O(n²) form the engine exists to avoid.
+    "dd10_fuzzy_dedup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id),
+        |drops AS (SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin,
     "dd01_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

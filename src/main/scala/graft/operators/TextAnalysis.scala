@@ -360,6 +360,38 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM document scoring — the CCNet/Gopher-style quality
+    // filter: train word frequencies ON THE CORPUS (one wordcount-shaped
+    // agg), then score every document by total and per-token log
+    // probability; downstream keeps/buckets by `avg_logp` (a perplexity
+    // proxy: boilerplate of common words scores high, lorem-ipsum noise
+    // low). Shape at 100 TB: two shuffles on the token key (the count and
+    // the score join — the frequency side is VOCABULARY-sized, Heaps-law
+    // sublinear, but can exceed the broadcast budget at corpus scale, so
+    // it stays a shuffle join and AQE may downgrade it to broadcast when
+    // small) + one on doc_id; the 1-row corpus total IS broadcast. Hash-
+    // exact vs DuckDB: per-token log-probs are rounded to 6 dp THEN cast
+    // to DECIMAL(28,6) so the distributed sum is exact (the ss04 playbook;
+    // a raw double sum is order-dependent), and the final per-token mean
+    // divides AFTER the exact sum.
+    "tx18_unigram_logprob" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("t"))
+      val logp = freq.crossJoin(broadcast(tot))
+        .select(col("w"), round(log(col("cnt") / col("t")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("logp"))
+      toks.join(logp, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sum(col("logp")).as("logprob"))
+        .withColumn("avg_logp",
+          round(col("logprob").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -554,6 +586,22 @@ object TextAnalysis {
       |  GROUP BY d.doc_id, d.source)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Mirrors tx18 exactly: same [a-z]+ tokenization, per-token ln rounded
+    // to 6 dp then DECIMAL(28,6) so the sum is exact, mean divided after.
+    "tx18_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT SUM(cnt) AS t FROM freq),
+        |logp AS (
+        |  SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / t), 6) AS DECIMAL(28,6)) AS logp
+        |  FROM freq, tot)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  SUM(logp) AS logprob,
+        |  round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |FROM toks JOIN logp USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx17_subword_merged" -> tx17Oracle,
     "tx15_subword_tokens" ->
       s"""$subwordCtePrelude

@@ -210,6 +210,37 @@ class DedupSpec extends SparkSpec {
     assert(viaStars == viaHops)
   }
 
+  test("dd10 survivors: near-dup chain collapses to its min, unique doc kept") {
+    // docs: 1≈2 (one word differs, j≈0.85), 1=4 (exact), 3 unique →
+    // one cluster {1,2,4} keeps 1, plus the unrelated 3.
+    val kept = Dedup.fuzzyDedupSurvivors(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("dd10's LSH candidates cover the all-pairs j >= 0.7 truth at gate scale") {
+    // THE license for dd10's hash-exact oracle (the exact transitive
+    // closure over all-pairs j >= 0.7 edges): at the correctness gate's
+    // corpus, banded-LSH recall must be exactly 1 — every true near-dup
+    // pair is some band's bucket collision. All-pairs here is the O(n²)
+    // oracle shape, affordable once at spec scale, never in the engine.
+    val gate = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    val d = Dedup.fuzzySigs(gate).cache()
+    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val truth = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedLongIntersectCount($"sh_a", $"sh_b"))
+      .filter($"inter" / (size($"sh_a") + size($"sh_b") - $"inter") >= 0.7)
+      .select("id_a", "id_b")
+    val cand = Dedup.fuzzyCandidatePairs(d)
+    val missed = truth.exceptAll(cand).count()
+    val nTruth = truth.count()
+    d.unpersist()
+    assert(nTruth > 0, "gate corpus must contain j >= 0.7 near-dup pairs")
+    assert(missed == 0, s"LSH missed $missed of $nTruth true pairs")
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With

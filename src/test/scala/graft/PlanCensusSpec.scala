@@ -14,7 +14,8 @@ class PlanCensusSpec extends SparkSpec {
     "q25_cross_join", // region x order-status: 5 x 3 rows
     "ss01_cosine_topk", // exact brute-force baseline (ANN paths replace it)
     "ss05_ivf_ann", // corpus x 10 broadcast centroids
-    "ss10_semantic_dedup") // same corpus x 10 broadcast centroid assignment
+    "ss10_semantic_dedup", // same corpus x 10 broadcast centroid assignment
+    "tx18_unigram_logprob") // vocab x ONE broadcast row (the corpus total)
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -22,6 +22,38 @@ class TextAnalysisSpec extends SparkSpec {
         s"(only_hashed=${(hashed -- string).take(5)}, only_string=${(string -- hashed).take(5)})")
   }
 
+  test("tx18 unigram log-prob scores a hand-computable corpus exactly") {
+    import spark.implicits._
+    // corpus: "aa aa bb" + "bb cc" → counts aa=2 bb=2 cc=1, total 5.
+    // logp(aa) = logp(bb) = round(ln(0.4), 6) = -0.916291
+    // logp(cc) = round(ln(0.2), 6) = -1.609438
+    val tmp = java.nio.file.Files.createTempDirectory("tx18").toString
+    Seq((1L, "aa aa bb"), (2L, "bb cc")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("tx18_unigram_logprob")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDecimal(2).doubleValue(), r.getDouble(3))).toList
+    assert(rows == List(
+      (1L, 3, -2.748873, -0.916291), // 2*ln(.4)+ln(.4), mean = ln(.4)
+      (2L, 2, -2.525729, -1.262865))) // ln(.4)+ln(.2) = -2.525729, /2
+  }
+
+  test("tx18: common-word boilerplate outscores rare-word noise (the filter's point)") {
+    // On the gate corpus the score must actually rank: a doc of corpus-
+    // frequent words gets a higher (less negative) avg_logp than one of
+    // corpus-rare words — the perplexity-proxy ordering CCNet keeps/drops by.
+    val scored = graft.SparkEntry.queries("tx18_unigram_logprob")(spark, sf001)
+    val docs = graft.sources.Tables.table(spark, sf001, "documents")
+    val n = scored.count()
+    assert(n > 0 && n == docs.filter(lower(col("text")).rlike("[a-z]")).count(),
+      "every doc with an alpha token is scored, others dropped")
+    val spread = scored.agg(max(col("avg_logp")) - min(col("avg_logp")))
+      .head.getDouble(0)
+    assert(spread > 0.1, s"scores must separate docs, spread=$spread")
+  }
+
   test("ngramHashes matches WordNgrams' tokenization on adversarial texts") {
     // the corpus shapes where shingleHashes diverges from WordNgrams —
     // trailing spaces (empty tokens kept by split limit -1) and <n-word
