@@ -59,6 +59,14 @@ object SoakCounts {
     p("dd05_labeled_nodes", dd05df.count())
     p("dd05_vs_dd09_label_diff",
       dd05df.exceptAll(dd09df).count() + dd09df.exceptAll(dd05df).count())
+    // dd10 end-to-end fuzzy dedup: survivors and the stage cardinalities
+    // that prove the LSH pruner's economics — candidates must stay near
+    // the verified-edge count (precision), never approach all-pairs.
+    val sigs = Dedup.fuzzySigs(table(spark, dir, "documents"))
+    val dd10cand = Dedup.fuzzyCandidatePairs(sigs).count()
+    p("dd10_lsh_candidates", dd10cand)
+    p("dd10_survivors",
+      SparkEntry.queries("dd10_fuzzy_dedup")(spark, dir).count())
     spark.catalog.clearCache(); Caches.releaseAll()
     // SemDeDup survivor counts: NEITHER survivor set dominates the other —
     // both are supersets of the exact-survivor floor (neither blocker

@@ -271,6 +271,28 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Deterministic global shuffle into training shards — the
+    // reproducible data-order contract a trainer needs (rerunning the
+    // pipeline must yield byte-identical shard files): every doc gets a
+    // seeded pseudo-random key (md5 over seed + doc_id — stable across
+    // runs AND cluster layouts, unlike any rand()), the key's first
+    // nibble is the shard, and rank-within-shard is the write position.
+    // Shape at 100 TB: ONE hash-partitioned exchange on the shard key,
+    // then a per-shard sort — exactly the shuffle a sharded writer pays
+    // anyway, never a global single-partition order. Changing the seed
+    // literal reshuffles everything deterministically.
+    "tx19_shuffle_shards" -> ((s, dir) => {
+      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("h", "doc_id")
+      table(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     // Token-budget sequence packing: assign contiguous (per-source,
     // doc_id-ordered) documents to fixed-budget training bins via an
     // exclusive running token sum — the packing map a trainer uses to
@@ -603,6 +625,14 @@ object TextAnalysis {
         |FROM toks JOIN logp USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx17_subword_merged" -> tx17Oracle,
+    "tx19_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, substring(h, 1, 1) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "tx15_subword_tokens" ->
       s"""$subwordCtePrelude
          |SELECT doc_id, n_tokens FROM counts ORDER BY doc_id""".stripMargin,

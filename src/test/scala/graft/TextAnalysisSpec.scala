@@ -54,6 +54,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(spread > 0.1, s"scores must separate docs, spread=$spread")
   }
 
+  test("tx19 shard shuffle: dense 1..n positions per shard, all docs covered, order differs from doc_id order") {
+    val out = graft.SparkEntry.queries("tx19_shuffle_shards")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val docs = graft.sources.Tables.table(spark, sf001, "documents").count()
+    assert(out.length == docs, "every doc gets a shard slot")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted.toList
+      assert(ps == (1 to rows.length).toList, s"shard $shard positions not dense: ${ps.take(5)}")
+    }
+    // the whole point: within-shard order is NOT doc_id order (a shuffle)
+    val someShard = out.groupBy(_._2).values.maxBy(_.length)
+    val byPos = someShard.sortBy(_._3).map(_._1).toList
+    assert(byPos != byPos.sorted, "within-shard order must be shuffled, not doc_id order")
+  }
+
   test("ngramHashes matches WordNgrams' tokenization on adversarial texts") {
     // the corpus shapes where shingleHashes diverges from WordNgrams —
     // trailing spaces (empty tokens kept by split limit -1) and <n-word
