@@ -492,6 +492,63 @@ object Dedup {
     "dd10_fuzzy_dedup" -> ((s, dir) =>
       fuzzyDedupSurvivors(table(s, dir, "documents"))),
 
+    // dd10's INCREMENTAL form — fuzzy dedup for a GROWING corpus, the
+    // near-dup analogue of dd07's exact fp anti-join: a new batch (odd
+    // doc_ids, dd07's deterministic split so the oracle can mirror it)
+    // probes the existing corpus's LSH band buckets; only pairs touching
+    // the batch are candidates, so the pair join is BATCH-sized, and the
+    // star-contraction CC runs on the touched subgraph only — nothing
+    // corpus-wide is re-paired. A batch doc survives iff its verified
+    // near-dup component contains NO existing doc and it is the earliest
+    // batch doc in that component (a component with an existing member
+    // already has its canonical in the corpus — the whole batch side
+    // drops, the greedy production rule). The corpus-side sig/banding
+    // scan is recomputed here for self-containment; production persists
+    // the banded index and pays only the batch's scan (the dd07/dd08
+    // bucketed-index note applies verbatim). Hash-exact: the oracle is
+    // the exact all-pairs closure RESTRICTED to batch-touching edges,
+    // licensed by the same gate-scale recall-1 spec as dd10.
+    "dd11_incremental_fuzzy" -> ((s, dir) => {
+      val d = fuzzySigs(table(s, dir, "documents"))
+      val batchIds = d.filter(col("doc_id") % 2 === 1)
+      // probe side = batch bands only; build side = everyone's bands
+      val bands = 16; val rows = 4
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          SketchExprs.longSliceHash(col("sig"), b * rows, rows).as("bucket"))
+      }
+      def banded(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      val cand = banded(batchIds)
+        .select(col("band"), col("bucket"), col("doc_id").as("id_p"))
+        .join(banded(d).select(col("band"), col("bucket"), col("doc_id").as("id_q")),
+          Seq("band", "bucket"))
+        .filter(col("id_p") =!= col("id_q"))
+        .select(least(col("id_p"), col("id_q")).as("id_a"),
+          greatest(col("id_p"), col("id_q")).as("id_b"))
+        .distinct()
+      val edges = cand
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", SketchExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+        .filter(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.7)
+        .select("id_a", "id_b")
+      val labels = propagateMinLabelsLogN(edges)
+      val stats = labels.groupBy("cluster_id").agg(
+        max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("has_existing"),
+        min(when(col("doc_id") % 2 === 1, col("doc_id"))).as("min_batch"))
+      val clusteredKeep = labels.join(stats, "cluster_id")
+        .filter(col("doc_id") % 2 === 1 && col("has_existing") === 0
+          && col("doc_id") === col("min_batch"))
+        .select("doc_id")
+      val clusteredBatch = labels.filter(col("doc_id") % 2 === 1).select("doc_id")
+      batchIds.select("doc_id")
+        .join(clusteredBatch, Seq("doc_id"), "left_anti")
+        .unionByName(clusteredKeep)
+        .orderBy("doc_id")
+    }),
+
     // Incremental ingest dedup — the production shape for a GROWING corpus:
     // the existing corpus is already deduped, so a new batch only needs
     // (a) an anti-join against existing fingerprints and (b) keep-first
@@ -732,6 +789,40 @@ object Dedup {
         |drops AS (SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin,
+    // dd11: the same exact closure RESTRICTED to batch-touching edges
+    // (odd = batch, even = existing — dd07's deterministic split), with
+    // the greedy ingest rule: a batch doc survives iff its component has
+    // no existing member and it is the component's earliest batch doc.
+    "dd11_incremental_fuzzy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id),
+        |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |stats AS (
+        |  SELECT cluster_id,
+        |    MAX(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS has_existing,
+        |    MIN(CASE WHEN id % 2 = 1 THEN id END) AS min_batch
+        |  FROM labels GROUP BY cluster_id),
+        |drops AS (
+        |  SELECT id FROM labels JOIN stats USING (cluster_id)
+        |  WHERE id % 2 = 1 AND (has_existing = 1 OR id != min_batch))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     "dd01_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -241,6 +241,31 @@ class DedupSpec extends SparkSpec {
     assert(missed == 0, s"LSH missed $missed of $nTruth true pairs")
   }
 
+  test("dd11 ingest rule: existing-dup batch docs drop, batch-only chains keep their min") {
+    // existing (even): 2, 4, 6; batch (odd): 1, 3, 5, 7, 9.
+    //  - 1 near-dups existing 2         -> dropped (canonical in corpus)
+    //  - 3 ~ 5 (batch-only pair)        -> 3 kept, 5 dropped
+    //  - 7 ~ 4 via nothing, unique      -> kept
+    //  - 9 ~ 3 AND 3 ~ 5: component {3,5,9}, no existing -> only 3 kept
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val alt = "completely different content about spark query engines and columnar execution"
+    val third = "unrelated third topic entirely about cooking recipes and kitchen utensils today"
+    val tmp = java.nio.file.Files.createTempDirectory("dd11").toString
+    Seq(
+      (1L, base + " today"), (2L, base + " today"), // batch 1 = existing 2
+      (3L, alt + " plans"), (5L, alt + " plan"), (9L, alt + " plans"), // batch-only cluster
+      (4L, third), (6L, third + " and pans"), // existing-only near-dups (untouched)
+      (7L, "a lone singleton batch document with words shared by absolutely nothing else here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kept = Dedup.queries("dd11_incremental_fuzzy")(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L), s"got $kept")
+    graft.Caches.releaseAll()
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With
