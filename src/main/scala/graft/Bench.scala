@@ -89,7 +89,8 @@ object Bench {
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14
-      "e17_partition_prune" -> Seq("e17_partition_prune"))
+      "e17_partition_prune" -> Seq("e17_partition_prune"),
+      "e18_evolved_scan" -> Seq("e18_evolved_scan")) // fixture write at builder time
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
       .foreach { case (n, _) =>
         try { SparkEntry.queries(n)(spark, sfDir); () }

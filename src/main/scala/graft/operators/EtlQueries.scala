@@ -131,7 +131,53 @@ object EtlQueries {
       path
     })
 
+  /** e18's schema-EVOLVED parquet fixture — same once-per-(process, sfDir)
+    * lifecycle as e14/e16/e17. Two generations under one root: gen=0 is
+    * the documents table as first ingested (doc_id, text, lang — even
+    * ids), gen=1 adds the later columns (source, n_chars — odd ids). This
+    * is the physical reality of a long-lived 100 TB corpus: new columns
+    * arrive, old shards are NEVER rewritten, and every reader must
+    * null-fill history correctly. */
+  private val e18Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def e18EvolvedPath(s: SparkSession, dir: String): String =
+    e18Paths.computeIfAbsent(dir, { _ =>
+      sweepStaleFixtures("graft_e18_evolved_")
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e18_evolved_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
+      val path = f.getAbsolutePath
+      val d = table(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$path/gen=0")
+      d.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm))
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Schema-evolution scan as a DECLARED query: mergeSchema=true unions
+    // the generations' footers distributed-side (no second data pass) and
+    // null-fills the old generation's missing columns; the oracle replays
+    // the null-fill rule on the unevolved parquet, so the evolved
+    // write→merge→scan round trip is hash-checked end to end. At 100 TB
+    // the alternative — a DECLARED superset schema on the read (e16's
+    // discipline) — skips even the footer pass; mergeSchema is the
+    // exploratory/first-contact form.
+    "e18_evolved_scan" -> ((s, dir) => {
+      val path = e18EvolvedPath(s, dir)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Partition-pruned scan as a DECLARED query (PruningSpec asserts the
     // mechanism; this makes it gate-checked end to end): the fixture is
     // the documents table rewritten Hive-partitioned by lang, the query
@@ -383,6 +429,13 @@ object EtlQueries {
     "e17_partition_prune" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    // mirrors e18's generation split: gen=0 (even ids) predates the
+    // source/n_chars columns, so the merged scan null-fills them there
+    "e18_evolved_scan" ->
+      """SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e01_cast_coerce" ->
       """SELECT doc_id,
         |  TRY_CAST(lang AS DOUBLE) AS lang_num,

@@ -409,8 +409,59 @@ object TextAnalysis {
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_tokens"),
           sum(col("logp")).as("logprob"))
+        // the mean stays a RAW IEEE quotient: both engines divide the
+        // identical exact decimal by the identical count, so the doubles
+        // are bit-equal — a final round() would NOT be (tx20 found it:
+        // round-on-double is string-based in Spark and multiply-based in
+        // DuckDB, and a quotient landing on an exact 6dp tie, e.g.
+        // -85.347612/24, rounds differently)
         .withColumn("avg_logp",
-          round(col("logprob").cast("double") / col("n_tokens"), 6))
+          col("logprob").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // tx18's depth step: a bigram CONDITIONAL LM (P(w | prev) by MLE over
+    // the corpus's own bigram events; first token backs off to the
+    // unigram). Context-conditioning is what separates a perplexity
+    // filter from a word-frequency filter: scrambled common words score
+    // high under tx18 but low here. Training-on-self means every scored
+    // bigram exists in the model, so MLE needs no smoothing and the
+    // selection rule is EXACTLY the oracle's CASE. Shape at 100 TB:
+    // distributed n-gram LM training + scoring — one doc_id-partitioned
+    // window for the lag, token-keyed aggs (unigram, bigram, context —
+    // each vocabulary-sized), joins back on the token keys; the 1-row
+    // total is the only broadcast. Same 6dp-round-then-DECIMAL(28,6)
+    // discipline as tx18 for the order-independent exact sum.
+    "tx20_bigram_logprob" -> ((s, dir) => {
+      val dt = org.apache.spark.sql.types.DecimalType(28, 6)
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .as(Seq("pos", "w")))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val seq = toks.withColumn("prev", lag(col("w"), 1).over(wnd))
+      val uni = seq.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).as("t"))
+      val big = seq.filter(col("prev").isNotNull)
+        .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      val ctx = big.groupBy("prev").agg(sum(col("c2")).as("c1"))
+      val unip = uni.crossJoin(broadcast(tot))
+        .select(col("w"), round(log(col("cnt") / col("t")), 6).cast(dt).as("logp0"))
+      val bigp = big.join(ctx, "prev")
+        .select(col("prev"), col("w"),
+          round(log(col("c2") / col("c1")), 6).cast(dt).as("logp1"))
+      seq.join(unip, "w")
+        .join(bigp, Seq("prev", "w"), "left")
+        .withColumn("tok_lp",
+          when(col("prev").isNull, col("logp0")).otherwise(col("logp1")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sum(col("tok_lp")).as("logprob"))
+        // raw IEEE quotient, NOT round(…, 6) — see tx18's note (an exact
+        // 6dp tie like -85.347612/24 rounds differently per engine)
+        .withColumn("avg_logp",
+          col("logprob").cast("double") / col("n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -621,10 +672,40 @@ object TextAnalysis {
         |  FROM freq, tot)
         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
         |  SUM(logp) AS logprob,
-        |  round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS avg_logp
         |FROM toks JOIN logp USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx17_subword_merged" -> tx17Oracle,
+    // Mirrors tx20: same tokenization, bigram MLE over the corpus's own
+    // events (prev from the positional index), first token backs off to
+    // the unigram; per-token round-to-6dp-then-DECIMAL sum as tx18.
+    "tx20_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, ws[i] AS w, CASE WHEN i > 1 THEN ws[i-1] END AS prev
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+        |uni AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT SUM(cnt) AS t FROM uni),
+        |big AS (
+        |  SELECT prev, w, COUNT(*) AS c2 FROM toks
+        |  WHERE prev IS NOT NULL GROUP BY prev, w),
+        |ctx AS (SELECT prev, SUM(c2) AS c1 FROM big GROUP BY prev),
+        |lp AS (
+        |  SELECT toks.doc_id,
+        |    CASE WHEN toks.prev IS NULL
+        |      THEN CAST(round(ln(CAST(uni.cnt AS DOUBLE) / tot.t), 6) AS DECIMAL(28,6))
+        |      ELSE CAST(round(ln(CAST(big.c2 AS DOUBLE) / ctx.c1), 6) AS DECIMAL(28,6))
+        |    END AS tok_lp
+        |  FROM toks
+        |  JOIN uni ON toks.w = uni.w
+        |  LEFT JOIN big ON toks.prev = big.prev AND toks.w = big.w
+        |  LEFT JOIN ctx ON toks.prev = ctx.prev
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens, SUM(tok_lp) AS logprob,
+        |  CAST(SUM(tok_lp) AS DOUBLE) / COUNT(*) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx19_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h

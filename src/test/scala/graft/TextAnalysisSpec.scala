@@ -36,8 +36,10 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1),
         r.getDecimal(2).doubleValue(), r.getDouble(3))).toList
     assert(rows == List(
-      (1L, 3, -2.748873, -0.916291), // 2*ln(.4)+ln(.4), mean = ln(.4)
-      (2L, 2, -2.525729, -1.262865))) // ln(.4)+ln(.2) = -2.525729, /2
+      // means are RAW IEEE quotients of the exact decimal sums (see the
+      // tx18 builder note on why there is no final round)
+      (1L, 3, -2.748873, -0.9162910000000001), // 2*ln(.4)+ln(.4), /3
+      (2L, 2, -2.525729, -1.2628645))) // ln(.4)+ln(.2) = -2.525729, /2
   }
 
   test("tx18: common-word boilerplate outscores rare-word noise (the filter's point)") {
@@ -52,6 +54,39 @@ class TextAnalysisSpec extends SparkSpec {
     val spread = scored.agg(max(col("avg_logp")) - min(col("avg_logp")))
       .head.getDouble(0)
     assert(spread > 0.1, s"scores must separate docs, spread=$spread")
+  }
+
+  test("tx20 bigram LM is order-sensitive where tx18 cannot be") {
+    import spark.implicits._
+    // corpus: four fluent docs "the cat sat" + one scrambled "cat the sat".
+    // Identical word MULTISET per doc → tx18 (unigram) scores all five
+    // docs the same; tx20's conditional P(w|prev) must rank the scrambled
+    // doc strictly below — the property that makes a perplexity filter
+    // more than a word-frequency filter.
+    val tmp = java.nio.file.Files.createTempDirectory("tx20").toString
+    (Seq.tabulate(4)(i => ((i + 1).toLong, "the cat sat")) :+ (5L, "cat the sat"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def scores(name: String) =
+      graft.SparkEntry.queries(name)(spark, tmp)
+        .select("doc_id", "avg_logp").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uni = scores("tx18_unigram_logprob")
+    assert(uni(5L) == uni(1L), s"tx18 must be order-blind: ${uni(5L)} vs ${uni(1L)}")
+    val big = scores("tx20_bigram_logprob")
+    assert(big(1L) == big(4L), "identical docs score identically")
+    assert(big(5L) < big(1L) - 0.5,
+      s"scrambled doc must score clearly lower: ${big(5L)} vs ${big(1L)}")
+    // hand-check: unigrams all 1/3; fluent bigrams P=4/5, scrambled P=1/5.
+    // fluent sum  = round(ln(1/3),6) + 2*round(ln(4/5),6) = -1.544900
+    // scrambled   = round(ln(1/3),6) + 2*round(ln(1/5),6) = -4.317488
+    val sums = graft.SparkEntry.queries("tx20_bigram_logprob")(spark, tmp)
+      .select("doc_id", "logprob").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(sums(1L) == -1.544900 && sums(5L) == -4.317488,
+      s"hand-computed MLE sums diverge: ${sums(1L)}, ${sums(5L)}")
   }
 
   test("tx19 shard shuffle: dense 1..n positions per shard, all docs covered, order differs from doc_id order") {
