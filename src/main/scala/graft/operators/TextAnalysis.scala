@@ -427,20 +427,26 @@ object TextAnalysis {
     // high under tx18 but low here. Training-on-self means every scored
     // bigram exists in the model, so MLE needs no smoothing and the
     // selection rule is EXACTLY the oracle's CASE. Shape at 100 TB:
-    // distributed n-gram LM training + scoring — one doc_id-partitioned
-    // window for the lag, token-keyed aggs (unigram, bigram, context —
-    // each vocabulary-sized), joins back on the token keys; the 1-row
-    // total is the only broadcast. Same 6dp-round-then-DECIMAL(28,6)
+    // distributed n-gram LM training + scoring — (w, prev) is derived
+    // NARROWLY inside the token array before the explode (ws[i-1] via a
+    // transform lambda), so tokenization never shuffles: the first draft's
+    // window-lag form paid Exchange+Sort+Window over the full token
+    // stream in three plan branches; this form's only exchanges are the
+    // vocabulary-sized aggs (unigram, bigram, context), the token-keyed
+    // score joins, and the final per-doc agg — the 1-row corpus total is
+    // the only broadcast-nested-loop. Same 6dp-round-then-DECIMAL(28,6)
     // discipline as tx18 for the order-independent exact sum.
     "tx20_bigram_logprob" -> ((s, dir) => {
       val dt = org.apache.spark.sql.types.DecimalType(28, 6)
-      val toks = table(s, dir, "documents")
+      val seq = table(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-            .as(Seq("pos", "w")))
-      val wnd = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val seq = toks.withColumn("prev", lag(col("w"), 1).over(wnd))
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          // element_at is 1-based, the lambda index 0-based: element_at(ws, i)
+          // IS the previous token; i = 0 (the doc's first token) stays null
+          "transform(ws, (x, i) -> struct(x AS w, CASE WHEN i > 0 THEN element_at(ws, i) END AS prev))"))
+          .as("tp"))
+        .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev"))
       val uni = seq.groupBy("w").agg(count(lit(1)).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("t"))
       val big = seq.filter(col("prev").isNotNull)
