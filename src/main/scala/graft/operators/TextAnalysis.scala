@@ -471,6 +471,58 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The case tx20 cannot exercise: scoring HELD-OUT text, where bigrams
+    // and words unseen in training actually occur. Train the bigram LM on
+    // tx13's train fold, score the val fold with stupid backoff (Brants
+    // et al. 2007, "Large Language Models in Machine Translation"):
+    //   S(w|prev) = c2/c1 if the bigram was seen, else 0.4 * S(w)
+    //   S(w)      = cnt/T if the word was seen, else 0.4 / T
+    // — unnormalized scores by design; at web scale backoff needs no
+    // discounting arithmetic, which is exactly why it is the standard
+    // distributed n-gram recipe. Fold assignment reuses tx13's
+    // content-hash nibble so the train/eval boundary is leakage-proof
+    // through exact dups. Same narrow (w, prev) derivation and exact
+    // decimal sum as tx20; n_oov / n_backoff expose how much of each
+    // doc's score came from backoff (the filter's confidence signal).
+    "tx21_backoff_heldout" -> ((s, dir) => {
+      val dt = org.apache.spark.sql.types.DecimalType(28, 6)
+      val seq = table(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1).as("nib"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        .select(col("doc_id"), col("nib"), explode(expr(
+          "transform(ws, (x, i) -> struct(x AS w, CASE WHEN i > 0 THEN element_at(ws, i) END AS prev))"))
+          .as("tp"))
+        .select(col("doc_id"), col("nib"), col("tp.w").as("w"), col("tp.prev").as("prev"))
+      val train = seq.filter(!col("nib").isin("d", "e", "f"))
+      val ev = seq.filter(col("nib").isin("d", "e"))
+      val uni = train.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).as("t"))
+      val big = train.filter(col("prev").isNotNull)
+        .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      val ctx = big.groupBy("prev").agg(sum(col("c2")).as("c1"))
+      val uniS = when(col("cnt").isNotNull, col("cnt") / col("t"))
+        .otherwise(lit(0.4) / col("t"))
+      ev.join(uni, Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .join(big, Seq("prev", "w"), "left")
+        .join(ctx, Seq("prev"), "left")
+        .withColumn("tok_lp",
+          when(col("prev").isNull, round(log(uniS), 6))
+            .when(col("c2").isNotNull, round(log(col("c2") / col("c1")), 6))
+            .otherwise(round(log(lit(0.4) * uniS), 6))
+            .cast(dt))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sum(when(col("cnt").isNull, 1).otherwise(0)).cast("int").as("n_oov"),
+          sum(when(col("prev").isNotNull && col("c2").isNull, 1).otherwise(0))
+            .cast("int").as("n_backoff"),
+          sum(col("tok_lp")).as("logprob"))
+        .withColumn("avg_logp",
+          col("logprob").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -711,6 +763,52 @@ object TextAnalysis {
         |  CROSS JOIN tot)
         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens, SUM(tok_lp) AS logprob,
         |  CAST(SUM(tok_lp) AS DOUBLE) / COUNT(*) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors tx21: tx13's md5-nibble fold boundary, bigram LM trained on
+    // the train fold only, stupid backoff (0.4) on the val fold. Every
+    // irrational term is round(ln(..), 6) → DECIMAL(28,6) before the sum
+    // (tx18's discipline); the unseen-word base score 0.4/t and the
+    // backoff product 0.4 * S(w) keep the engine's exact expression shape
+    // so the doubles agree bit-for-bit before rounding.
+    "tx21_backoff_heldout" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(md5(lower(trim(text))), 1, 1) AS nib,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, nib, ws[i] AS w, CASE WHEN i > 1 THEN ws[i-1] END AS prev
+        |  FROM (SELECT doc_id, nib, ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+        |tr AS (SELECT * FROM toks WHERE nib NOT IN ('d', 'e', 'f')),
+        |ev AS (SELECT * FROM toks WHERE nib IN ('d', 'e')),
+        |uni AS (SELECT w, COUNT(*) AS cnt FROM tr GROUP BY w),
+        |tot AS (SELECT SUM(cnt) AS t FROM uni),
+        |big AS (
+        |  SELECT prev, w, COUNT(*) AS c2 FROM tr
+        |  WHERE prev IS NOT NULL GROUP BY prev, w),
+        |ctx AS (SELECT prev, SUM(c2) AS c1 FROM big GROUP BY prev),
+        |lp AS (
+        |  SELECT ev.doc_id, uni.cnt, ev.prev, big.c2,
+        |    CASE
+        |      WHEN ev.prev IS NULL THEN round(ln(
+        |        CASE WHEN uni.cnt IS NOT NULL THEN CAST(uni.cnt AS DOUBLE) / tot.t
+        |             ELSE 0.4 / tot.t END), 6)
+        |      WHEN big.c2 IS NOT NULL THEN
+        |        round(ln(CAST(big.c2 AS DOUBLE) / ctx.c1), 6)
+        |      ELSE round(ln(0.4 * (
+        |        CASE WHEN uni.cnt IS NOT NULL THEN CAST(uni.cnt AS DOUBLE) / tot.t
+        |             ELSE 0.4 / tot.t END)), 6)
+        |    END AS tok_lp_raw
+        |  FROM ev
+        |  LEFT JOIN uni ON ev.w = uni.w
+        |  LEFT JOIN big ON ev.prev = big.prev AND ev.w = big.w
+        |  LEFT JOIN ctx ON ev.prev = ctx.prev
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS INT) AS n_oov,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND c2 IS NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS n_backoff,
+        |  SUM(CAST(tok_lp_raw AS DECIMAL(28,6))) AS logprob,
+        |  CAST(SUM(CAST(tok_lp_raw AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx19_shuffle_shards" ->
       """WITH h AS (

@@ -89,6 +89,82 @@ class TextAnalysisSpec extends SparkSpec {
       s"hand-computed MLE sums diverge: ${sums(1L)}, ${sums(5L)}")
   }
 
+  test("tx21 held-out stupid-backoff scoring matches a JVM reference bit-for-bit") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // tx13's fold rule: first md5 nibble of lower(trim(text)).
+    def nib(text: String): Char = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.toLowerCase.trim.getBytes("UTF-8"))
+      f"${h(0) & 0xff}%02x".charAt(0)
+    }
+    val inTrain = (c: Char) => !"def".contains(c)
+    val inVal = (c: Char) => c == 'd' || c == 'e'
+    // The content hash decides the fold, so steer each text into the fold
+    // we need by varying a repetition count (the text's WORDS — what the
+    // LM sees — stay fixed).
+    def steer(base: String, want: Char => Boolean): String =
+      (1 to 4096).iterator.map(k => Seq.fill(k)(base).mkString(" "))
+        .find(t => want(nib(t)))
+        .getOrElse(fail(s"no repetition of '$base' lands in the wanted fold"))
+    val texts = Seq(
+      steer("the cat sat", inTrain),
+      steer("the cat ate", inTrain),
+      steer("the dog sat", inTrain),
+      steer("the cat sat", inVal), // every word and bigram seen in train
+      steer("the zebra sat", inVal), // OOV word => base-score + backoff path
+      steer("dog ate the cat", inVal)) // seen words, some unseen bigrams
+    val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    val tmp = java.nio.file.Files.createTempDirectory("tx21").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // Reference scorer: plain Scala mirror of the declared semantics.
+    // round() on a double is Spark's shortest-string HALF_UP — mirror it.
+    def r6(x: Double) = new JBD(java.lang.Double.toString(x)).setScale(6, RoundingMode.HALF_UP)
+    def toks(t: String) = "[a-z]+".r.findAllIn(t.toLowerCase).toList
+    val train = docs.filter { case (_, t) => inTrain(nib(t)) }.flatMap(d => toks(d._2))
+    val uni = train.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val tot = train.size.toDouble
+    val big = docs.filter { case (_, t) => inTrain(nib(t)) }
+      .flatMap(d => toks(d._2).sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (bg, bs) => bg -> bs.size.toLong }
+    val ctx = big.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val expected = docs.filter { case (_, t) => inVal(nib(t)) }.map { case (id, t) =>
+      val ws = toks(t)
+      val scored = ws.zip(None :: ws.map(Some(_))).map { case (w, prev) =>
+        val base = uni.get(w).map(_ / tot).getOrElse(0.4 / tot)
+        val oov = !uni.contains(w)
+        prev match {
+          case None => (r6(math.log(base)), oov, false)
+          case Some(p) if big.contains((p, w)) =>
+            (r6(math.log(big((p, w)).toDouble / ctx(p))), oov, false)
+          case Some(_) => (r6(math.log(0.4 * base)), oov, true)
+        }
+      }
+      val lp = scored.map(_._1).reduce(_ add _)
+      (id, (ws.size, scored.count(_._2), scored.count(_._3), lp,
+        lp.doubleValue() / ws.size))
+    }.toMap
+    assert(expected.values.exists(_._2 > 0), "corpus must exercise the OOV path")
+    assert(expected.values.exists(_._3 > 0), "corpus must exercise the bigram-backoff path")
+
+    val got = graft.SparkEntry.queries("tx21_backoff_heldout")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDecimal(4), r.getDouble(5))).toMap
+    assert(got.keySet == expected.keySet,
+      s"output must be exactly the val fold: got ${got.keySet}, want ${expected.keySet}")
+    expected.foreach { case (id, (n, oov, back, lp, avg)) =>
+      val (gn, goov, gback, glp, gavg) = got(id)
+      assert(gn == n && goov == oov && gback == back,
+        s"doc $id counts: got ($gn,$goov,$gback), want ($n,$oov,$back)")
+      assert(glp.compareTo(lp) == 0, s"doc $id logprob: got $glp, want $lp")
+      assert(gavg == avg, s"doc $id avg_logp: got $gavg, want $avg")
+    }
+  }
+
   test("tx19 shard shuffle: dense 1..n positions per shard, all docs covered, order differs from doc_id order") {
     val out = graft.SparkEntry.queries("tx19_shuffle_shards")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
