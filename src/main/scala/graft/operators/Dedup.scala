@@ -549,6 +549,68 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Exact SUBSTRING dedup — the sequence-level recipe of Lee et al. 2021
+    // ("Deduplicating Training Data Makes Language Models Better",
+    // arXiv:2107.06499): a span that recurs VERBATIM across documents is
+    // removed from every occurrence but one, even when the surrounding
+    // documents are unrelated (boilerplate, license headers, quoted
+    // passages — the duplication doc-level dedup cannot see). The paper
+    // builds a single-node suffix array; the distributed form is the
+    // standard K-token sliding-window hash join: each doc explodes into
+    // (pos, md5(window)) rows, one shuffle on the 16-byte hash finds
+    // windows appearing in >1 distinct doc, a rank over (doc_id, pos)
+    // keeps the corpus-wide first occurrence as canonical, and every
+    // other occurrence's windows are merged into maximal cut spans per
+    // doc (the islands pass: two flagged windows overlap iff their
+    // starts are < K apart). K=8 here (the paper uses 50 BPE tokens);
+    // window count is Σ(len-K+1) ≈ token count, so the exchange carries
+    // ~one row per corpus token — linear, never pairwise. The one 100 TB
+    // hazard is a hot hash (boilerplate repeated millions of times): its
+    // rank partition serializes one key; production caps it dd06-style
+    // (flag everything past the cap unranked — past the cap the
+    // occurrence is cut regardless), kept exact here so the oracle can
+    // mirror the rank. Output per doc: window counts, dup-window count,
+    // merged span count, tokens a rewrite would cut, dup fraction.
+    "dd12_substring_dedup" -> ((s, dir) => {
+      val K = 8
+      val W = org.apache.spark.sql.expressions.Window
+      val t = table(s, dir, "documents")
+        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      val wins = t.filter(size(col("ws")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
+            s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
+        .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+      val dupH = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val dupOcc = wins.join(dupH, "h")
+      val cut = dupOcc
+        .withColumn("rn", row_number().over(W.partitionBy("h").orderBy("doc_id", "pos")))
+        .filter(col("rn") > 1)
+      val wDoc = W.partitionBy("doc_id").orderBy("pos")
+      val spans = cut
+        .withColumn("prev", lag("pos", 1).over(wDoc))
+        .withColumn("ns", when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1)
+          .otherwise(0))
+        .withColumn("span_id", sum("ns").over(wDoc))
+        .groupBy("doc_id", "span_id")
+        .agg(min("pos").as("s"), max("pos").as("e"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_cut_spans"),
+          sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"))
+      val dupCounts = dupOcc.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_dup_windows"))
+      t.select(col("doc_id"),
+          greatest(size(col("ws")) - (K - 1), lit(0)).cast("int").as("n_windows"))
+        .join(dupCounts, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_dup_windows", "n_cut_spans", "n_cut_tokens"))
+        .withColumn("dup_ratio",
+          when(col("n_windows") > 0, col("n_dup_windows") / col("n_windows")))
+        .orderBy("doc_id")
+    }),
+
     // Incremental ingest dedup — the production shape for a GROWING corpus:
     // the existing corpus is already deduped, so a new batch only needs
     // (a) an anti-join against existing fingerprints and (b) keep-first
@@ -763,6 +825,51 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dd09_dup_clusters_logn" -> clustersOracle,
+    // Mirrors dd12 exactly: 8-token window hashes, cross-doc dup set,
+    // rank-1 occurrence canonical, islands merge on starts < 8 apart.
+    "dd12_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |occ AS (SELECT w.* FROM w JOIN dup USING (h)),
+        |cut AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM occ) WHERE rn > 1),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM (SELECT doc_id, pos,
+        |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM cut)),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e
+        |          FROM sp GROUP BY 1, 2),
+        |sstats AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_cut_spans,
+        |    CAST(SUM(e - s + 8) AS INT) AS n_cut_tokens FROM spans GROUP BY 1),
+        |dstats AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_windows
+        |  FROM occ GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(greatest(len(ws) - 7, 0) AS INT) AS n_windows
+        |  FROM t)
+        |SELECT base.doc_id, n_windows,
+        |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(n_cut_spans, 0) AS n_cut_spans,
+        |  COALESCE(n_cut_tokens, 0) AS n_cut_tokens,
+        |  CASE WHEN n_windows > 0
+        |    THEN CAST(COALESCE(n_dup_windows, 0) AS DOUBLE) / n_windows
+        |  END AS dup_ratio
+        |FROM base
+        |LEFT JOIN dstats USING (doc_id)
+        |LEFT JOIN sstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // The exact pipeline dd10's LSH prunes candidates FOR: all-pairs
     // jaccard >= 0.7 edges (same distinct-shingle definition as the
     // clusters oracle), exact transitive closure, keep each component's

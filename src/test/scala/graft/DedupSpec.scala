@@ -266,6 +266,43 @@ class DedupSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("dd12 substring dedup: cross-doc windows flagged, first occurrence kept, overlaps merge") {
+    // K = 8. shared10 recurs in docs 1/2 (and its first 8 words again in
+    // doc 4); marker8 recurs in docs 3/4; doc 5 is too short to window.
+    val shared10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tail1 = "kilo lima mike november oscar papa quebec romeo"
+    val head2 = "sierra tango uniform victor whiskey xray yankee zulu"
+    val marker8 = "mango nectar olive peach quince radish squash turnip"
+    val filler8 = "ash birch cedar elm fir hazel maple oak"
+    val tmp = java.nio.file.Files.createTempDirectory("dd12").toString
+    Seq(
+      (1L, s"$shared10 $tail1"), // 18 words; shared10 at tokens 1-10
+      (2L, s"$head2 $shared10"), // 18 words; shared10 at tokens 9-18
+      (3L, marker8), // exactly one window
+      (4L, s"${shared10.split(' ').take(8).mkString(" ")} $filler8 $marker8"), // 24 words
+      (5L, "tiny doc")) // < K tokens: zero windows
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.queries("dd12_substring_dedup")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    // doc 1: 3 dup windows (shared10's fully-contained positions 1-3) but it
+    // IS the canonical occurrence for all three hashes -> nothing cut.
+    assert(out(1L) == ((11, 3, 0, 0, Some(3.0 / 11))), s"doc1: ${out(1L)}")
+    // doc 2: the same 3 hashes at positions 9-11, all non-canonical; the
+    // overlapping windows merge into ONE span cutting the 10 shared tokens.
+    assert(out(2L) == ((11, 3, 1, 10, Some(3.0 / 11))), s"doc2: ${out(2L)}")
+    // doc 3: its single window recurs in doc 4, but doc 3 is canonical.
+    assert(out(3L) == ((1, 1, 0, 0, Some(1.0))), s"doc3: ${out(3L)}")
+    // doc 4: two non-adjacent flagged windows (pos 1 = shared10's head seen
+    // in docs 1/2, pos 17 = marker8 seen in doc 3) -> TWO spans, 8 + 8 cut.
+    assert(out(4L) == ((17, 2, 2, 16, Some(2.0 / 17))), s"doc4: ${out(4L)}")
+    // doc 5: no windows at all; the ratio is NULL, not 0/0.
+    assert(out(5L) == ((0, 0, 0, 0, None)), s"doc5: ${out(5L)}")
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With
