@@ -523,6 +523,48 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The CCNet/fastText quality-filter shape (Wenzek et al. 2020): train
+    // a classifier to separate a CURATED target domain (here the corpus's
+    // src0–src4 slice — standing in for "wikipedia-like") from the
+    // background crawl, then keep crawl documents the classifier scores
+    // target-like. The classifier is multinomial Naive Bayes with add-one
+    // smoothing over the train-fold vocabulary — deterministic,
+    // corpus-trained, no external model file, and exactly expressible in
+    // SQL (unlike fastText's learned embeddings, same filter role). Train
+    // on tx13's content-hash train fold, score the held-out val fold:
+    //   llr(w) = ln((ct(w)+1)/(Tt+V)) - ln((cb(w)+1)/(Tb+V))
+    // summed per doc (each ln rounded to 6dp -> DECIMAL(28,6) first —
+    // tx18's order-independence discipline; the decimal SUBTRACTION is
+    // exact). Totals (Tt, Tb, V) are ONE broadcast row; per-token state
+    // joins on the word. n_unseen counts val tokens outside the train
+    // vocab (the confidence signal); pred_curated is the filter's verdict.
+    "tx22_nb_source_score" -> ((s, dir) => {
+      val dt = org.apache.spark.sql.types.DecimalType(28, 6)
+      val seq = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1).as("nib"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      val isT = col("source").isin("src0", "src1", "src2", "src3", "src4")
+      val cnts = seq.filter(!col("nib").isin("d", "e", "f"))
+        .groupBy("w").agg(
+          sum(when(isT, 1L).otherwise(0L)).as("ct"),
+          sum(when(isT, 0L).otherwise(1L)).as("cb"))
+      val tot = cnts.agg(sum("ct").as("tt"), sum("cb").as("tb"), count(lit(1)).as("v"))
+      seq.filter(col("nib").isin("d", "e"))
+        .join(cnts, Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("tok_llr",
+          round(log((coalesce(col("ct"), lit(0L)) + 1) / (col("tt") + col("v"))), 6).cast(dt)
+            - round(log((coalesce(col("cb"), lit(0L)) + 1) / (col("tb") + col("v"))), 6).cast(dt))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          sum(when(col("ct").isNull, 1).otherwise(0)).cast("int").as("n_unseen"),
+          sum(col("tok_llr")).as("llr"))
+        .withColumn("avg_llr", col("llr").cast("double") / col("n_tokens"))
+        .withColumn("pred_curated", when(col("avg_llr") > 0, 1).otherwise(0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -810,6 +852,41 @@ object TextAnalysis {
         |  SUM(CAST(tok_lp_raw AS DECIMAL(28,6))) AS logprob,
         |  CAST(SUM(CAST(tok_lp_raw AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors tx22: tx13's fold boundary, add-one NB counts over the train
+    // fold, each ln rounded to 6dp and cast DECIMAL(28,6) BEFORE the exact
+    // decimal subtraction and sum. The integer quotient operands
+    // (COALESCE(ct,0)+1)/(tt+v) are exact on both engines, so the doubles
+    // entering round() agree bit-for-bit.
+    "tx22_nb_source_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, substring(md5(lower(trim(text))), 1, 1) AS nib,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, nib, unnest(ws) AS w FROM t),
+        |cnts AS (
+        |  SELECT w,
+        |    SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |        THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |        THEN 0 ELSE 1 END) AS cb
+        |  FROM tok WHERE nib NOT IN ('d', 'e', 'f') GROUP BY w),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cb) AS tb, COUNT(*) AS v FROM cnts),
+        |lp AS (
+        |  SELECT ev.doc_id, ev.source, cnts.w IS NULL AS unseen,
+        |    CAST(round(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + v)), 6)
+        |      AS DECIMAL(28,6))
+        |    - CAST(round(ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE) / (tb + v)), 6)
+        |      AS DECIMAL(28,6)) AS tok_llr
+        |  FROM (SELECT * FROM tok WHERE nib IN ('d', 'e')) ev
+        |  LEFT JOIN cnts ON ev.w = cnts.w
+        |  CROSS JOIN tot)
+        |SELECT doc_id, source, CAST(COUNT(*) AS INT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS INT) AS n_unseen,
+        |  SUM(tok_llr) AS llr,
+        |  CAST(SUM(tok_llr) AS DOUBLE) / COUNT(*) AS avg_llr,
+        |  CAST(CASE WHEN CAST(SUM(tok_llr) AS DOUBLE) / COUNT(*) > 0
+        |    THEN 1 ELSE 0 END AS INT) AS pred_curated
+        |FROM lp GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     "tx19_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h

@@ -165,6 +165,57 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tx22 NB source classifier separates curated-vocab from crawl-vocab held-out docs") {
+    import spark.implicits._
+    // tx13's fold rule again: first md5 nibble of lower(trim(text)).
+    def nib(text: String): Char = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.toLowerCase.trim.getBytes("UTF-8"))
+      f"${h(0) & 0xff}%02x".charAt(0)
+    }
+    val inTrain = (c: Char) => !"def".contains(c)
+    val inVal = (c: Char) => c == 'd' || c == 'e'
+    def steer(base: String, want: Char => Boolean): String =
+      (1 to 4096).iterator.map(k => Seq.fill(k)(base).mkString(" "))
+        .find(t => want(nib(t)))
+        .getOrElse(fail(s"no repetition of '$base' lands in the wanted fold"))
+    // Disjoint vocabularies: the curated slice (src0) writes botany, the
+    // crawl (src7) writes machinery. Training docs steered OUT of the val
+    // fold; the three scored docs steered INTO it.
+    val curated = "fern moss lichen petal sepal stamen"
+    val crawl = "gear piston valve crank shaft flange"
+    val docs = Seq(
+      (1L, steer(curated, inTrain), "src0"),
+      (2L, steer(curated + " pollen", inTrain), "src0"),
+      (3L, steer(crawl, inTrain), "src7"),
+      (4L, steer(crawl + " rivet", inTrain), "src7"),
+      // held-out: curated-sounding, crawl-sounding, and out-of-vocab text
+      (5L, steer("petal stamen moss fern", inVal), "src9"),
+      (6L, steer("piston crank gear valve", inVal), "src9"),
+      (7L, steer("zanzibar quokka xylophone", inVal), "src9"))
+    val tmp = java.nio.file.Files.createTempDirectory("tx22").toString
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx22_nb_source_score")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(5), r.getInt(6)))).toMap
+    assert(out.keySet == Set(5L, 6L, 7L),
+      s"output must be exactly the val fold: ${out.keySet}")
+    val (n5, u5, avg5, p5) = out(5L)
+    val (n6, u6, avg6, p6) = out(6L)
+    val (n7, u7, avg7, p7) = out(7L)
+    assert(u5 == 0 && u6 == 0, "curated/crawl eval words are all in the train vocab")
+    assert(u7 == n7, "every token of doc 7 is outside the train vocab")
+    assert(avg5 > 0 && p5 == 1, s"curated-vocab doc must score target-like: $avg5")
+    assert(avg6 < 0 && p6 == 0, s"crawl-vocab doc must score background-like: $avg6")
+    // All-unseen text gets the uniform prior ratio ln(Tb+V) - ln(Tt+V),
+    // identical per token — a near-zero score, NOT a confident verdict.
+    assert(math.abs(avg7) < math.abs(avg5) && math.abs(avg7) < math.abs(avg6),
+      s"OOV doc must sit nearer zero than either in-vocab doc: $avg7 vs $avg5 / $avg6")
+  }
+
   test("tx19 shard shuffle: dense 1..n positions per shard, all docs covered, order differs from doc_id order") {
     val out = graft.SparkEntry.queries("tx19_shuffle_shards")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
