@@ -67,6 +67,29 @@ object SoakCounts {
     p("dd10_lsh_candidates", dd10cand)
     p("dd10_survivors",
       SparkEntry.queries("dd10_fuzzy_dedup")(spark, dir).count())
+    // dd12 exact substring dedup: the exchange carries ~one row per corpus
+    // token (window count), and dup windows / cut tokens track PLANTED
+    // duplication — on an organic corpus they must stay far below the
+    // window total (a dup_windows ≈ windows reading would mean the corpus
+    // is boilerplate or the window hash collided).
+    val dd12 = SparkEntry.queries("dd12_substring_dedup")(spark, dir)
+      .agg(sum(col("n_windows")).as("w"), sum(col("n_dup_windows")).as("d"),
+        sum(when(col("n_cut_spans") > 0, 1L).otherwise(0L)).as("c"),
+        sum(col("n_cut_tokens")).as("t"))
+      .head()
+    p("dd12_windows", dd12.getLong(0))
+    p("dd12_dup_windows", dd12.getLong(1))
+    p("dd12_docs_with_cuts", dd12.getLong(2))
+    p("dd12_cut_tokens", dd12.getLong(3))
+    // tx22 NB filter: how much of the held-out fold the classifier calls
+    // curated, and the OOV volume (its confidence denominator), at scale.
+    val tx22 = SparkEntry.queries("tx22_nb_source_score")(spark, dir)
+      .agg(count(lit(1)).as("n"), sum(col("pred_curated").cast("long")).as("p"),
+        sum(col("n_unseen").cast("long")).as("u"))
+      .head()
+    p("tx22_scored_docs", tx22.getLong(0))
+    p("tx22_pred_curated", tx22.getLong(1))
+    p("tx22_unseen_tokens", tx22.getLong(2))
     spark.catalog.clearCache(); Caches.releaseAll()
     // SemDeDup survivor counts: NEITHER survivor set dominates the other —
     // both are supersets of the exact-survivor floor (neither blocker
