@@ -611,6 +611,40 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Cross-source duplication matrix — dd12's window hashes aggregated to
+    // SOURCE level: for every source pair, how many distinct 8-token
+    // windows they share. This is the corpus diagnostic that tells a
+    // pipeline operator WHERE duplication comes from (two crawl snapshots
+    // mirroring each other, a dataset vendored into another, shared
+    // boilerplate) before deciding what dd12 should cut. Same single
+    // shuffle on the window hash; the per-hash pair expansion is bounded
+    // by (sources sharing that hash)² — sources number in the thousands
+    // at 100 TB, never corpus-scale, and the overlap fraction divides two
+    // exact ints so it is bit-stable cross-engine.
+    "dd13_source_overlap" -> ((s, dir) => {
+      val K = 8
+      val sw = table(s, dir, "documents")
+        .select(col("source"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        .filter(size(col("ws")) >= K)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
+            s"md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)))")).as("h"))
+        .distinct()
+      val perSrc = sw.groupBy("source").agg(count(lit(1)).cast("int").as("n"))
+      val shared = sw.select(col("source").as("source_a"), col("h"))
+        .join(sw.select(col("source").as("source_b"), col("h")), "h")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).cast("int").as("shared_windows"))
+      shared
+        .join(perSrc.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+        .join(perSrc.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+        .withColumn("overlap_frac",
+          col("shared_windows") / least(col("n_a"), col("n_b")))
+        .select("source_a", "source_b", "shared_windows", "n_a", "n_b", "overlap_frac")
+        .orderBy("source_a", "source_b")
+    }),
+
     // Incremental ingest dedup — the production shape for a GROWING corpus:
     // the existing corpus is already deduped, so a new batch only needs
     // (a) an anti-join against existing fingerprints and (b) keep-first
@@ -870,6 +904,27 @@ object Dedup {
         |LEFT JOIN dstats USING (doc_id)
         |LEFT JOIN sstats USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors dd13: distinct (source, window-hash), pair join on the hash,
+    // overlap = shared / min(|A|, |B|) as a raw int quotient.
+    "dd13_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents WHERE len(ws) >= 8),
+        |sw AS (
+        |  SELECT DISTINCT source, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT source, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |per AS (SELECT source, CAST(COUNT(*) AS INT) AS n FROM sw GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS INT) AS shared_windows
+        |  FROM sw a JOIN sw b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_windows, pa.n AS n_a, pb.n AS n_b,
+        |  CAST(shared_windows AS DOUBLE) / least(pa.n, pb.n) AS overlap_frac
+        |FROM shared
+        |JOIN per pa ON pa.source = source_a
+        |JOIN per pb ON pb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // The exact pipeline dd10's LSH prunes candidates FOR: all-pairs
     // jaccard >= 0.7 edges (same distinct-shingle definition as the
     // clusters oracle), exact transitive closure, keep each component's

@@ -303,6 +303,28 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((0, 0, 0, 0, None)), s"doc5: ${out(5L)}")
   }
 
+  test("dd13 source-overlap matrix: shared windows counted once, disjoint sources absent") {
+    // 8-word docs -> exactly one window each. R1 appears in srcA twice
+    // (distinct collapses it) and in srcB once; srcC shares nothing.
+    val r1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val tmp = java.nio.file.Files.createTempDirectory("dd13").toString
+    Seq(
+      (1L, r1, "srcA"), (2L, r1, "srcA"),
+      (3L, "ash birch cedar elm fir hazel maple oak", "srcA"),
+      (4L, r1, "srcB"),
+      (5L, "mango nectar olive peach quince radish squash turnip", "srcB"),
+      (6L, "gear piston valve crank shaft flange rotor stator", "srcC"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.queries("dd13_source_overlap")(spark, tmp).collect()
+    assert(rows.length == 1, s"only the (srcA, srcB) pair overlaps: ${rows.mkString(";")}")
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getDouble(5)) == (("srcA", "srcB", 1, 2, 2, 0.5)), s"got $r")
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With
