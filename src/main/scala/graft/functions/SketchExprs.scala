@@ -205,6 +205,18 @@ object SketchExprs {
     acc
   }
 
+  /** Sequential-order sum of squared differences (see [[SqL2Dist]]). */
+  def evalSqL2Dist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"sq_l2_dist: array length mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
+    acc
+  }
+
   /** Sequential-order sum of squares (the sqrt-free L2 building block;
     * bitwise-identical to evalDotProduct(a, a) — same left fold). */
   def evalL2NormSquared(a: ArrayData): Double = {
@@ -420,6 +432,25 @@ object SketchExprs {
     override def prettyName: String = "dot_product"
   }
 
+  /** Squared L2 DISTANCE ||a-b||² as one left-to-right array pass — the
+    * asymmetric-distance kernel for quantized ANN (ss12). Same sequential
+    * fold as [[DotProduct]], so DuckDB's index-ordered `list_sum` mirrors
+    * it bit-for-bit (the ss01 precedent). */
+  case class SqL2Dist(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(
+        evalSqL2Dist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalSqL2Dist($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "sq_l2_dist"
+  }
+
   case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
@@ -492,6 +523,8 @@ object SketchExprs {
     B.column(SortedLongIntersectCount(B.expression(a), B.expression(b)))
   def hyperplaneLsh(c: Column, nPlanes: Int, offset: Int = 0): Column =
     B.column(HyperplaneLsh(B.expression(c), nPlanes, offset))
+  def sqL2Dist(a: Column, b: Column): Column =
+    B.column(SqL2Dist(B.expression(a), B.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     B.column(DotProduct(B.expression(a), B.expression(b)))
   def l2Norm(c: Column): Column = B.column(L2Norm(B.expression(c)))

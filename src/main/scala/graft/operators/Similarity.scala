@@ -260,6 +260,50 @@ object Similarity {
     // so recall holds even on isotropic data).
     "ss06_pq_ann" -> ((s, dir) => pqAnn(s, dir)),
 
+    // Scalar quantization (SQ8) ANN — the OTHER standard vector
+    // compression, sitting between brute force and PQ: each dimension is
+    // independently mapped to one byte on a per-dim [min, max] grid (4x
+    // memory cut vs float32, no codebook training at all), and queries
+    // score the DEQUANTIZED corpus asymmetrically — raw query floats vs
+    // reconstructed bin midpoints, the standard serving mode (FAISS
+    // ScalarQuantizer). The per-dim stats are one distributed agg
+    // collapsed to a single broadcast row; encode+decode is an index-order
+    // transform (no shuffle), and the distance kernel is the codegen'd
+    // sq_l2_dist left fold, which DuckDB's index-ordered list_sum mirrors
+    // bit-for-bit — so unlike PQ (whose trained codebook is engine-local,
+    // rows-only) SQ8 is fully hash-exact against the oracle. At 100 TB
+    // the compressed scan composes with IVF cell pruning exactly like PQ.
+    "ss12_sq8_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val st = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      val sa = st.agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
+      val recon = e.crossJoin(broadcast(sa))
+        .withColumn("rv", expr(
+          """transform(sequence(0, size(v) - 1), i ->
+            |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)
+            |       THEN element_at(mns, i + 1)
+            |       ELSE element_at(mns, i + 1) +
+            |         (CAST(least(255, CAST(floor((element_at(v, i + 1) - element_at(mns, i + 1))
+            |            * 255.0D / (element_at(mxs, i + 1) - element_at(mns, i + 1))) AS INT))
+            |            AS DOUBLE) + 0.5D)
+            |         * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255.0D
+            |  END)""".stripMargin))
+        .select(col("vec_id"), col("rv"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))
+      broadcast(q).join(recon, col("vec_id") =!= col("query_id"))
+        .withColumn("approx_dist",
+          graft.functions.SketchExprs.sqL2Dist(col("qv"), col("rv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("approx_dist"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Two-stage retrieve + re-rank: PQ/ADC proposes 50 candidates from the
     // compressed index, exact cosine re-ranks only those 50 — the
     // production ANN shape: full-precision vectors are touched for 50/N of
@@ -509,6 +553,39 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // Mirrors ss12 term-for-term: per-dim min/max grid, floor((x-mn)*255/
+    // (mx-mn)) capped at 255, bin-midpoint reconstruction, index-ordered
+    // squared-diff sum (list_sum ≡ the engine's sq_l2_dist left fold).
+    "ss12_sq8_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY i),
+        |sa AS (
+        |  SELECT array_agg(mn ORDER BY i) AS mns, array_agg(mx ORDER BY i) AS mxs
+        |  FROM st),
+        |r AS (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |         ELSE mns[i] + (CAST(least(255, CAST(floor((v[i] - mns[i]) * 255.0
+        |             / (mxs[i] - mns[i])) AS INT)) AS DOUBLE) + 0.5)
+        |           * (mxs[i] - mns[i]) / 255.0
+        |    END) AS rv
+        |  FROM e CROSS JOIN sa),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (q.v[i] - r.rv[i]) * (q.v[i] - r.rv[i]))) AS approx_dist
+        |  FROM e q JOIN r ON r.vec_id != q.vec_id WHERE q.vec_id < 5),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, approx_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY approx_dist, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, approx_dist
+        |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "ss04_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
         |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)

@@ -18,7 +18,8 @@ class PlanCensusSpec extends SparkSpec {
     "tx18_unigram_logprob", // vocab x ONE broadcast row (the corpus total)
     "tx20_bigram_logprob", // same 1-row corpus total on the unigram side
     "tx21_backoff_heldout", // 1-row TRAIN-fold total under the backoff base score
-    "tx22_nb_source_score") // 1-row (Tt, Tb, V) NB totals on the scoring side
+    "tx22_nb_source_score", // 1-row (Tt, Tb, V) NB totals on the scoring side
+    "ss12_sq8_ann") // 1-row quantization grid + the ss01-style broadcast query fanout
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -63,6 +63,50 @@ class SimilaritySpec extends SparkSpec {
     assert(rr >= pq, f"re-ranking lowered recall: $rr%.2f < $pq%.2f")
   }
 
+  test("sq8 ann recall@10 vs exact L2 is near-perfect (8-bit grid, 64 dims)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // exact L2 top-10 with the same tie-break, computed inline
+    val e = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val exact = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .withColumn("d", graft.functions.SketchExprs.sqL2Dist(col("qv"), col("v")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSet).toMap
+    val sq = topk("ss12_sq8_ann")
+    val recalls = exact.map { case (qid, ex) =>
+      ex.count(sq.getOrElse(qid, Seq.empty).toSet).toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"sq8 mean recall@10 = $mean%.2f over ${recalls.size} queries")
+    // same metric, same tie-break; the only error source is the half-bin
+    // quantization noise — recall should be essentially exact.
+    assert(mean >= 0.9, f"sq8 recall@10 $mean%.2f below 0.9")
+  }
+
+  test("sq8 survives a constant dimension (degenerate grid falls back to the exact value)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 5.0f, 0.25f)), (1L, Array(2.0f, 5.0f, 0.5f)),
+      (2L, Array(3.0f, 5.0f, 0.75f)), (3L, Array(4.0f, 5.0f, 1.0f)))
+    val tmp = java.nio.file.Files.createTempDirectory("ss12").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.queries("ss12_sq8_ann")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, d) =>
+      assert(!d.isNaN && !d.isInfinite, s"query $q neighbor $n: non-finite distance $d") }
+    // dim 2 contributes zero error, so vec 0's nearest must be vec 1
+    val near0 = rows.filter(_._1 == 0L).minBy(_._3)._2
+    assert(near0 == 1L, s"expected vec 1 nearest to vec 0, got $near0")
+  }
+
   test("pq codebook memo: repeat invocations and a refresh are result-invariant") {
     // the memo must be a pure lifecycle optimization: a memoized codebook
     // (2nd call) and a freshly retrained one (after the staleness hook)
