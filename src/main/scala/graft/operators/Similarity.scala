@@ -249,6 +249,42 @@ object Similarity {
         .orderBy("query_id", "rk")
     }),
 
+    // IVF + SQ8 — the two pruning axes composed into the FAISS IVFScalar-
+    // Quantizer shape, which is what an actual 100 TB ANN deployment runs:
+    // IVF cells cut WHICH vectors a query touches (ss05's deterministic
+    // broadcast-centroid assignment, nprobe cells per query), SQ8 cuts HOW
+    // BIG each touched vector is (ss12's per-dim byte grid, 4x), so the
+    // per-query scan cost drops multiplicatively while both index
+    // structures stay broadcast-sized. Scoring is asymmetric L2 (raw query
+    // vs dequantized midpoints) inside the probed cells only. Both parents
+    // are hash-exact and so is the composition — cell assignment and grid
+    // mirror into the same SQL the parents use.
+    "ss13_ivf_sq8_ann" -> ((s, dir) => {
+      val nprobe = 3
+      val e = emb(s, dir).withColumn("nrm", l2norm("v"))
+      val cents = ivfCells(s, dir).withColumn("cnrm", l2norm("cv"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))
+      // same cache rationale as ss05: cells and probe lists both scan it
+      val assigned = graft.Caches.track(
+        e.crossJoin(broadcast(cents))
+          .withColumn("ccos", dot("v", "cv") / (col("nrm") * col("cnrm")))
+          .withColumn("r", row_number().over(wAssign)))
+      val cells = sq8Dequantized(s, dir,
+        assigned.filter(col("r") === 1).select(col("vec_id"), col("v"), col("cell")))
+        .select(col("vec_id"), col("rv"), col("cell"))
+      val q = assigned.filter(col("vec_id") < 5 && col("r") <= nprobe)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
+      val wTop = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))
+      q.join(cells, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("approx_dist",
+          graft.functions.SketchExprs.sqL2Dist(col("qv"), col("rv")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("approx_dist"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
     // subspaces × 16 centroids, trained with two deterministic Lloyd
     // iterations seeded from the first K vectors. Each corpus vector is then
@@ -275,23 +311,7 @@ object Similarity {
     // the compressed scan composes with IVF cell pruning exactly like PQ.
     "ss12_sq8_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val st = e.select(posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-      val sa = st.agg(
-        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
-        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
-      val recon = e.crossJoin(broadcast(sa))
-        .withColumn("rv", expr(
-          """transform(sequence(0, size(v) - 1), i ->
-            |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)
-            |       THEN element_at(mns, i + 1)
-            |       ELSE element_at(mns, i + 1) +
-            |         (CAST(least(255, CAST(floor((element_at(v, i + 1) - element_at(mns, i + 1))
-            |            * 255.0D / (element_at(mxs, i + 1) - element_at(mns, i + 1))) AS INT))
-            |            AS DOUBLE) + 0.5D)
-            |         * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255.0D
-            |  END)""".stripMargin))
-        .select(col("vec_id"), col("rv"))
+      val recon = sq8Dequantized(s, dir, e).select(col("vec_id"), col("rv"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val w = Window.partitionBy("query_id").orderBy(col("approx_dist"), col("vec_id"))
@@ -459,6 +479,33 @@ object Similarity {
   /** The memoized IVF cell centroids as a (tiny, local) DataFrame. The
     * collect() materializes broadcast-sized index state, like
     * [[trainCodebook]]'s. */
+  /** SQ8 dequantization: per-dim [min, max] grid over the corpus at `dir`
+    * (one distributed agg collapsed to a single broadcast row), then each
+    * input row's `v` column gains `rv` — the reconstructed bin-midpoint
+    * vector a quantized index would serve. Encode (floor((x-mn)*255/
+    * (mx-mn)), capped) and decode (mn + (code+0.5)*step) are one
+    * index-order transform, exactly mirrorable in SQL (ss12/ss13's
+    * oracles); a constant dimension degenerates to the exact value. */
+  private def sq8Dequantized(s: SparkSession, dir: String, in: DataFrame): DataFrame = {
+    val sa = emb(s, dir).select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("mxs"))
+    in.crossJoin(broadcast(sa))
+      .withColumn("rv", expr(
+        """transform(sequence(0, size(v) - 1), i ->
+          |  CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1)
+          |       THEN element_at(mns, i + 1)
+          |       ELSE element_at(mns, i + 1) +
+          |         (CAST(least(255, CAST(floor((element_at(v, i + 1) - element_at(mns, i + 1))
+          |            * 255.0D / (element_at(mxs, i + 1) - element_at(mns, i + 1))) AS INT))
+          |            AS DOUBLE) + 0.5D)
+          |         * (element_at(mxs, i + 1) - element_at(mns, i + 1)) / 255.0D
+          |  END)""".stripMargin))
+      .drop("mns", "mxs")
+  }
+
   private def ivfCells(s: SparkSession, dir: String): DataFrame = {
     val rows = ivfCentroids.computeIfAbsent(dir, _ =>
       table(s, dir, "embeddings")
@@ -586,6 +633,62 @@ object Similarity {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk, approx_dist
         |FROM rk WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+    // ss13 = ss05's cell CTEs (decimal-summed centroids, cosine assign,
+    // identical tie-breaks) + ss12's quantization CTEs (grid, midpoint
+    // reconstruction), scored by index-ordered squared-diff sum within the
+    // probed cells only.
+    "ss13_ivf_sq8_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |cd AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+        |cn AS (
+        |  SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        |  FROM cents),
+        |assigned AS (
+        |  SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, 65), i -> n.v[i] * cn.cv[i]))
+        |        / (n.nrm * cn.cnrm) DESC, cn.cell) AS r
+        |  FROM n CROSS JOIN cn),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY i),
+        |sa AS (
+        |  SELECT array_agg(mn ORDER BY i) AS mns, array_agg(mx ORDER BY i) AS mxs
+        |  FROM st),
+        |cells AS (
+        |  SELECT a.vec_id, a.cell, list_transform(range(1, 65), i ->
+        |    CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |         ELSE mns[i] + (CAST(least(255, CAST(floor((a.v[i] - mns[i]) * 255.0
+        |             / (mxs[i] - mns[i])) AS INT)) AS DOUBLE) + 0.5)
+        |           * (mxs[i] - mns[i]) / 255.0
+        |    END) AS rv
+        |  FROM assigned a CROSS JOIN sa WHERE a.r = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, v AS qv, cell
+        |  FROM assigned WHERE vec_id < 5 AND r <= 3),
+        |pairs AS (
+        |  SELECT q.query_id, c2.vec_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (q.qv[i] - c2.rv[i]) * (q.qv[i] - c2.rv[i]))) AS approx_dist
+        |  FROM q JOIN cells c2 ON q.cell = c2.cell AND c2.vec_id <> q.query_id)
+        |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INT) AS rk, approx_dist
+        |FROM (
+        |  SELECT query_id, vec_id, approx_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY approx_dist, vec_id) AS rk
+        |  FROM pairs) WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "ss04_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
         |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)

@@ -19,7 +19,8 @@ class PlanCensusSpec extends SparkSpec {
     "tx20_bigram_logprob", // same 1-row corpus total on the unigram side
     "tx21_backoff_heldout", // 1-row TRAIN-fold total under the backoff base score
     "tx22_nb_source_score", // 1-row (Tt, Tb, V) NB totals on the scoring side
-    "ss12_sq8_ann") // 1-row quantization grid + the ss01-style broadcast query fanout
+    "ss12_sq8_ann", // 1-row quantization grid + the ss01-style broadcast query fanout
+    "ss13_ivf_sq8_ann") // ss05's broadcast centroid assignment + the 1-row grid
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -107,6 +107,21 @@ class SimilaritySpec extends SparkSpec {
     assert(near0 == 1L, s"expected vec 1 nearest to vec 0, got $near0")
   }
 
+  test("ivf+sq8 keeps most of brute-force sq8's neighbors (cell pruning is the only loss)") {
+    val sq = topk("ss12_sq8_ann")
+    val ivfsq = topk("ss13_ivf_sq8_ann")
+    ivfsq.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
+    val recalls = sq.map { case (q, ex) =>
+      ex.toSet.count(ivfsq.getOrElse(q, Seq.empty).toSet).toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"ivf+sq8 recall@10 vs brute sq8 = $mean%.2f")
+    // both score identical (quantized L2) distances, so every divergence is
+    // a neighbor outside the 3 probed cells — the documented IVF tradeoff
+    // (~0.48 on this corpus: label cells only loosely track L2 geometry,
+    // the same cell-recall profile the PQ spec pins at >= 0.2 vs ss01)
+    assert(mean >= 0.35, f"ivf+sq8 recall $mean%.2f below 0.35")
+  }
+
   test("pq codebook memo: repeat invocations and a refresh are result-invariant") {
     // the memo must be a pure lifecycle optimization: a memoized codebook
     // (2nd call) and a freshly retrained one (after the staleness hook)
