@@ -404,6 +404,23 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** Multi-table LSH banded index of an embedding frame — the static
+    * build side st07's streaming ingest probes: one row per (table,
+    * bucket) per vector, with the vector and its norm carried so the
+    * prober can verify exact cosine without a second lookup. At 100 TB
+    * this is the persisted, bucketed form of ss08's blocker (the dd07/
+    * dd08 banded-index note applies: build once, probe per batch). */
+  def bandedIndex(e: DataFrame, tables: Int, planes: Int): DataFrame = {
+    val bandStructs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket("v", planes, 64, t * planes).as("bucket"))
+    }
+    e.withColumn("nrm", l2norm("v"))
+      .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"),
+        col("ex_id"), col("ev"), col("en"))
+  }
+
   /** Distinct candidate pairs the ss08 blocker generates — the number the
     * cosine verifier actually pays for (vs n(n-1)/2 all-pairs). */
   def lshCandidatePairCount(s: SparkSession, dir: String,

@@ -92,6 +92,32 @@ object EventWindows {
         .orderBy("doc_id")
     }),
 
+    // Batch twin of the streaming embedding near-dup ingest
+    // ([[Stateful.ingestNeardupPairs]] — stateless LSH probe of the
+    // static corpus's banded index, exact-cosine verify): arriving
+    // vectors (odd vec_ids) against the existing corpus (even). The twin
+    // distincts the helper's at-least-once multi-table emissions and
+    // sorts — determinism lives here, the stream emits the same set.
+    // Rows-only-deterministic, ss08's disposition exactly: the xxhash64
+    // planes have no DuckDB mirror, and on this near-isotropic corpus
+    // blocked recall at cos 0.3 is low by the MATH of 8-plane LSH (the
+    // dd10-style recall-1 shared-oracle license is unavailable — there
+    // are no planted high-cosine cross-parity pairs to catch). Precision
+    // is 1 by construction (every emission is exact-verified) and the
+    // StreamingSpec pins subset-of-truth, logged recall, and
+    // stream-vs-batch parity.
+    "st07_ann_ingest_neardup" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val existing = graft.operators.Similarity
+        .bandedIndex(e.filter(col("vec_id") % 2 === 0), tables = 2, planes = 8)
+      Stateful.ingestNeardupPairs(
+        e.filter(col("vec_id") % 2 === 1), existing,
+        tables = 2, planes = 8, threshold = 0.3)
+        .distinct()
+        .orderBy("new_id", "ex_id")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -123,6 +149,9 @@ object EventWindows {
     // is SHARED verbatim, by reference.
     "st06_bloom_ingest_dedup" ->
       graft.operators.Dedup.oracle("dd07_incremental_dedup"),
+    // st07 has NO oracle entry: rows-only-deterministic (xxhash64 LSH
+    // planes, see the query comment); checked by check.py --rerun plus
+    // the StreamingSpec precision/parity tests.
     "st05_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.user_id,

@@ -160,6 +160,44 @@ object Stateful {
     * on an APPENDED corpus rebuild + re-broadcast and restart the query
     * (same contract as [[graft.operators.Dedup.refreshBloomSketches]],
     * correctness-relevant, not just freshness). */
+  /** Streaming near-dup ingest — the SIMILARITY-family analogue of
+    * [[incrementalDedupBloom]]: each arriving embedding probes the static
+    * corpus's multi-table LSH banded index
+    * ([[graft.operators.Similarity.bandedIndex]]) via a stream-static
+    * equi-join on (table, bucket), and every candidate that clears the
+    * EXACT cosine threshold is emitted as one (new_id, ex_id, cos) row —
+    * the alert/routing stream a streaming SemDeDup ingest runs on. Every
+    * operator here is STATELESS (a native LSH expression, an inner join
+    * whose build side is static, a filter): no watermark, no state store,
+    * no replan cost beyond the micro-batch itself. A pair colliding in
+    * more than one LSH table is emitted once per table — at-least-once by
+    * design on the stream; the declared batch twin (st07) distincts,
+    * which is where determinism and the oracle live (StreamingSpec
+    * compares distinct sets for parity).
+    *
+    * STALENESS: the banded index covers the corpus as of plan time — on
+    * an appended corpus, rebuild the index and restart the query (the
+    * [[incrementalDedupBloom]] contract). */
+  def ingestNeardupPairs(vecs: DataFrame, existingBanded: DataFrame,
+      tables: Int, planes: Int, threshold: Double): DataFrame = {
+    val bandStructs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        graft.functions.SketchExprs.hyperplaneLsh(col("v"), planes, t * planes).as("bucket"))
+    }
+    vecs
+      .withColumn("nrm", graft.functions.SketchExprs.l2Norm(col("v")))
+      .select(col("vec_id").as("new_id"), col("v").as("nv"), col("nrm").as("nn"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("new_id"), col("nv"), col("nn"),
+        col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+      .join(existingBanded, Seq("tbl", "bucket"))
+      .withColumn("cos",
+        graft.functions.SketchExprs.dotProduct(col("nv"), col("ev"))
+          / (col("nn") * col("en")))
+      .filter(col("cos") > threshold)
+      .select(col("new_id"), col("ex_id"), col("cos"))
+  }
+
   def incrementalDedupBloom(docs: DataFrame, existing: DataFrame,
       sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]],
       eventTimeCol: Option[String] = None,

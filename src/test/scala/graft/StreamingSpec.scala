@@ -243,6 +243,56 @@ class StreamingSpec extends SparkSpec {
       s"bloom stream kept ${bloomed.size} fps, batch kept ${batch.size}")
   }
 
+  test("st07 ingest near-dup pairs: exact subset of the odd-vs-even truth, recall logged") {
+    // ss08's contract exactly: every emission is exact-cosine verified, so
+    // precision is 1 by construction — assert the subset (guards the
+    // probe join's columns); recall is LSH-bounded on this near-isotropic
+    // corpus and is logged, not pinned.
+    val e = Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", graft.functions.SketchExprs.l2Norm(col("v")))
+    val odd = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("new_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val even = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"))
+    val truth = odd.crossJoin(even)
+      .withColumn("cos", graft.functions.SketchExprs.dotProduct(col("nv"), col("ev"))
+        / (col("nn") * col("en")))
+      .filter(col("cos") > 0.3)
+      .select("new_id", "ex_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.streaming.EventWindows
+      .queries("st07_ann_ingest_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "gate corpus must contain cross-parity near-dups")
+    assert(got.subsetOf(truth), s"st07 emitted non-near-dup pairs: ${got -- truth}")
+    assert(got.nonEmpty, "the probe must surface at least one verified pair")
+    info(f"st07 recall = ${got.size.toDouble / truth.size}%.3f (${got.size}/${truth.size})")
+  }
+
+  test("st07's streaming form emits the batch twin's pair set (stateless stream-static probe)") {
+    val e = Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val existing = graft.operators.Similarity
+      .bandedIndex(e.filter(col("vec_id") % 2 === 0), tables = 2, planes = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("st07").toString
+    e.filter(col("vec_id") % 2 === 1).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestNeardupPairs(
+      spark.readStream.schema(e.schema).parquet(tmp), existing,
+      tables = 2, planes = 8, threshold = 0.3)
+    val q = stream.writeStream.format("memory").queryName("st07_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT new_id, ex_id FROM st07_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.EventWindows
+      .queries("st07_ann_ingest_neardup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream emitted ${streamed.size} distinct pairs, batch twin ${batch.size}")
+  }
+
   test("st06's keep-first pre-reduction is fp-set-invariant through the bloom helper") {
     // st06 pre-reduces the batch to keep-first-by-doc_id before the
     // streaming helper so the kept doc_id is deterministic (the helper's
