@@ -25,11 +25,16 @@ object ProfileQ {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // same action rule as the bench (see BenchAction): a query whose count
+    // plan collapses is timed via the materializing toRdd action
+    val collapses = names.map(n => n ->
+      (try BenchAction.countCollapses(SparkEntry.queries(n)(spark, sfDir))
+       catch { case scala.util.control.NonFatal(_) => false })).toMap
     for (_ <- 1 to reps; name <- names) {
       if (clear) { spark.catalog.clearCache(); Caches.releaseAll() }
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      BenchAction.run(fn(spark, sfDir), collapses(name))
       times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
     }
     names.foreach { name =>

@@ -576,11 +576,34 @@ object Dedup {
       val W = org.apache.spark.sql.expressions.Window
       val t = table(s, dir, "documents")
         .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-      val wins = t.filter(size(col("ws")) >= K)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
-            s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
-        .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+      // Two deliberate exchanges around the explode (measured at soak
+      // sf1.0, where the corpus is ONE parquet row group):
+      //  1. repartition BEFORE it — the K-window md5 expansion is the
+      //     dominant per-row compute, and an unsplittable single-row-group
+      //     file gives the scan 1-2 partitions, serializing the whole
+      //     expansion on as many cores (7.8 s single-core vs ~0.9 s across
+      //     32); the payload is one narrow pass over (doc_id, tokens).
+      //  2. repartition ON h AFTER it, then a TRACKED CACHE — the three
+      //     consumers (dup-set aggregate, probe join, canonical rank
+      //     window) do NOT sit above one shared exchange (the join pushes
+      //     IsNotNull(doc_id) into one subtree only, so the two window
+      //     subtrees are not canonically equal and ReusedExchange cannot
+      //     fire — read off the executed plan), which is exactly the
+      //     boundary where the house cache rule says a cache IS
+      //     load-bearing: without it the explode runs once per consumer.
+      //     Cached h-partitioned, so the aggregate, the join and the rank
+      //     window all read it exchange-free. Together: 13 s -> ~4.7 s at
+      //     soak sf1.0 under the materializing action. At 100 TB the
+      //     cache is corpus-sized — production persists the window index
+      //     (the dd07/dd08 banded-index note) instead of caching it.
+      val wins = graft.Caches.track(
+        t.filter(size(col("ws")) >= K)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
+              s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
+          .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+          .repartition(col("h")))
       val dupH = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1).select("h")
@@ -640,6 +663,9 @@ object Dedup {
       val byH = table(s, dir, "documents")
         .select(col("source"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
         .filter(size(col("ws")) >= K)
+        // dd12's repartition-before-explode note applies verbatim: without
+        // it the md5 expansion runs on the scan's 1-2 partitions here
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"), explode(expr(
           s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
             s"md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)))")).as("h"))
