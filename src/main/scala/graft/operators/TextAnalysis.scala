@@ -397,6 +397,12 @@ object TextAnalysis {
     // a raw double sum is order-dependent), and the final per-token mean
     // divides AFTER the exact sum.
     "tx18_unigram_logprob" -> ((s, dir) => {
+      // NO repartition+cache here, deliberately (tx20/tx21 got them): the
+      // scoring join's build side is a broadcast, so the probe consumer
+      // needs no clustering and the explode is regexp-only — measured at
+      // soak sf1.0 the cached form REGRESSED 2.9 -> 4.6 s (materializing
+      // 2.4M rows costs more than re-running the cheap explode), the
+      // house cache rule's pure-cost case.
       val toks = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
@@ -438,15 +444,24 @@ object TextAnalysis {
     // discipline as tx18 for the order-independent exact sum.
     "tx20_bigram_logprob" -> ((s, dir) => {
       val dt = org.apache.spark.sql.types.DecimalType(28, 6)
-      val seq = table(s, dir, "documents")
+      // dd12's two lessons applied to the token stream: repartition the
+      // narrow (doc, tokens) rows BEFORE the explode (the local corpus is
+      // one parquet row group — without this the 2.4M-tuple expansion at
+      // soak sf1.0 runs on 1-2 cores), and CACHE the exploded frame — its
+      // three consumers (unigram agg on w, bigram agg on (prev, w), the
+      // scoring join) cluster on different keys, so no exchange is
+      // shareable and each would re-run the expansion. 10.3 -> ~6 s at
+      // soak sf1.0 (the remaining cost is the scoring joins themselves).
+      val seq = graft.Caches.track(table(s, dir, "documents")
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(expr(
           // element_at is 1-based, the lambda index 0-based: element_at(ws, i)
           // IS the previous token; i = 0 (the doc's first token) stays null
           "transform(ws, (x, i) -> struct(x AS w, CASE WHEN i > 0 THEN element_at(ws, i) END AS prev))"))
           .as("tp"))
-        .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev"))
+        .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev")))
       val uni = seq.groupBy("w").agg(count(lit(1)).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("t"))
       val big = seq.filter(col("prev").isNotNull)
@@ -486,6 +501,11 @@ object TextAnalysis {
     // doc's score came from backoff (the filter's confidence signal).
     "tx21_backoff_heldout" -> ((s, dir) => {
       val dt = org.apache.spark.sql.types.DecimalType(28, 6)
+      // No repartition+cache (tx20 keeps them): A/B at soak scale was
+      // inside noise here — tx21's consumers split the stream into train/
+      // eval folds first, so each re-run explodes a FRACTION of the
+      // corpus, and the cache materializes all of it (tx18's reasoning,
+      // measured ambiguous rather than clearly positive).
       val seq = table(s, dir, "documents")
         .select(col("doc_id"),
           substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1).as("nib"),
@@ -540,6 +560,9 @@ object TextAnalysis {
     // vocab (the confidence signal); pred_curated is the filter's verdict.
     "tx22_nb_source_score" -> ((s, dir) => {
       val dt = org.apache.spark.sql.types.DecimalType(28, 6)
+      // no repartition+cache, tx18's measured pure-cost reasoning (the
+      // model build's aggregates and the broadcast-total scoring join
+      // don't re-pay enough explode work to fund a 2.4M-row cache)
       val seq = table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1).as("nib"),
