@@ -261,6 +261,66 @@ object TextAnalysis {
     // of the content fingerprint: 0-c train (~81%), d-e val (~12.5%),
     // f test (~6%). Embarrassingly parallel — no shuffle at all before
     // the gate's orderBy.
+    // The WHOLE training-data pipeline as ONE declared query — the
+    // manifest a trainer actually consumes, produced by one Catalyst plan
+    // instead of five orchestrated jobs: tx07's quality gate + exact
+    // keep-first (stage 1) → dd10's LSH-pruned exact-verified fuzzy dedup
+    // on the gated survivors (stage 2; per-doc signatures don't depend on
+    // the corpus, so the gate-scale recall-1 license transfers to the
+    // subset) → tx10's df-capped trigram decontamination against the
+    // held-out eval cut, dropping both the eval docs and every survivor
+    // sharing ≥3 capped grams with one (stage 3) → tx13's content-hash
+    // fold boundary, train fold only (stage 4) → tx19's seeded
+    // deterministic shard + rank-within-shard (stage 5). Output:
+    // (doc_id, shard, pos) — rerunning the pipeline yields byte-identical
+    // shards, the reproducibility contract end to end. Composing in one
+    // plan also lets Catalyst share the documents scan across stages and
+    // keeps every intermediate distributed — no orchestration layer
+    // materializes anything between stages. Hash-exact: the oracle is the
+    // five stages' proven mirrors chained as CTEs.
+    "qp01_training_manifest" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val scored = docs
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("en_hits", size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+        .withColumn("n_short", size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
+        .withColumn("quality",
+          (col("en_hits") * lit(2.0) / col("n_words"))
+            - (col("n_short").cast("double") / col("n_words")))
+        .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
+      val gated = scored
+        .filter(col("en_hits") >= 3 && col("n_words") >= 20 && col("quality") >= 0.15)
+        .withColumn("rn", row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text")
+      val kept = Dedup.fuzzyDedupSurvivors(gated).select("doc_id")
+      val grams = docs
+        .select(col("doc_id"), graft.functions.WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
+        .select("doc_id", "ngram").distinct()
+      val keptGrams = Layout.capHotKeys(grams, Seq("ngram"), 64L, tag = "qp01.grams")
+      val flagged = keptGrams.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("ngram"))
+        .join(keptGrams.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("ngram")), "ngram")
+        .groupBy("corpus_id", "eval_id").agg(count(lit(1)).as("sg"))
+        .filter(col("sg") >= 3)
+        .select(col("corpus_id").as("doc_id")).distinct()
+      val clean = kept.filter(col("doc_id") % 50 =!= 0)
+        .join(flagged, Seq("doc_id"), "left_anti")
+      val train = clean.join(docs.select("doc_id", "text"), Seq("doc_id"))
+        .filter(!substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
+          .isin("d", "e", "f"))
+        .select("doc_id")
+      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+      train.select(col("doc_id"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos",
+          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -931,6 +991,76 @@ object TextAnalysis {
          |SELECT doc_id, source, tokens,
          |  CAST(off // 2048 AS BIGINT) AS bin, off % 2048 AS bin_offset
          |FROM o ORDER BY doc_id""".stripMargin,
+    // qp01's five stages are the proven per-stage mirrors chained as CTEs:
+    // tx07's gate, dd10's exact all-pairs closure (restricted to the gated
+    // set — the LSH stage it prunes for carries the same recall-1
+    // license), tx10's df-capped trigram decontamination, tx13's nibble
+    // fold, tx19's seeded shard/rank.
+    "qp01_training_manifest" ->
+      s"""WITH RECURSIVE scored AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(regexp_extract_all(lower(text), '$EnStop')) AS en_hits,
+         |    len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS n_short,
+         |    md5(lower(trim(text))) AS fp
+         |  FROM documents),
+         |gated AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM scored
+         |    WHERE en_hits >= 3 AND n_words >= 20
+         |      AND (en_hits * 2.0 / n_words)
+         |        - (CAST(n_short AS DOUBLE) / n_words) >= 0.15)
+         |  WHERE rn = 1),
+         |d AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+         |  FROM gated),
+         |fpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         |edges AS (
+         |  SELECT id_a, id_b FROM fpairs UNION SELECT id_b, id_a FROM fpairs),
+         |reach(id, r) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id),
+         |drops AS (SELECT id FROM reach GROUP BY id HAVING id != MIN(r)),
+         |kept AS (
+         |  SELECT doc_id FROM gated
+         |  WHERE doc_id NOT IN (SELECT id FROM drops)),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS ngram
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) AS i
+         |        FROM documents)),
+         |kg AS (
+         |  SELECT doc_id, ngram FROM g
+         |  WHERE ngram IN (SELECT ngram FROM g GROUP BY ngram HAVING COUNT(*) <= 64)),
+         |flagged AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id AS doc_id
+         |    FROM kg c JOIN kg e ON c.ngram = e.ngram
+         |    WHERE c.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+         |    GROUP BY c.doc_id, e.doc_id HAVING COUNT(*) >= 3)),
+         |clean AS (
+         |  SELECT doc_id FROM kept
+         |  WHERE doc_id % 50 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |train AS (
+         |  SELECT c.doc_id FROM clean c JOIN documents dd ON dd.doc_id = c.doc_id
+         |  WHERE substring(md5(lower(trim(dd.text))), 1, 1) NOT IN ('d', 'e', 'f')),
+         |keyed AS (
+         |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h FROM train)
+         |SELECT doc_id, substring(h, 1, 1) AS shard,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS INT) AS pos
+         |FROM keyed ORDER BY doc_id""".stripMargin,
     "tx13_hash_split" ->
       """SELECT doc_id, substring(md5(lower(trim(text))), 1, 1) AS nibble,
         |  CASE WHEN substring(md5(lower(trim(text))), 1, 1) IN ('d', 'e') THEN 'val'

@@ -216,6 +216,33 @@ class TextAnalysisSpec extends SparkSpec {
       s"OOV doc must sit nearer zero than either in-vocab doc: $avg7 vs $avg5 / $avg6")
   }
 
+  test("qp01 manifest is consistent with every declared stage it composes") {
+    val q = graft.SparkEntry.queries
+    val manifest = q("qp01_training_manifest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val ids = manifest.map(_._1).toSet
+    assert(ids.nonEmpty)
+    // stage 1: every manifest doc survived tx07's gate
+    val gate = q("tx07_corpus_prep")(spark, sf001).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(gate), s"manifest docs outside the tx07 gate: ${ids -- gate}")
+    // stage 3a: the eval cut is excluded wholesale
+    assert(ids.forall(_ % 50 != 0), "manifest contains eval-cut docs")
+    // stage 3b: no manifest doc is tx10-flagged as contaminated
+    val flagged = q("tx10_decontaminate")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    assert((ids & flagged).isEmpty, s"contaminated docs in manifest: ${ids & flagged}")
+    // stage 4: manifest ⊆ tx13's train fold
+    val folds = q("tx13_hash_split")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ids.forall(folds(_) == "train"), "manifest contains val/test-fold docs")
+    // stage 5: shard/pos agree with tx19's keying restricted to the
+    // manifest set — dense 1..n per shard, ordered by the seeded hash
+    manifest.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq,
+        s"shard $shard positions not dense: ${rows.map(_._3).sorted.mkString(",")}")
+    }
+  }
+
   test("tx19 shard shuffle: dense 1..n positions per shard, all docs covered, order differs from doc_id order") {
     val out = graft.SparkEntry.queries("tx19_shuffle_shards")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
