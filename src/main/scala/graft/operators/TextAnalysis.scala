@@ -274,10 +274,12 @@ object TextAnalysis {
     // deterministic shard + rank-within-shard (stage 5). Output:
     // (doc_id, shard, pos) — rerunning the pipeline yields byte-identical
     // shards, the reproducibility contract end to end. Composing in one
-    // plan also lets Catalyst share the documents scan across stages and
-    // keeps every intermediate distributed — no orchestration layer
-    // materializes anything between stages. Hash-exact: the oracle is the
-    // five stages' proven mirrors chained as CTEs.
+    // plan keeps every intermediate distributed — no orchestration layer
+    // materializes anything between stages. (It does NOT dedupe the
+    // source scans: the plan carries one columnar parquet read per stage
+    // subtree — cheap here; a production run over 100 TB would persist
+    // the gated set once, the dd07/dd08 staging note.) Hash-exact: the
+    // oracle is the five stages' proven mirrors chained as CTEs.
     "qp01_training_manifest" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
