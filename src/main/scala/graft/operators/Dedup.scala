@@ -656,10 +656,12 @@ object Dedup {
       // pair counts by emitting each set's ordered pairs map-side.
       // Measured at sf0.1 (ProfileQ CLEAR=1 min-of-4): 2.14 s as a
       // distinct + self-join on h, 1.93 s keeping the distinct but
-      // collecting sets, 1.75 s in this form — the floor is the md5 of
-      // every window plus the set aggregation (ObjectHashAggregate); at
-      // 100 TB the internal key would be xxhash64 (no string
-      // materialization), md5 kept here so DuckDB can mirror it.
+      // collecting sets, 1.75 s in this form, ~1.3 s once the
+      // repartition below spread the explode off the single-row-group
+      // scan — the floor is the md5 of every window plus the set
+      // aggregation (ObjectHashAggregate); at 100 TB the internal key
+      // would be xxhash64 (no string materialization), md5 kept here so
+      // DuckDB can mirror it.
       val byH = table(s, dir, "documents")
         .select(col("source"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
         .filter(size(col("ws")) >= K)

@@ -301,6 +301,7 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((17, 2, 2, 16, Some(2.0 / 17))), s"doc4: ${out(4L)}")
     // doc 5: no windows at all; the ratio is NULL, not 0/0.
     assert(out(5L) == ((0, 0, 0, 0, None)), s"doc5: ${out(5L)}")
+    graft.Caches.releaseAll() // dd12's builder tracks the exploded-window cache
   }
 
   test("dd13 source-overlap matrix: shared windows counted once, disjoint sources absent") {
