@@ -22,6 +22,20 @@ class PlanCensusSpec extends SparkSpec {
     "ss12_sq8_ann", // 1-row quantization grid + the ss01-style broadcast query fanout
     "ss13_ivf_sq8_ann") // ss05's broadcast centroid assignment + the 1-row grid
 
+  // Queries whose count() plan legally collapses (Catalyst eliminates
+  // cardinality-preserving windows / unique-key outer joins under a bare
+  // count) — the bench times these with the materializing action
+  // (BenchAction). Pinned so a NEW query can't silently regress into
+  // skeleton benching: trip this and either the final stage really is
+  // count-prunable (add it here — the bench handles it automatically) or
+  // the query lost a stage it was supposed to keep.
+  private val knownCollapsed = Set(
+    "aj01_asof_backward", "dd12_substring_dedup", "e15_forward_fill",
+    "q08_running_window", "q23_corr_scalar_subquery", "q30_rank_family",
+    "q33_range_frame", "qp01_training_manifest", "rj01_time_range_join",
+    "tx14_pack_sequences", "tx16_pack_subword", "tx19_shuffle_shards",
+    "tx20_bigram_logprob", "tx21_backoff_heldout", "tx22_nb_source_score")
+
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf001).queryExecution.executedPlan.toString
@@ -40,5 +54,15 @@ class PlanCensusSpec extends SparkSpec {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
     }.toSet
     assert(stale.isEmpty, s"allowlist entries no longer BNLJ: $stale")
+  }
+
+  test("count-plan collapse set is exactly the pinned list (bench action honesty)") {
+    val collapsed = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if BenchAction.countCollapses(fn(spark, sf001)) => name
+    }.toSet
+    graft.Caches.releaseAll() // plan builds above register builder caches
+    assert(collapsed == knownCollapsed,
+      s"new collapsed: ${collapsed -- knownCollapsed}; " +
+        s"no longer collapsed: ${knownCollapsed -- collapsed}")
   }
 }
