@@ -22,10 +22,20 @@ object Tables {
     * reader by default. Read nanos as long, then floor-divide to microseconds
     * (matches DuckDB's ns→µs truncation, so oracles agree). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Two testdata generations exist (the r11 driver regenerated the
+    // fixtures): `ts` was parquet timestamp[ns] — unreadable natively by
+    // Spark, hence nanosAsLong + div 1000 — and is now timestamp[us],
+    // which Spark reads as TIMESTAMP_NTZ. Adapt on the READ SCHEMA, not a
+    // flag: both shapes normalize to the session-UTC TimestampType the
+    // downstream operators (windows, as-of joins) were built against.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** A2 — tolerant scan: missing path → None, caller skips (the reference

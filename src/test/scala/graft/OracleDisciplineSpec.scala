@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r9 lesson so it cannot regress: no hashed oracle may compute a
+  * transcendental function. CORRECTNESS_r09 failed the hash on all four
+  * LM-scoring queries (tx18/tx20/tx21/tx22) while the judge-local DuckDB
+  * passed them bit-exactly — `round(ln(x), 6)` is stable against one engine
+  * build but flips a 6 dp tie when another build's libm differs in the last
+  * ulp. The house rule since r11: a hashed column must be derived from
+  * exact arithmetic (integers, decimals, md5, string ops); anything
+  * ln-derived lives in a rows-only-det query (rerun bit-determinism + a
+  * JVM-reference spec), with an exact-integer evidence twin carrying the
+  * hash (tx18e/tx20e/tx21e/tx22e).
+  *
+  * `sqrt` is deliberately NOT forbidden: IEEE 754 requires square root to
+  * be correctly rounded, so — unlike libm transcendentals — it is
+  * bit-identical on every conforming build. The five cosine/L2 oracles
+  * (ss01/ss03/ss05/ss10/ss13) rely on that and have hash-matched on every
+  * driver build since they landed.
+  */
+class OracleDisciplineSpec extends AnyFunSuite {
+
+  private val transcendental =
+    """(?i)\b(ln|log|log2|log10|exp|power|pow|sin|cos|tan|asin|acos|atan|sinh|cosh|tanh)\s*\(""".r
+
+  // Grows only if a future oracle PROVES build-robustness some other way;
+  // empty is the intended steady state.
+  private val allowlist: Set[String] = Set.empty
+
+  test("no hashed oracle computes a transcendental function") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) if !allowlist(name) =>
+        val hits = transcendental.findAllMatchIn(sql).map(_.group(1)).toList.distinct
+        if (hits.nonEmpty) Some(s"$name uses ${hits.mkString(", ")}") else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"transcendental functions in hashed oracles (engine-BUILD-fragile, " +
+        s"see CORRECTNESS_r09 tx18/tx20/tx21/tx22):\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("the four LM score queries stay rows-only (no oracle) with evidence twins hashed") {
+    val scoreQueries = Seq("tx18_unigram_logprob", "tx20_bigram_logprob",
+      "tx21_backoff_heldout", "tx22_nb_source_score")
+    val twins = Seq("tx18e_unigram_evidence", "tx20e_bigram_evidence",
+      "tx21e_backoff_evidence", "tx22e_nb_evidence")
+    scoreQueries.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"$n missing from queries")
+      assert(!SparkEntry.oracleSql.contains(n),
+        s"$n carries an oracle again — its ln-derived columns are " +
+          "engine-build-fragile; keep it rows-only-det")
+    }
+    twins.foreach { n =>
+      assert(SparkEntry.queries.contains(n) && SparkEntry.oracleSql.contains(n),
+        s"evidence twin $n must exist and be hash-checked")
+    }
+  }
+}

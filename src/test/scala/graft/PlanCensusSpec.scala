@@ -34,7 +34,11 @@ class PlanCensusSpec extends SparkSpec {
     "q08_running_window", "q23_corr_scalar_subquery", "q30_rank_family",
     "q33_range_frame", "qp01_training_manifest", "rj01_time_range_join",
     "tx14_pack_sequences", "tx16_pack_subword", "tx19_shuffle_shards",
-    "tx20_bigram_logprob", "tx21_backoff_heldout", "tx22_nb_source_score")
+    "tx20_bigram_logprob", "tx21_backoff_heldout", "tx22_nb_source_score",
+    // the r11 evidence twins end in LEFT joins on unique keys, which
+    // Catalyst eliminates under a bare count exactly like their score
+    // siblings (tx18e's joins are inner — it does not collapse)
+    "tx20e_bigram_evidence", "tx21e_backoff_evidence", "tx22e_nb_evidence")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
