@@ -107,16 +107,18 @@ object Bench {
     // write, pass B hits the memo, the ratio exceeds 2x, and these queries
     // are routed into the targeted third pass on EVERY bench run — wasting
     // the reruns and diluting the flag's contention-diagnostic meaning.
-    Seq( // builder to invoke -> queries served by its memo
+    val memoPrewarm = Seq( // builder to invoke -> queries served by its memo
       "ss05_ivf_ann" -> Seq("ss05_ivf_ann", "ss10_semantic_dedup"),
       "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
       "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental", "st06_bloom_ingest_dedup"),
+      "dd11_incremental_fuzzy" -> Seq("dd11_incremental_fuzzy"), // banded index fixture (r11)
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14
       "e17_partition_prune" -> Seq("e17_partition_prune"),
       "e18_evolved_scan" -> Seq("e18_evolved_scan")) // fixture write at builder time
+    memoPrewarm
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
       .foreach { case (n, _) =>
         try { SparkEntry.queries(n)(spark, sfDir); () }
@@ -124,6 +126,11 @@ object Bench {
           System.err.println(s"[bench] $n memo pre-warm failed: ${e.getMessage}")
         }
       }
+    // Record-hygiene (r9 verdict #5): the record itself names which
+    // queries' figures are memo-warm — i.e. EXCLUDE a one-time fixture
+    // write / index train / vocab build that a cold first run would pay.
+    val prewarmed = ("e14_csv_scan" +: memoPrewarm.flatMap(_._2))
+      .distinct.sorted.filter(n => only.forall(_.contains(n)))
     // None = the run FAILED — a fast-failing run must never become the
     // recorded best time (a failure is not a measurement).
     // maxPending tracks builder caches left registered after a query ran:
@@ -147,6 +154,15 @@ object Bench {
       spark.catalog.clearCache()
       Caches.releaseAll()
       operators.Layout.resetRefusedCounters()
+      // r9's record inflated late-suite heavy queries 4-8x over their
+      // solo-quiet walls (dd12 21.9 vs 3.8 s): after ~120 plans in one JVM,
+      // accumulated heap/GC pressure dominates. A full GC before each timed
+      // region runs OUTSIDE the clock (its cost lands on bench wall, never
+      // on a query's figure) and hands every query a settled heap; the
+      // reversed pass B below handles what GC can't (position-dependent
+      // JIT/metaspace state) by giving each query a sample from the
+      // opposite end of the suite.
+      System.gc()
       val t0 = System.nanoTime()
       try {
         BenchAction.run(fn(spark, sfDir), mat)
@@ -174,7 +190,13 @@ object Bench {
     val loadA = gate("pass_a")
     val passA = suite.map { case (name, fn) => name -> timed(name, fn) }
     val loadB = gate("pass_b")
-    val passB = suite.map { case (name, fn) => name -> timed(name, fn) }
+    // Pass B runs the suite REVERSED: a query timed late in pass A (under
+    // whatever JVM state ~120 prior plans left behind) is timed early in
+    // pass B, so min-of-passes always holds one low-suite-pressure sample
+    // per query. With identical order (r1-r9) both samples of a late query
+    // carried the same position penalty and min could not remove it.
+    val passB = suite.reverse.map { case (name, fn) => name -> timed(name, fn) }
+      .reverse // restore suite order so the zips below stay aligned
     // Third targeted pass for queries whose two samples still disagree >2x
     // (a window longer than one full pass, or a real bimodal query) or
     // failed a run — a failure is a stronger disagreement signal than a 2x
@@ -232,8 +254,10 @@ object Bench {
       if (ms.isEmpty) ""
       else ms.map("\"" + _ + "\"").mkString(",\"materialized_count\":[", ",", "]")
     }
+    val prewarmedField =
+      prewarmed.map("\"" + _ + "\"").mkString(",\"prewarmed\":[", ",", "]")
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"interleaved min-of-2 passes + targeted 3rd; e14 fixture + index-state memos pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write); queries whose count plan collapses are timed via toRdd (r9, see BenchAction)",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region (r11: late-suite JVM pressure inflated heavy queries 4-8x); e14 fixture + index-state memos pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write); queries whose count plan collapses are timed via toRdd (r9, see BenchAction)",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal) AND

@@ -20,7 +20,7 @@ object EtlQueries {
     * process would overwrite each other's fixture and silently serve the
     * first dir's memoized path the second dir's rows. A name-UUID (md5 of
     * the dir bytes) cannot collide in practice. */
-  private def fixtureKey(dir: String): String =
+  private[operators] def fixtureKey(dir: String): String =
     java.util.UUID.nameUUIDFromBytes(
       dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
 
@@ -33,7 +33,7 @@ object EtlQueries {
     * build; unparseable names are skipped, never a crash. */
   private val sweptPrefixes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def sweepStaleFixtures(prefix: String): Unit =
+  private[operators] def sweepStaleFixtures(prefix: String): Unit =
     if (sweptPrefixes.add(prefix)) {
       val pidPat = ("^" + java.util.regex.Pattern.quote(prefix) + "(\\d{1,18})_").r
       Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())

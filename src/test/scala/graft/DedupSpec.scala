@@ -326,6 +326,38 @@ class DedupSpec extends SparkSpec {
       r.getDouble(5)) == (("srcA", "srcB", 1, 2, 2, 0.5)), s"got $r")
   }
 
+  test("dd14 policy cut: systemic pair cut, coincidental pair spared, same-source always cut") {
+    // One shared 8-word window (hash H1) across all four docs; the tails
+    // make srcA and srcC 21-distinct-window sources. Matrix: (srcA, srcB)
+    // overlap = 1/least(21, 1) = 1.0 >= 0.05 -> systemic; (srcA, srcC) =
+    // 1/least(21, 21) ~ 0.048 < 0.05 -> coincidental. Policy compares each
+    // occurrence's source against the CANONICAL occurrence's source
+    // (doc 1, srcA), so doc 2 (srcB) is cut via the systemic pair, doc 3
+    // (srcC) is spared, and doc 4 (srcA) is cut as same-source.
+    val w8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val tailA = "kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray yankee zulu ant bee cat dog"
+    val tailC = "mango nectar olive peach quince radish squash turnip " +
+      "ash birch cedar elm fir hazel maple oak gear piston valve crank"
+    val tmp = java.nio.file.Files.createTempDirectory("dd14").toString
+    Seq(
+      (1L, s"$w8 $tailA", "srcA"), // canonical for H1; 21 windows
+      (2L, w8, "srcB"), // 1 window: H1, cross-source systemic
+      (3L, s"$w8 $tailC", "srcC"), // H1 + 20 own windows: coincidental
+      (4L, w8, "srcA")) // 1 window: H1, same source as canonical
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.queries("dd14_policy_cut")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(!out.contains(1L), s"canonical doc must have no cut candidates: $out")
+    assert(out(2L) == ((1, 1, 0)), s"doc2 (systemic cross-source): ${out(2L)}")
+    assert(out(3L) == ((1, 0, 1)), s"doc3 (coincidental, spared): ${out(3L)}")
+    assert(out(4L) == ((1, 1, 0)), s"doc4 (same-source): ${out(4L)}")
+    graft.Caches.releaseAll() // dd14's builder tracks the window cache
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With

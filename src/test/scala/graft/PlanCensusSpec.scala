@@ -38,7 +38,9 @@ class PlanCensusSpec extends SparkSpec {
     // the r11 evidence twins end in LEFT joins on unique keys, which
     // Catalyst eliminates under a bare count exactly like their score
     // siblings (tx18e's joins are inner — it does not collapse)
-    "tx20e_bigram_evidence", "tx21e_backoff_evidence", "tx22e_nb_evidence")
+    "tx20e_bigram_evidence", "tx21e_backoff_evidence", "tx22e_nb_evidence",
+    // dd14's rank window + left policy join drop under a bare count too
+    "dd14_policy_cut")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
