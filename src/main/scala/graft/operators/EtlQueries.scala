@@ -24,6 +24,22 @@ object EtlQueries {
     java.util.UUID.nameUUIDFromBytes(
       dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
 
+  /** Cheap content fingerprint of a data path (file OR parquet dir):
+    * name/length/mtime of every regular file under it, order-insensitive.
+    * Folding this into an index memo key makes a REWRITTEN input at the
+    * same path rebuild the index instead of serving stale postings (the
+    * r11 advice on dd11's dir-only key) while an untouched snapshot dir
+    * still memoizes. Not a data hash — rewriting a file with identical
+    * length and mtime is indistinguishable, which no filesystem writer
+    * does in practice. */
+  private[graft] def contentFingerprint(path: String): String = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).foldLeft(0L)(_ ^ _)
+      else f.getName.hashCode.toLong * 1000003L ^ f.length() * 31L ^ f.lastModified()
+    walk(new java.io.File(path)).toHexString
+  }
+
   /** Sweep fixture dirs leaked by SIGKILL'd JVMs — the shutdown hooks
     * below never ran, so without this the tmpdir grows by one fixture per
     * killed process forever. Same liveness test as q37's warehouse sweep

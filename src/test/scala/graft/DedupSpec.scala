@@ -263,6 +263,16 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.queries("dd11_incremental_fuzzy")(spark, tmp)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(3L, 7L), s"got $kept")
+    // r12: the persisted index holds the CORPUS ONLY (even doc_ids) — the
+    // batch side computes its signatures at query time, so an index row
+    // with an odd doc_id means the per-run plan is again skipping the one
+    // cost a real ingest pays (its own signature scan).
+    val idx = Dedup.dd11IndexPath(spark, tmp)
+    for (part <- Seq("bands", "sh")) {
+      val odd = spark.read.parquet(s"$idx/$part")
+        .filter($"doc_id" % 2 === 1).count()
+      assert(odd == 0, s"dd11 index $part holds $odd batch rows")
+    }
     graft.Caches.releaseAll()
   }
 
