@@ -422,6 +422,66 @@ object Dedup {
     })()
   }
 
+  /** Window length (tokens) of the substring-dedup family (dd12/dd13/dd14
+    * and the shared index below). Lee et al. 2021 use 50 BPE tokens; 8
+    * words keeps gate corpora exercising the merge logic. */
+  private[graft] val substringK = 8
+
+  /** The persisted substring WINDOW INDEX shared by dd12/dd13/dd14 — the
+    * corpus-wide (doc_id, source, pos, h) frame of K-token window hashes,
+    * plus a (doc_id, source, n_ws) token-count sidecar. Until r12 each of
+    * the three queries re-derived this frame per run (regex tokenize +
+    * explode + md5 of every window — the dominant cost, ~3 rebuilds of
+    * one index per bench pass); the in-code 100 TB note always said
+    * production persists exactly this shape once per corpus snapshot and
+    * lets every consumer probe it. Same fixture lifecycle as
+    * [[dd11IndexPath]]: memo key folds a content fingerprint of
+    * documents.parquet, build runs outside the CHM bin lock, pid-keyed
+    * tmpdir with stale-sweep and shutdown cleanup. The window frame is
+    * written h-clustered (repartition on the hash before write) so each
+    * file holds a hash range; results of all three queries — and their
+    * oracles — are byte-identical to the recompute form. */
+  private val ddWinIndexPaths = new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+  private[graft] def ddWinIndexPath(s: SparkSession, dir: String): String = {
+    val key = dir + "|" + EtlQueries.contentFingerprint(s"$dir/documents.parquet")
+    ddWinIndexPaths.computeIfAbsent(key, { _ =>
+      lazy val built: String = {
+        EtlQueries.sweepStaleFixtures("graft_ddwin_index_")
+        val f = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_ddwin_index_${ProcessHandle.current().pid()}_${EtlQueries.fixtureKey(key)}")
+        val path = f.getAbsolutePath
+        val K = substringK
+        val t = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        // repartition BEFORE the explode: the K-window md5 expansion is
+        // the dominant per-row compute, and an unsplittable
+        // single-row-group file gives the scan 1-2 partitions,
+        // serializing the whole expansion (measured at soak sf1.0:
+        // 7.8 s single-core vs ~0.9 s across 32)
+        t.filter(size(col("ws")) >= K)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"), explode(expr(
+            s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
+              s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
+          .select(col("doc_id"), col("source"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+          .repartition(col("h"))
+          .write.mode("overwrite").parquet(s"$path/wins")
+        t.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"))
+          .write.mode("overwrite").parquet(s"$path/docs")
+        sys.addShutdownHook {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm))
+            x.delete(): Unit
+          }
+          rm(f)
+        }
+        path
+      }
+      () => built
+    })()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
     "dd01_exact_dedup" -> ((s, dir) => {
@@ -634,37 +694,25 @@ object Dedup {
     // mirror the rank. Output per doc: window counts, dup-window count,
     // merged span count, tokens a rewrite would cut, dup fraction.
     "dd12_substring_dedup" -> ((s, dir) => {
-      val K = 8
+      val K = substringK
       val W = org.apache.spark.sql.expressions.Window
-      val t = table(s, dir, "documents")
-        .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-      // Two deliberate exchanges around the explode (measured at soak
-      // sf1.0, where the corpus is ONE parquet row group):
-      //  1. repartition BEFORE it — the K-window md5 expansion is the
-      //     dominant per-row compute, and an unsplittable single-row-group
-      //     file gives the scan 1-2 partitions, serializing the whole
-      //     expansion on as many cores (7.8 s single-core vs ~0.9 s across
-      //     32); the payload is one narrow pass over (doc_id, tokens).
-      //  2. repartition ON h AFTER it, then a TRACKED CACHE — the three
-      //     consumers (dup-set aggregate, probe join, canonical rank
-      //     window) do NOT sit above one shared exchange (the join pushes
-      //     IsNotNull(doc_id) into one subtree only, so the two window
-      //     subtrees are not canonically equal and ReusedExchange cannot
-      //     fire — read off the executed plan), which is exactly the
-      //     boundary where the house cache rule says a cache IS
-      //     load-bearing: without it the explode runs once per consumer.
-      //     Cached h-partitioned, so the aggregate, the join and the rank
-      //     window all read it exchange-free. Together: 13 s -> ~4.7 s at
-      //     soak sf1.0 under the materializing action. At 100 TB the
-      //     cache is corpus-sized — production persists the window index
-      //     (the dd07/dd08 banded-index note) instead of caching it.
+      // Since r12 the corpus-wide window frame comes from the PERSISTED
+      // index ([[ddWinIndexPath]]) — the per-run plan is probe-sized
+      // (index scan + one h-exchange), the regex/explode/md5 expansion
+      // runs once per corpus snapshot at index-build time. The tracked
+      // h-partitioned CACHE stays: the three consumers (dup-set
+      // aggregate, probe join, canonical rank window) do NOT sit above
+      // one shared exchange (the join pushes IsNotNull(doc_id) into one
+      // subtree only, so the subtrees are not canonically equal and
+      // ReusedExchange cannot fire), and with the cache all three read
+      // one h-partitioned materialization exchange-free. At 100 TB the
+      // cached working set is the index projection a single snapshot
+      // probe reads — and a memory-tight deployment can drop the cache
+      // and pay one column-pruned index scan per consumer instead.
+      val idx = ddWinIndexPath(s, dir)
       val wins = graft.Caches.track(
-        t.filter(size(col("ws")) >= K)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
-              s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
-          .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+        s.read.parquet(s"$idx/wins")
+          .select(col("doc_id"), col("pos"), col("h"))
           .repartition(col("h")))
       val dupH = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -686,8 +734,9 @@ object Dedup {
           sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"))
       val dupCounts = dupOcc.groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_dup_windows"))
-      t.select(col("doc_id"),
-          greatest(size(col("ws")) - (K - 1), lit(0)).cast("int").as("n_windows"))
+      s.read.parquet(s"$idx/docs")
+        .select(col("doc_id"),
+          greatest(col("n_ws") - (K - 1), lit(0)).cast("int").as("n_windows"))
         .join(dupCounts, Seq("doc_id"), "left")
         .join(spans, Seq("doc_id"), "left")
         .na.fill(0, Seq("n_dup_windows", "n_cut_spans", "n_cut_tokens"))
@@ -707,32 +756,20 @@ object Dedup {
     // at 100 TB, never corpus-scale, and the overlap fraction divides two
     // exact ints so it is bit-stable cross-engine.
     "dd13_source_overlap" -> ((s, dir) => {
-      val K = 8
-      // ONE exchange on the window hash carries the whole query: the raw
-      // (not pre-distinct'd) window stream aggregates by h with
-      // collect_set(source) — the set dedups map-side, so the partial
-      // state per hash is bounded by the source count, never the window
-      // count — and BOTH outputs derive from that aggregated frame
-      // (ReusedExchange shares the scan + explode + shuffle): per-source
-      // distinct-window totals by re-exploding the source sets, and the
-      // pair counts by emitting each set's ordered pairs map-side.
-      // Measured at sf0.1 (ProfileQ CLEAR=1 min-of-4): 2.14 s as a
-      // distinct + self-join on h, 1.93 s keeping the distinct but
-      // collecting sets, 1.75 s in this form, ~1.3 s once the
-      // repartition below spread the explode off the single-row-group
-      // scan — the floor is the md5 of every window plus the set
-      // aggregation (ObjectHashAggregate); at 100 TB the internal key
+      // ONE exchange on the window hash carries the whole query: the
+      // PERSISTED window index's (source, h) projection ([[ddWinIndexPath]]
+      // since r12 — the explode/md5 expansion runs once per corpus
+      // snapshot, not per run) aggregates by h with collect_set(source) —
+      // the set dedups map-side, so the partial state per hash is bounded
+      // by the source count, never the window count — and BOTH outputs
+      // derive from that aggregated frame (ReusedExchange shares the
+      // index scan + shuffle): per-source distinct-window totals by
+      // re-exploding the source sets, and the pair counts by emitting
+      // each set's ordered pairs map-side. At 100 TB the internal key
       // would be xxhash64 (no string materialization), md5 kept here so
       // DuckDB can mirror it.
-      val byH = table(s, dir, "documents")
-        .select(col("source"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-        .filter(size(col("ws")) >= K)
-        // dd12's repartition-before-explode note applies verbatim: without
-        // it the md5 expansion runs on the scan's 1-2 partitions here
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("source"), explode(expr(
-          s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
-            s"md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)))")).as("h"))
+      val byH = s.read.parquet(s"${ddWinIndexPath(s, dir)}/wins")
+        .select(col("source"), col("h"))
         .groupBy("h")
         .agg(array_sort(collect_set(col("source"))).as("ss"))
       val perSrc = byH.select(explode(col("ss")).as("source"))
@@ -770,18 +807,13 @@ object Dedup {
     // double compare (shared/least ≥ 0.05) is an IEEE division both
     // engines round identically.
     "dd14_policy_cut" -> ((s, dir) => {
-      val K = 8
       val W = org.apache.spark.sql.expressions.Window
+      // Probes the PERSISTED window index ([[ddWinIndexPath]], r12) like
+      // dd12/dd13; the tracked h-partitioned cache feeds the systemic
+      // matrix, the dup-rank and the canonical lookup (dd12's
+      // cache-boundary note applies verbatim).
       val wins = graft.Caches.track(
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-          .filter(size(col("ws")) >= K)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("source"), explode(expr(
-            s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
-              s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
-          .select(col("doc_id"), col("source"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+        s.read.parquet(s"${ddWinIndexPath(s, dir)}/wins")
           .repartition(col("h")))
       val byH = wins.groupBy("h").agg(array_sort(collect_set(col("source"))).as("ss"))
       val perSrc = byH.select(explode(col("ss")).as("source"))
