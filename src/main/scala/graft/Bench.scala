@@ -28,6 +28,78 @@ object BenchAction {
     if (materialize) { df.queryExecution.toRdd.count(); () } else { df.count(); () }
 }
 
+/** Record assembly, extracted so BenchRecordSpec can pin the artifact
+  * shape — in particular that a run which attempted the fresh-JVM solo
+  * pass either carries the `queries_solo` map or says `solo_failed`
+  * loudly (r12 verdict #1: the per-query perf signal for heavy queries
+  * lives in the solo map; a bench change that silently drops it must
+  * fail a test, not wait for a judge rerun to notice). */
+private[graft] object BenchRecord {
+  def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+  def qmap(entries: Iterable[(String, Double)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+
+  /** Extract the per-query map from a bench record line — the parent's
+    * parse of the solo child's full record. Matches the FIRST
+    * `"queries":{...}` (the child never emits `queries_solo`). */
+  def parseQueries(record: String): Option[Map[String, Double]] =
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(record)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .flatMap { body =>
+        scala.util.Try(body.split(",").map { kv =>
+          val i = kv.lastIndexOf(':')
+          kv.substring(0, i).replace("\"", "") -> kv.substring(i + 1).toDouble
+        }.toMap).toOption
+      }
+
+  /** Renders (full, compact) record lines.
+    *
+    * `solo` = per-query walls from the fresh per-query child JVMs;
+    * `soloIncomplete` = the solo pass was attempted but at least one
+    * figure is missing (child failed/timed out) → `solo_failed` rides
+    * the record beside whatever figures did land. `value` stays the
+    * IN-SUITE sum for cross-round continuity; the solo map is the
+    * trustworthy per-query signal for the heavy queries. */
+  def render(
+      results: Seq[(String, Double)],
+      solo: Option[Map[String, Double]],
+      soloIncomplete: Boolean,
+      load: String,
+      maxPending: Int,
+      sfDir: String,
+      materialized: Seq[String],
+      prewarmed: Seq[String]): (String, String) = {
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // Any failure makes the TOTAL a sentinel: summing only successes would
+    // let a query that regresses into failure SHRINK the headline number
+    // (look like a speedup) for a consumer that reads only `value`.
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val failedField = if (failed.isEmpty) "" else failed.mkString(",\"failed\":[", ",", "]")
+    val matField =
+      if (materialized.isEmpty) ""
+      else materialized.map("\"" + _ + "\"").mkString(",\"materialized_count\":[", ",", "]")
+    val prewarmedField =
+      prewarmed.map("\"" + _ + "\"").mkString(",\"prewarmed\":[", ",", "]")
+    // The solo map rides BOTH lines (the full line is head-clipped by the
+    // driver's 2000-char tail capture); a child that failed or timed out
+    // must be loudly visible, never a silently absent field.
+    val soloField =
+      solo.map(m => ",\"queries_solo\":" + qmap(m.toSeq.sortBy(-_._2))).getOrElse("") +
+        (if (soloIncomplete) ",\"solo_failed\":true" else "")
+    val full =
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the slowest queries (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField,"value":${f(total)}}"""
+    // Compact final line: guaranteed to fit the 2000-char tail whole, so a
+    // last-line JSON parse always succeeds even when the full line clips.
+    // Carries the total plus the 12 slowest queries (the perf signal), the
+    // solo map, AND the failed list — a failing query must be visible in
+    // the line the driver is guaranteed to parse.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+    val compact =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$load,"queries":${qmap(slowest)},"n_queries":${results.size}$failedField$soloField,"queries_partial":true,"full_map":"previous line + BENCH_FULL.json","sf":"$sfDir"}"""
+    (full, compact)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,8 +167,17 @@ object Bench {
     // filter excludes e14 (no point paying the fixture write), and a
     // pre-warm failure is logged rather than swallowed — silently
     // discarding it would resurface later as an unexplained failed run.
+    // Record-hygiene (r9 verdict #5 + r11 advice): the record names which
+    // queries' figures are memo-warm, derived from the pre-warms that
+    // actually SUCCEEDED — a failed pre-warm (logged below) means the
+    // timed run paid the cold build, and the record must not claim
+    // otherwise.
+    val prewarmedOk = scala.collection.mutable.SortedSet.empty[String]
     if (only.forall(_.contains("e14_csv_scan")))
-      try SparkEntry.queries("e14_csv_scan")(spark, sfDir).count()
+      try {
+        SparkEntry.queries("e14_csv_scan")(spark, sfDir).count()
+        prewarmedOk += "e14_csv_scan"
+      }
       catch { case NonFatal(e) =>
         System.err.println(s"[bench] e14 fixture pre-warm failed: ${e.getMessage}")
       }
@@ -123,17 +204,16 @@ object Bench {
       "e18_evolved_scan" -> Seq("e18_evolved_scan")) // fixture write at builder time
     memoPrewarm
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
-      .foreach { case (n, _) =>
-        try { SparkEntry.queries(n)(spark, sfDir); () }
+      .foreach { case (n, served) =>
+        try {
+          SparkEntry.queries(n)(spark, sfDir)
+          prewarmedOk ++= served.filter(x => only.forall(_.contains(x)))
+        }
         catch { case NonFatal(e) =>
           System.err.println(s"[bench] $n memo pre-warm failed: ${e.getMessage}")
         }
       }
-    // Record-hygiene (r9 verdict #5): the record itself names which
-    // queries' figures are memo-warm — i.e. EXCLUDE a one-time fixture
-    // write / index train / vocab build that a cold first run would pay.
-    val prewarmed = ("e14_csv_scan" +: memoPrewarm.flatMap(_._2))
-      .distinct.sorted.filter(n => only.forall(_.contains(n)))
+    val prewarmed = prewarmedOk.toSeq
     // None = the run FAILED — a fast-failing run must never become the
     // recorded best time (a failure is not a measurement).
     // maxPending tracks builder caches left registered after a query ran:
@@ -223,17 +303,43 @@ object Bench {
           name -> Seq(a, b, passC.get(name).flatten).flatten
             .minOption.getOrElse(-1.0)
       }
-    // Centisecond precision keeps per-query entries compact (full doubles
-    // head-clipped the round-1 record).
-    def f(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    def qmap(entries: Iterable[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    // Any failure makes the TOTAL a sentinel: summing only successes would
-    // let a query that regresses into failure SHRINK the headline number
-    // (look like a speedup) for a consumer that reads only `value`.
-    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
-    val failedField = if (failed.isEmpty) "" else failed.mkString(",\"failed\":[", ",", "]")
+    // FRESH-JVM solo pass (r12 verdict #1): the r11 gc+reversed-pass
+    // design demonstrably left 4.5-8.5x suite-context inflation on the
+    // heaviest queries (dd14 recorded 23.28 s vs 2.74 judge-solo; dd13's
+    // UNCHANGED code "tripled" round-over-round) — whatever survives a
+    // full GC after ~127 plans in one JVM (code cache, metaspace,
+    // catalyst state, GC ergonomics) hits BOTH passes, so min-of-passes
+    // cannot remove it. The only sample that escapes that state is a
+    // fresh process — and measured here (r12), a fresh process is not
+    // enough: ONE child running the top-8 together read dd14 at 5.51 s
+    // where a single-query child reads 2.24 s, and a 4-query set with
+    // three CC queries read 4.30 s — five of the top-8 are
+    // checkpoint-heavy, and co-resident heavy plans distort each other
+    // 1.5-2.5x (checkpoint-block cleanup + JIT compile storms) even
+    // with gates green. So each top-N query gets its OWN child JVM
+    // (SPARK_GRAFT_ONLY=<one name> through this same harness, memo
+    // pre-warms, 120 s start gate to let the previous child's load tail
+    // decay, min-of-2 inside). Cross-round grading: `queries` for
+    // continuity, `queries_solo` for the trustworthy heavy-query
+    // signal. Skipped inside a child and under a local SPARK_GRAFT_ONLY
+    // iteration filter (such a run IS usually the solo probe).
+    val soloChild = sys.env.contains("SPARK_GRAFT_SOLO_CHILD")
+    val soloN = sys.env.get("SPARK_GRAFT_SOLO_N").map(_.toInt).getOrElse(8)
+    val soloTargets = results.filter(_._2 >= 0).sortBy(-_._2).take(soloN).map(_._1)
+    // SPARK_GRAFT_SOLO_FORCE runs the children even under an ONLY filter —
+    // local iteration on the solo machinery itself
+    val soloAttempted = !soloChild && soloTargets.nonEmpty &&
+      (only.isEmpty || sys.env.contains("SPARK_GRAFT_SOLO_FORCE"))
+    val soloFigs: Seq[(String, Double)] =
+      if (!soloAttempted) Nil
+      else soloTargets.flatMap { name =>
+        runSoloChild(Seq(name), sfDir).flatMap(_.get(name)).map(name -> _)
+      }
+    val solo: Option[Map[String, Double]] =
+      if (soloFigs.isEmpty) None else Some(soloFigs.toMap)
+    // `solo_failed` flags ANY missing figure, not just a total loss — a
+    // partially-failed solo pass must not read as a complete one
+    val soloIncomplete = soloAttempted && soloFigs.size < soloTargets.size
     // Full record: per-query map FIRST, total LAST — the driver's record
     // keeps only the final 2000 chars of output, and at 87+ queries this
     // line is ~2.1k chars, so whatever clips must be the head, never the
@@ -249,30 +355,19 @@ object Bench {
     val exceeded =
       if (gaveUp.isEmpty) ""
       else gaveUp.reverse.map("\"" + _ + "\"").mkString(",\"load_exceeded\":[", ",", "]")
+    import BenchRecord.f
     val passCField = loadC.map(v => s""""pass_c":${f(v)},""").getOrElse("")
     val load =
       s""""load_1min":{"start":${f(loadStart)},"pass_a":${f(loadA)},"pass_b":${f(loadB)},$passCField"end":${f(loadEnd)}},"load_gate":{"limit":${f(loadLimit)},"bound_sec":$gateBoundSec}$exceeded"""
-    val matField = {
-      val ms = collapses.toSeq.filter(_._2).map(_._1).sorted
-      if (ms.isEmpty) ""
-      else ms.map("\"" + _ + "\"").mkString(",\"materialized_count\":[", ",", "]")
-    }
-    val prewarmedField =
-      prewarmed.map("\"" + _ + "\"").mkString(",\"prewarmed\":[", ",", "]")
-    val full =
-      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region (r11: late-suite JVM pressure inflated heavy queries 4-8x); e14 fixture + index-state memos pre-warmed (r5 baseline break: r1-r3 e14 included the fixture write); queries whose count plan collapses are timed via toRdd (r9, see BenchAction)",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField,"value":${f(total)}}"""
-    // Compact final line: guaranteed to fit the 2000-char tail whole, so a
-    // last-line JSON parse always succeeds even when the full line clips.
-    // Carries the total plus the 12 slowest queries (the perf signal) AND
-    // the failed list — a failing query must be visible in the line the
-    // driver is guaranteed to parse, not only in the clippable full line.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
-    val compact =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$load,"queries":${qmap(slowest)},"n_queries":${results.size}$failedField,"queries_partial":true,"full_map":"previous line + BENCH_FULL.json","sf":"$sfDir"}"""
-    // Belt-and-braces artifact: the complete record as a file, immune to any
-    // stdout capture window.
+    val (full, compact) = BenchRecord.render(
+      results, solo, soloIncomplete, load, maxPending, sfDir,
+      materialized = collapses.toSeq.filter(_._2).map(_._1).sorted,
+      prewarmed = prewarmed)
+    // Belt-and-braces artifact: the complete record as a file, immune to
+    // any stdout capture window. The solo child redirects it away from
+    // BENCH_FULL.json so it cannot clobber the parent's record.
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")),
       (full + "\n").getBytes("UTF-8"))
     catch { case NonFatal(_) => () }
     spark.stop()
@@ -280,5 +375,58 @@ object Bench {
     // after the JSON; these must be the last stdout lines.
     println(full)
     println(compact)
+  }
+
+  /** Spawn one solo child JVM and parse its per-query map. The child is
+    * this same main under SPARK_GRAFT_ONLY=<targets> — same warmups,
+    * memo pre-warms, load gates and min-of-2 discipline — started from a
+    * cold JVM so none of the parent's 127-plan state (code cache,
+    * metaspace, catalyst internals, GC ergonomics) taints the figures.
+    * Callers pass ONE query per child (see the solo-pass note in main:
+    * co-resident heavy plans distort each other 1.5-2.5x even in a
+    * fresh JVM); the child's start gate is bounded at 240 s — enough
+    * for the previous child's single-query load tail to decay, without
+    * letting eight sequential children each wait the full suite bound.
+    * Module opens and heap mirror build.sbt's standalone recipe; the
+    * classpath is the parent's own (sbt forks with the full path on the
+    * command line, so java.class.path is complete in every launch mode).
+    * Any failure — spawn error, rc != 0, timeout, unparseable record —
+    * returns None and the record says `solo_failed`; the main figures
+    * are never at risk. */
+  private def runSoloChild(targets: Seq[String], sfDir: String): Option[Map[String, Double]] = {
+    try {
+      val out = java.nio.file.Files.createTempFile("graft_bench_solo_", ".json")
+      val addOpens = Seq(
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val cmd = Seq(sys.props("java.home") + "/bin/java") ++ addOpens ++ Seq(
+        s"-Xmx${Runtime.getRuntime.maxMemory() / (1024 * 1024)}m",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench")
+      System.err.println(s"[bench] solo pass (fresh JVM): ${targets.mkString(",")}")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ONLY", targets.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SOLO_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_FULL_OUT", out.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_LOAD_BOUND_SEC", "240")
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      if (!p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly()
+        System.err.println("[bench] solo child timed out")
+        None
+      } else if (p.exitValue() != 0) {
+        System.err.println(s"[bench] solo child rc=${p.exitValue()}")
+        None
+      } else BenchRecord.parseQueries(java.nio.file.Files.readString(out))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] solo child failed: ${e.getMessage}")
+      None
+    }
   }
 }

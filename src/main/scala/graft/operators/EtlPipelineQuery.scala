@@ -11,9 +11,16 @@ import graft.sources.Tables.table
   * A1–A27) driven end-to-end as a declared query: synthesize raw all-string
   * platform frames from the testdata tables (the reference's inputs are
   * dtype-less CSVs), run extract→transform→merge→final-cast, return the
-  * unified 50-column frame. Rows-only check (the pipeline's semantics are
-  * covered column-by-column by the e0x/q1x oracle queries and
-  * EtlPipelineSpec). */
+  * unified 50-column frame.
+  *
+  * Oracle regime (SURVEY §8, the tx18/tx18e split applied here): ep01 is
+  * the declared FULL-SURFACE form — all 50 columns including the three
+  * hash-derived ones (uid = UUIDv5/SHA-1, company_id / address_id =
+  * xxhash64 fallbacks) no DuckDB build mirrors — and is deliberately
+  * rows-only-DETERMINISTIC (`now` is pinned, reruns byte-identical; the
+  * e0x/q1x column oracles + EtlPipelineSpec cover semantics). ep02
+  * projects the same dataflow to the mirrorable columns and carries the
+  * hash-exact oracle. */
 object EtlPipelineQuery {
 
   /** DomClick-shaped raw frame derived deterministically from `orders`. */

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s.jackson.JsonMethods.parse
+
+/** Pins the bench-record shape — specifically the r12 invariant that a run
+  * which ATTEMPTED the fresh-JVM solo pass carries either the
+  * `queries_solo` map or an explicit `solo_failed` flag in BOTH record
+  * lines. The heavy-query perf signal lives in the solo map (suite-context
+  * JVM pressure survives gc+pass-reversal and inflated recorded figures
+  * 4.5-8.5x in r11); a future bench change that silently drops the map
+  * must fail here, not wait for a judge rerun to notice. */
+class BenchRecordSpec extends AnyFunSuite {
+  private val results = Seq("q_fast" -> 0.5, "q_heavy" -> 3.25)
+  private val load =
+    """"load_1min":{"start":1.00,"pass_a":1.10,"end":1.20},"load_gate":{"limit":1.50,"bound_sec":300}"""
+
+  test("solo map rides BOTH lines when the child succeeded; value stays the in-suite sum") {
+    val (full, compact) = BenchRecord.render(
+      results, Some(Map("q_heavy" -> 1.5)), soloIncomplete = false,
+      load, 0, "/d", Nil, Nil)
+    for (line <- Seq(full, compact)) {
+      val j = parse(line)
+      assert((j \ "queries_solo" \ "q_heavy").values == 1.5, line)
+      assert((j \ "value").values == 3.75, line)
+    }
+    // in-suite map untouched by the solo field
+    assert((parse(full) \ "queries" \ "q_heavy").values == 3.25)
+  }
+
+  test("failed or partial solo is loudly flagged; absent entirely in child mode") {
+    val (full, compact) = BenchRecord.render(
+      results, None, soloIncomplete = true, load, 0, "/d", Nil, Nil)
+    assert((parse(full) \ "solo_failed").values == true)
+    assert((parse(compact) \ "solo_failed").values == true)
+    // a PARTIAL pass carries both the figures that landed and the flag
+    val (fp, cp) = BenchRecord.render(
+      results, Some(Map("q_heavy" -> 1.5)), soloIncomplete = true,
+      load, 0, "/d", Nil, Nil)
+    for (line <- Seq(fp, cp)) {
+      assert((parse(line) \ "queries_solo" \ "q_heavy").values == 1.5, line)
+      assert((parse(line) \ "solo_failed").values == true, line)
+    }
+    val (f2, c2) = BenchRecord.render(
+      results, None, soloIncomplete = false, load, 0, "/d", Nil, Nil)
+    // field-shaped matches: the timing PROSE legitimately names queries_solo
+    for (line <- Seq(f2, c2))
+      assert(!line.contains("\"solo_failed\":") && !line.contains("\"queries_solo\":"), line)
+  }
+
+  test("parseQueries round-trips a rendered record (the parent's parse of the child)") {
+    val (full, _) = BenchRecord.render(
+      results, None, soloIncomplete = false, load, 0, "/d", Nil, Nil)
+    assert(BenchRecord.parseQueries(full)
+      .contains(Map("q_fast" -> 0.5, "q_heavy" -> 3.25)))
+  }
+
+  test("a failed query keeps the sentinel total beside the solo field in both lines") {
+    val (full, compact) = BenchRecord.render(
+      Seq("a" -> 1.0, "b" -> -1.0), Some(Map("a" -> 0.9)),
+      soloIncomplete = false, load, 0, "/d", Nil, Nil)
+    for (line <- Seq(full, compact)) {
+      val j = parse(line)
+      assert((j \ "value").values == -1.0, line)
+      assert((j \ "queries_solo" \ "a").values == 0.9, line)
+      assert(line.contains("\"failed\":[\"b\"]"), line)
+    }
+  }
+}

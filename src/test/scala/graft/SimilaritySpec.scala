@@ -224,6 +224,14 @@ class SimilaritySpec extends SparkSpec {
     // cells saturate — Jaccard overlap necessarily falls on the same
     // data). Pinned here (r9 verdict optional #6) so a blocking change
     // that silently degrades ss10⊂ss11 fails a test, not a soak read.
+    // An empty ss10 would make the ratio NaN and fail with a confusing
+    // message — guard it explicitly (it would mean every vector was
+    // dropped, a far louder bug than containment drift). The 0.9 floor is
+    // justified by SOAK-scale measurement (0.907 at sf0.1, rising with
+    // sf); at THIS gate scale the statistic is noisier (observed 0.958,
+    // ~0.06 of margin over hundreds of survivors) — treat a failure here
+    // as "rerun the soak before concluding regression", not proof alone.
+    assert(ss10.nonEmpty, "ss10 dropped every vector — containment undefined")
     val containment = (ss10 intersect ss11).size.toDouble / ss10.size
     info(f"ss10 within ss11 containment = $containment%.3f")
     assert(containment >= 0.9, f"ss10 within ss11 containment regressed: $containment%.3f")
