@@ -330,10 +330,69 @@ object Bench {
     // local iteration on the solo machinery itself
     val soloAttempted = !soloChild && soloTargets.nonEmpty &&
       (only.isEmpty || sys.env.contains("SPARK_GRAFT_SOLO_FORCE"))
-    val soloFigs: Seq[(String, Double)] =
+    // All gates have run by here, so the load annotation is final —
+    // assembled BEFORE the solo pass so the pre-solo record below can
+    // carry it. The gate fields ride the SAME string as the samples so a
+    // record that gave up waiting is impossible to read as a quiet one.
+    val exceeded =
+      if (gaveUp.isEmpty) ""
+      else gaveUp.reverse.map("\"" + _ + "\"").mkString(",\"load_exceeded\":[", ",", "]")
+    import BenchRecord.f
+    val passCField = loadC.map(v => s""""pass_c":${f(v)},""").getOrElse("")
+    val load =
+      s""""load_1min":{"start":${f(loadStart)},"pass_a":${f(loadA)},"pass_b":${f(loadB)},$passCField"end":${f(loadEnd)}},"load_gate":{"limit":${f(loadLimit)},"bound_sec":$gateBoundSec}$exceeded"""
+    val fullOutPath = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
+    val matNames = collapses.toSeq.filter(_._2).map(_._1).sorted
+    // Kill-safety: persist the MAIN record before the many-minute solo
+    // pass — a harness timeout mid-solo must cost the round its solo map
+    // (flagged solo_failed in this provisional record), never the whole
+    // bench artifact. Overwritten with the final record below.
+    if (soloAttempted) {
+      val (preFull, _) = BenchRecord.render(
+        results, None, soloIncomplete = true, load, maxPending, sfDir,
+        materialized = matNames, prewarmed = prewarmed)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(fullOutPath), (preFull + "\n").getBytes("UTF-8"))
+      catch { case NonFatal(_) => () }
+    }
+    // The parent's context stops BEFORE the children run, not after the
+    // records render — nothing below needs Spark, and the children must
+    // not share the box with a JVM holding 8 GB of post-suite garbage.
+    if (soloAttempted) spark.stop()
+    // Measured decay (r12, two full preview runs): children launched in
+    // the first ~5 min after the suite read 1.4-3.4x hot (dd14 7.03 s at
+    // T+1 min vs 2.06 s from the IDENTICAL command on an idle box;
+    // qp01 5.25 at T+4) while children past ~T+7 min read clean — with
+    // every load gate green, parent stopped or not. Whatever the
+    // post-saturation state is (dirty shuffle-litter writeback, CPU/VM
+    // settle — loadavg sees none of it), it decays over minutes. So:
+    // (1) a flat settle pause before the first child, and (2) children
+    // run CHEAPEST-FIRST, so the heaviest queries — where absolute error
+    // matters most — run last, 10+ minutes after the suite, on the box
+    // state the decay curve shows is clean.
+    val soloSettle = sys.env.get("SPARK_GRAFT_SOLO_SETTLE_SEC").map(_.toInt).getOrElse(120)
+    if (soloAttempted) Thread.sleep(soloSettle * 1000L)
+    val soloOrder = soloTargets.sortBy(name => results.toMap.getOrElse(name, 0.0))
+    val soloFirst: Seq[(String, Double)] =
       if (!soloAttempted) Nil
-      else soloTargets.flatMap { name =>
+      else soloOrder.flatMap { name =>
         runSoloChild(Seq(name), sfDir).flatMap(_.get(name)).map(name -> _)
+      }
+    // The heaviest query gets a SECOND child, ~15 min after its first
+    // (one full child-loop later), and the record keeps the min: the box
+    // shows multi-minute contention eras that no gate sees (the same
+    // identical dd14 child read 2.06 s and 4.32 s hours apart, load
+    // green both times), and min over time-spaced samples is the one
+    // estimator that survives them. Bounded to one extra child so the
+    // bench wall stays predictable.
+    val soloFigs: Seq[(String, Double)] =
+      if (soloFirst.isEmpty) soloFirst
+      else {
+        val heaviest = soloTargets.head
+        val again = runSoloChild(Seq(heaviest), sfDir).flatMap(_.get(heaviest))
+        soloFirst.map { case (n, v) =>
+          if (n == heaviest) n -> math.min(v, again.getOrElse(v)) else n -> v
+        }
       }
     val solo: Option[Map[String, Double]] =
       if (soloFigs.isEmpty) None else Some(soloFigs.toMap)
@@ -349,28 +408,16 @@ object Bench {
     // HEAD-clipped by the driver's 2000-char tail capture at 89 queries,
     // so anything that must survive capture has to also ride the compact
     // line.
-    // The gate fields ride the SAME string as the samples so they appear in
-    // both the full and the guaranteed-parseable compact line: a record that
-    // gave up waiting must be impossible to read as a quiet one.
-    val exceeded =
-      if (gaveUp.isEmpty) ""
-      else gaveUp.reverse.map("\"" + _ + "\"").mkString(",\"load_exceeded\":[", ",", "]")
-    import BenchRecord.f
-    val passCField = loadC.map(v => s""""pass_c":${f(v)},""").getOrElse("")
-    val load =
-      s""""load_1min":{"start":${f(loadStart)},"pass_a":${f(loadA)},"pass_b":${f(loadB)},$passCField"end":${f(loadEnd)}},"load_gate":{"limit":${f(loadLimit)},"bound_sec":$gateBoundSec}$exceeded"""
     val (full, compact) = BenchRecord.render(
       results, solo, soloIncomplete, load, maxPending, sfDir,
-      materialized = collapses.toSeq.filter(_._2).map(_._1).sorted,
-      prewarmed = prewarmed)
+      materialized = matNames, prewarmed = prewarmed)
     // Belt-and-braces artifact: the complete record as a file, immune to
     // any stdout capture window. The solo child redirects it away from
     // BENCH_FULL.json so it cannot clobber the parent's record.
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")),
-      (full + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(fullOutPath), (full + "\n").getBytes("UTF-8"))
     catch { case NonFatal(_) => () }
-    spark.stop()
+    if (!soloAttempted) spark.stop()
     // Print AFTER spark.stop() so no executor/shutdown log line can land
     // after the JSON; these must be the last stdout lines.
     println(full)
