@@ -311,6 +311,24 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((17, 2, 2, 16, Some(2.0 / 17))), s"doc4: ${out(4L)}")
     // doc 5: no windows at all; the ratio is NULL, not 0/0.
     assert(out(5L) == ((0, 0, 0, 0, None)), s"doc5: ${out(5L)}")
+    // r12: the persisted window index the query probed must equal an
+    // inline recompute of the same frame — a drifted index (stale memo,
+    // broken fingerprint, schema skew) would poison dd12/dd13/dd14
+    // IDENTICALLY and their shared-topology oracles could miss it.
+    val idx = Dedup.ddWinIndexPath(spark, tmp)
+    val K = 8
+    val recomputed = spark.read.parquet(s"$tmp/documents.parquet")
+      .select($"doc_id", $"source",
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .filter(size($"ws") >= K)
+      .select($"doc_id", $"source", explode(expr(
+        s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
+          s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
+      .select($"doc_id", $"source", $"pw.pos".as("pos"), $"pw.h".as("h"))
+    val persisted = spark.read.parquet(s"$idx/wins")
+    assert(persisted.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(persisted).isEmpty,
+      "persisted window index differs from inline recompute")
     graft.Caches.releaseAll() // dd12's builder tracks the exploded-window cache
   }
 
