@@ -815,7 +815,11 @@ object Dedup {
       val wins = graft.Caches.track(
         s.read.parquet(s"${ddWinIndexPath(s, dir)}/wins")
           .repartition(col("h")))
-      val byH = wins.groupBy("h").agg(array_sort(collect_set(col("source"))).as("ss"))
+      // ONE aggregation pass over the cached window frame feeds BOTH the
+      // source-set side (dd13's matrix inputs) and the dup-hash side
+      // (dd12's cut set) — r12, replacing two separate full passes.
+      val byH = wins.groupBy("h").agg(array_sort(collect_set(col("source"))).as("ss"),
+        countDistinct(col("doc_id")).as("nd"))
       val perSrc = byH.select(explode(col("ss")).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n"))
       val systemic = byH.filter(size(col("ss")) >= 2)
@@ -829,9 +833,7 @@ object Dedup {
         .join(perSrc.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
         .filter(col("shared_windows") / least(col("n_a"), col("n_b")) >= 0.05)
         .select("source_a", "source_b")
-      val dupH = wins.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1).select("h")
+      val dupH = byH.filter(col("nd") > 1).select("h")
       val ranked = wins.join(dupH, "h")
         .withColumn("rn", row_number().over(W.partitionBy("h").orderBy("doc_id", "pos")))
       val canon = ranked.filter(col("rn") === 1)
