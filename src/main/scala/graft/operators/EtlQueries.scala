@@ -79,11 +79,15 @@ object EtlQueries {
     * removed by a shutdown hook, so repeated processes don't accumulate
     * tmp garbage. */
   private val e14Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def e14CsvPath(s: SparkSession, dir: String): String =
-    e14Paths.computeIfAbsent(dir, { _ =>
+  private def e14CsvPath(s: SparkSession, dir: String): String = {
+    // key folds a content fingerprint of the source table (the dd11-index
+    // discipline, r11 advice): a rewritten input at the same path rebuilds
+    // the fixture instead of round-tripping stale rows
+    val key = dir + "|" + contentFingerprint(s"$dir/supplier.parquet")
+    e14Paths.computeIfAbsent(key, { _ =>
       sweepStaleFixtures("graft_e14_csv_")
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_e14_csv_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
+        s"graft_e14_csv_${ProcessHandle.current().pid()}_${fixtureKey(key)}")
       val path = f.getAbsolutePath
       table(s, dir, "supplier")
         .write.mode("overwrite").option("header", "true").csv(path)
@@ -96,6 +100,7 @@ object EtlQueries {
       }
       path
     })
+  }
 
   /** e16's JSONL fixture — same once-per-(process, sfDir) lifecycle as
     * e14's CSV (no side effect per builder invocation, per-PID dir,
@@ -105,11 +110,12 @@ object EtlQueries {
     * proves the schema'd read round-trips it bit-exactly (JSON string
     * escaping included) against the parquet oracle. */
   private val e16Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def e16JsonlPath(s: SparkSession, dir: String): String =
-    e16Paths.computeIfAbsent(dir, { _ =>
+  private def e16JsonlPath(s: SparkSession, dir: String): String = {
+    val key = dir + "|" + contentFingerprint(s"$dir/documents.parquet")
+    e16Paths.computeIfAbsent(key, { _ =>
       sweepStaleFixtures("graft_e16_jsonl_")
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_e16_jsonl_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
+        s"graft_e16_jsonl_${ProcessHandle.current().pid()}_${fixtureKey(key)}")
       val path = f.getAbsolutePath
       table(s, dir, "documents")
         .write.mode("overwrite").json(path)
@@ -122,6 +128,7 @@ object EtlQueries {
       }
       path
     })
+  }
 
   /** e17's lang-partitioned parquet fixture — same once-per-(process,
     * sfDir) lifecycle as e14/e16. Hive-style `partitionBy("lang")` layout:
@@ -129,11 +136,12 @@ object EtlQueries {
     * is the physical shape a 100 TB date/lang-partitioned corpus table
     * actually has on an object store. */
   private val e17Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def e17PartitionedPath(s: SparkSession, dir: String): String =
-    e17Paths.computeIfAbsent(dir, { _ =>
+  private def e17PartitionedPath(s: SparkSession, dir: String): String = {
+    val key = dir + "|" + contentFingerprint(s"$dir/documents.parquet")
+    e17Paths.computeIfAbsent(key, { _ =>
       sweepStaleFixtures("graft_e17_part_")
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_e17_part_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
+        s"graft_e17_part_${ProcessHandle.current().pid()}_${fixtureKey(key)}")
       val path = f.getAbsolutePath
       table(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(path)
@@ -146,6 +154,7 @@ object EtlQueries {
       }
       path
     })
+  }
 
   /** e18's schema-EVOLVED parquet fixture — same once-per-(process, sfDir)
     * lifecycle as e14/e16/e17. Two generations under one root: gen=0 is
@@ -155,11 +164,12 @@ object EtlQueries {
     * arrive, old shards are NEVER rewritten, and every reader must
     * null-fill history correctly. */
   private val e18Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def e18EvolvedPath(s: SparkSession, dir: String): String =
-    e18Paths.computeIfAbsent(dir, { _ =>
+  private def e18EvolvedPath(s: SparkSession, dir: String): String = {
+    val key = dir + "|" + contentFingerprint(s"$dir/documents.parquet")
+    e18Paths.computeIfAbsent(key, { _ =>
       sweepStaleFixtures("graft_e18_evolved_")
       val f = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_e18_evolved_${ProcessHandle.current().pid()}_${fixtureKey(dir)}")
+        s"graft_e18_evolved_${ProcessHandle.current().pid()}_${fixtureKey(key)}")
       val path = f.getAbsolutePath
       val d = table(s, dir, "documents")
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
@@ -176,8 +186,60 @@ object EtlQueries {
       }
       path
     })
+  }
+
+  /** e19's ORC fixture — same once-per-(process, sfDir) lifecycle as
+    * e14/e16. ORC is the other columnar format Spark ships natively
+    * (sql/core bundles the reader; no extra connector), and the second
+    * most common lake format after parquet — a complete engine must scan
+    * it with the same declared-schema discipline. The fixture is the
+    * documents table rewritten as ORC with a filter-friendly layout
+    * (sorted by n_chars within the write so ORC's min/max stripe stats
+    * line up with e19's pushed predicate). */
+  private val e19Paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def e19OrcPath(s: SparkSession, dir: String): String = {
+    val key = dir + "|" + contentFingerprint(s"$dir/documents.parquet")
+    e19Paths.computeIfAbsent(key, { _ =>
+      sweepStaleFixtures("graft_e19_orc_")
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_e19_orc_${ProcessHandle.current().pid()}_${fixtureKey(key)}")
+      val path = f.getAbsolutePath
+      table(s, dir, "documents")
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite").orc(path)
+      sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm))
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+      path
+    })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 (ORC source) — declared-schema ORC scan with a pushed predicate,
+    // exercised end to end: documents round-trips through an on-disk ORC
+    // fixture (stripe-sorted by n_chars) and is read back filtered; the
+    // oracle replays the filter on the parquet table, so write→push→scan
+    // is hash-checked. The declared schema skips inference (a second full
+    // pass at 100 TB) exactly as e16 does for JSONL, and the n_chars
+    // predicate reaches the ORC reader as a PushedFilter (stripe-level
+    // min/max skipping — PruningSpec asserts it in the plan).
+    "e19_orc_scan" -> ((s, dir) => {
+      val path = e19OrcPath(s, dir)
+      s.read.schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .orc(path)
+        .filter(col("n_chars") >= 300L)
+        .orderBy("doc_id")
+    }),
+
     // Schema-evolution scan as a DECLARED query: mergeSchema=true unions
     // the generations' footers distributed-side (no second data pass) and
     // null-fills the old generation's missing columns; the oracle replays
@@ -442,6 +504,9 @@ object EtlQueries {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "e16_jsonl_scan" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "e19_orc_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE n_chars >= 300 ORDER BY doc_id""".stripMargin,
     "e17_partition_prune" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

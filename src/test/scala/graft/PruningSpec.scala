@@ -38,4 +38,15 @@ class PruningSpec extends SparkSpec {
     assert(scan.contains("ReadSchema") && !scan.contains("lang:string"),
       s"lang leaked into the data-file schema (not directory-partitioned?):\n$scan")
   }
+
+  test("e19 (the DECLARED ORC query) pushes n_chars to the ORC reader") {
+    val df = SparkEntry.queries("e19_orc_scan")(spark, sf001)
+    val scan = df.queryExecution.executedPlan.toString
+    // the predicate must reach the scan (stripe-level min/max skipping at
+    // scale), not run as a post-scan Filter only
+    assert(scan.contains("PushedFilters:") && scan.contains("GreaterThanOrEqual(n_chars,300)"),
+      s"n_chars >= 300 not pushed to the ORC scan:\n$scan")
+    assert(scan.toLowerCase.contains("format: orc") || scan.toLowerCase.contains("orcscan"),
+      s"expected an ORC scan node:\n$scan")
+  }
 }
