@@ -875,6 +875,64 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Fully-CONTAINED document drop — the whole-document corollary of
+    // dd12's span surgery (Lee et al. 2021 §4 treat a document whose every
+    // token is inside a duplicated span as removable; The Stack's dedup
+    // drops files that are exact substrings of another file). A doc whose
+    // ENTIRE token sequence appears verbatim inside a longer doc carries
+    // zero marginal training signal, and doc-level exact dedup (dd01)
+    // cannot see it — the fingerprints differ. Distributed shape: probe
+    // the SAME persisted window index dd12/dd13/dd14 share. Anchor join:
+    // each eligible doc's FIRST K-token window hash finds candidate
+    // (host, offset) pairs — containment must start at the host position
+    // matching window 1, so one equi-join on the 16-byte hash yields
+    // every possible alignment, never a cartesian. Verify join: all of
+    // the doc's windows must match the host at pos+offset; a count
+    // compare against the doc's window count makes the check exact (LSH
+    // nowhere in the loop — this is exact containment, same license as
+    // dd10's verify stage). Cost: Σ anchor-bucket pair sizes × doc window
+    // count — linear in corpus tokens for organic anchors; a boilerplate
+    // FIRST window (everyone opens with the same 8 tokens) is the hot-key
+    // hazard, capped in production dd06-style or re-anchored on the doc's
+    // min-df window. Drop rule keeps maximal docs: drop A iff a verified
+    // host is strictly longer, or equal-length with a smaller doc_id (the
+    // exact-dup tie falls to dd01's keep-first choice). Docs shorter than
+    // K tokens have no windows and are always kept — the oracle mirrors
+    // the same eligibility bound, so the contract is hash-exact.
+    "dd15_contained_docs" -> ((s, dir) => {
+      val K = substringK
+      val idx = ddWinIndexPath(s, dir)
+      val wins = s.read.parquet(s"$idx/wins").select("doc_id", "pos", "h")
+      val docs = s.read.parquet(s"$idx/docs").select("doc_id", "n_ws")
+      val nw = docs.filter(col("n_ws") >= K)
+        .select(col("doc_id").as("a"), col("n_ws").as("len_a"),
+          (col("n_ws") - (K - 1)).as("nwin_a"))
+      val cand = wins.filter(col("pos") === 1)
+        .select(col("doc_id").as("a"), col("h"))
+        .join(wins.select(col("doc_id").as("b"), col("pos").as("bpos"), col("h")), "h")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"), (col("bpos") - 1).as("off"))
+      val probe = cand
+        .join(wins.select(col("doc_id").as("a"), col("pos"), col("h")), "a")
+      val matched = probe.alias("p")
+        .join(wins.select(col("doc_id").as("b"), col("pos").as("bpos"), col("h")).alias("w"),
+          col("p.b") === col("w.b") && col("p.h") === col("w.h") &&
+            col("w.bpos") === col("p.pos") + col("p.off"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.off").as("off"))
+        .groupBy("a", "b", "off").agg(count(lit(1)).as("n_match"))
+      val hosts = matched
+        .join(nw, "a").filter(col("n_match") === col("nwin_a"))
+        .join(docs.select(col("doc_id").as("b"), col("n_ws").as("len_b")), "b")
+        .filter(col("len_b") > col("len_a") ||
+          (col("len_b") === col("len_a") && col("b") < col("a")))
+        .groupBy("a").agg(countDistinct(col("b")).cast("int").as("n_hosts"))
+      docs.select(col("doc_id"))
+        .join(hosts.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_hosts"))
+        .withColumn("action", when(col("n_hosts") > 0, lit("drop")).otherwise(lit("keep")))
+        .orderBy("doc_id")
+    }),
+
     // dd07 with a Bloom pre-filter — the shuffle-avoidance production form
     // of incremental dedup at 100 TB: build a Bloom filter over the
     // EXISTING corpus fingerprints (distributed aggregate; the driver
@@ -1234,6 +1292,29 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // Containment re-stated as delimited-string search: token sequences
+    // joined on single spaces with space sentinels at both ends make
+    // instr() match exactly token-aligned occurrences (tokens contain no
+    // spaces, so every needle boundary must land on a delimiter). The
+    // quadratic instr scan is the oracle's luxury at 500 docs; the engine
+    // side is the anchored index probe.
+    "dd15_contained_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS ts,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_ws
+        |  FROM documents),
+        |e AS (SELECT * FROM t WHERE n_ws >= 8),
+        |hosts AS (
+        |  SELECT a.doc_id, COUNT(*) AS n_hosts
+        |  FROM e a JOIN e b ON a.doc_id != b.doc_id
+        |    AND (b.n_ws > a.n_ws OR (b.n_ws = a.n_ws AND b.doc_id < a.doc_id))
+        |    AND instr(' ' || b.ts || ' ', ' ' || a.ts || ' ') > 0
+        |  GROUP BY 1)
+        |SELECT t.doc_id, CAST(COALESCE(h.n_hosts, 0) AS INT) AS n_hosts,
+        |  CASE WHEN h.n_hosts IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+        |FROM t LEFT JOIN hosts h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // NOT EXISTS, not NOT IN: a NULL fp on the existing side would make
     // NOT IN return an empty result, while the engine's left_anti join
     // keeps null-key batch rows (null matches nothing). NOT EXISTS with

@@ -763,6 +763,110 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling", arXiv:2302.03169):
+    // represent every doc as a bag of HASHED bigram features (the paper's
+    // hashed n-gram generative model — collisions are intentional, they
+    // ARE the model), fit two smoothed unigram-over-buckets distributions
+    // — target p (the curated slice, here lang='en') and raw q (the whole
+    // corpus) — and weight each doc by its log importance ratio
+    // Σ_b c_b(doc)·(log p_b − log q_b). Selection here is the
+    // deterministic variant (weight > 0, i.e. the doc looks more
+    // target-like than raw-like); the paper adds Gumbel noise to sample,
+    // which a production run seeds the tx19 way. Shape at 100 TB: the
+    // model is TWO 256-row aggregates (bucket-hashed, so state is fixed
+    // regardless of vocabulary) broadcast to a single scoring pass —
+    // exactly the vocabulary-sized-agg + broadcast-total topology of
+    // tx18/tx20/tx22. ln lives in the per-bucket log ratio → this query
+    // is rows-only-det BY DESIGN (the r11 oracle regime); the bucket
+    // ratios are 6dp-rounded DECIMALs so the per-doc sum is
+    // order-independent and reruns are bit-identical, and tx23e carries
+    // the hashed exact-integer contract over the same join topology.
+    "tx23_dsir_score" -> ((s, dir) => {
+      val dt = org.apache.spark.sql.types.DecimalType(28, 6)
+      val buckets = 256
+      val feats = dsirFeatures(s, dir)
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tT = tgt.agg(sum(col("ct")).as("t"))
+      val tR = raw.agg(sum(col("cr")).as("r"))
+      // add-1 smoothing over the fixed 256-bucket space; buckets the
+      // target never saw still get a (negative) finite ratio
+      val lam = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tT)).crossJoin(broadcast(tR))
+        .select(col("b"),
+          (round(log((coalesce(col("ct"), lit(0L)) + 1) / (col("t") + buckets)), 6).cast(dt)
+            - round(log((col("cr") + 1) / (col("r") + buckets)), 6).cast(dt)).as("lam"))
+      feats.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("int").as("n_feats"),
+          countDistinct(col("b")).cast("int").as("n_buckets"),
+          sum(col("c") * col("lam")).as("logw"))
+        // raw IEEE quotient, not round(…, 6) — tx18's tie lesson
+        .withColumn("avg_logw", col("logw").cast("double") / col("n_feats"))
+        .withColumn("selected", (col("logw") > 0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // tx23's HASHED evidence twin (the tx18e regime): the identical
+    // hashed-bigram featurization and the identical target/raw bucket
+    // aggregates, summed per doc as exact BIGINTs — sum_ct/sum_cr change
+    // if any feature occurrence joined the wrong bucket row, so the hash
+    // pins the full tx23 topology with no libm anywhere.
+    "tx23e_dsir_evidence" -> ((s, dir) => {
+      val feats = dsirFeatures(s, dir)
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+      feats.join(raw, "b").join(tgt, Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_feats"),
+          countDistinct(col("b")).cast("int").as("n_buckets"),
+          sum(coalesce(col("ct"), lit(0L))).cast("long").as("sum_ct"),
+          sum(col("cr")).cast("long").as("sum_cr"),
+          sum(when(col("ct").isNull, 1).otherwise(0)).cast("int").as("n_unseen_tgt"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-based language mixing — the multilingual sampling rule
+    // of Conneau & Lample 2019 / XLM-R (arXiv:1911.02116): sample
+    // language l with probability ∝ n_l^α, α<1, so high-resource
+    // languages stop drowning out the tail. α is pinned at 1/2 because
+    // IEEE 754 requires sqrt to be CORRECTLY ROUNDED — unlike n^0.3 via
+    // pow/exp (libm, build-fragile, the r9 lesson) a √n budget is
+    // bit-identical on every conforming engine, so this query keeps a
+    // hash-exact oracle. Budget per language: min(n_l, 4·⌊√n_l⌋) — the
+    // 4 is the mix temperature's scale knob; en (the head) gets cut
+    // hardest, tail languages keep most of their docs, the α=0.5
+    // flattening. WHICH docs fill the budget is content-determined, not
+    // row-order-determined: rank within language by (md5 fingerprint,
+    // doc_id) — the tx13/tx19 determinism device — and keep rank ≤
+    // budget. Shape at 100 TB: one language-count aggregate (broadcast,
+    // ≤ #langs rows) + one rank-within-language exchange; since budget ≪
+    // n_l, production swaps the full window for a per-language
+    // distributed top-k (the q07 TakeOrdered shape) and never sorts a
+    // whole language partition.
+    "tx24_temperature_mix" -> ((s, dir) => {
+      val scale = 4
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      val budgets = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .withColumn("budget",
+          least(col("n_lang"), (floor(sqrt(col("n_lang"))) * scale).cast("long")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("fp"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .join(broadcast(budgets), "lang")
+        .filter(col("rk") <= col("budget"))
+        .select(col("doc_id"), col("lang"), col("rk").cast("int").as("rk"),
+          col("n_lang").cast("int").as("n_lang"),
+          col("budget").cast("int").as("budget"))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -783,6 +887,27 @@ object TextAnalysis {
           graft.functions.WordNgrams(col("text"), 3).as(Seq("pos", "ngram")))
         .orderBy("doc_id", "pos")
     }))
+
+  /** tx23/tx23e's hashed-bigram featurization: one row per word-bigram
+    * OCCURRENCE, bucketed to 256 cells by the first two hex chars of the
+    * bigram's md5 (DuckDB mirrors the same md5/substring, which is what
+    * keeps the tx23e twin hash-exact). Derived NARROWLY inside the token
+    * array (tx20's lesson — tokenization never shuffles); the size ≥ 2
+    * guard both drops featureless docs and dodges Spark's DESCENDING
+    * sequence(2, 1) for one-token docs. Cached (tx20's other lesson):
+    * its consumers — the target agg, the raw agg, the per-doc bucket
+    * counts — cluster on different keys, so no exchange is shareable and
+    * each would re-run the md5 expansion. */
+  private def dsirFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.track(table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(2, size(ws)), i -> " +
+          "substring(md5(cast(concat(element_at(ws, i - 1), ' ', element_at(ws, i)) AS binary)), 1, 2))"))
+        .as("b")))
 
   /** tx15/tx16's bigram-merge vocabulary: the corpus's 1024 most frequent
     * within-word character bigrams, ties broken lexicographically (the
@@ -1046,6 +1171,44 @@ object TextAnalysis {
         |FROM (SELECT * FROM tok WHERE nib IN ('d', 'e')) ev
         |LEFT JOIN cnts ON ev.w = cnts.w
         |GROUP BY ev.doc_id, ev.source ORDER BY ev.doc_id""".stripMargin,
+    // tx23 itself is rows-only-det (ln in the bucket ratios); this twin
+    // carries the hashed contract. unnest(range(2, len+1)) yields nothing
+    // for one-token docs — the same eligibility bound as the Spark side's
+    // size >= 2 filter.
+    "tx23e_dsir_evidence" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, substring(md5(ws[i-1] || ' ' || ws[i]), 1, 2) AS b
+        |  FROM (SELECT doc_id, lang, ws, unnest(range(2, len(ws) + 1)) AS i FROM t)),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM f WHERE lang = 'en' GROUP BY b),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM f GROUP BY b)
+        |SELECT f.doc_id, CAST(COUNT(*) AS INT) AS n_feats,
+        |  CAST(COUNT(DISTINCT f.b) AS INT) AS n_buckets,
+        |  CAST(SUM(COALESCE(tgt.ct, 0)) AS BIGINT) AS sum_ct,
+        |  CAST(SUM(raw.cr) AS BIGINT) AS sum_cr,
+        |  CAST(SUM(CASE WHEN tgt.ct IS NULL THEN 1 ELSE 0 END) AS INT) AS n_unseen_tgt
+        |FROM f JOIN raw ON f.b = raw.b LEFT JOIN tgt ON f.b = tgt.b
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+    // sqrt is IEEE-correctly-rounded (see OracleDisciplineSpec's scaladoc)
+    // so the ⌊√n⌋·4 budget is hash-safe; ranking is by md5 hex string —
+    // string comparison, identical in both engines.
+    "tx24_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, md5(lower(trim(text))) AS fp FROM documents),
+        |b AS (
+        |  SELECT lang, COUNT(*) AS n_lang,
+        |    LEAST(COUNT(*), CAST(FLOOR(SQRT(COUNT(*))) * 4 AS BIGINT)) AS budget
+        |  FROM d GROUP BY lang),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk
+        |  FROM d)
+        |SELECT r.doc_id, r.lang, CAST(r.rk AS INT) AS rk,
+        |  CAST(b.n_lang AS INT) AS n_lang, CAST(b.budget AS INT) AS budget
+        |FROM r JOIN b ON r.lang = b.lang WHERE r.rk <= b.budget
+        |ORDER BY r.doc_id""".stripMargin,
     "tx19_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h

@@ -405,4 +405,38 @@ class DedupSpec extends SparkSpec {
     assert(labels.length == 20 && labels.forall(_._2 == 0L))
     graft.Caches.releaseAll()
   }
+
+  // dd15 on a planted corpus exercising every branch of the drop rule:
+  // strict containment, the equal-length (exact dup) doc_id tie, an
+  // anchor hit whose verify stage must fail, and the sub-K keep.
+  test("dd15 drops exactly the fully-contained docs, keeps anchors that fail verify") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet" // 10 tokens
+    val docs = Seq(
+      (1L, base), // contained in doc 2 (strictly longer)
+      (2L, s"kilo lima $base mike"), // 13 tokens, the host — itself maximal
+      (3L, base), // exact dup of doc 1: hosts = doc 2 (longer) AND doc 1 (tie, smaller id)
+      (4L, "november oscar papa quebec romeo sierra tango uniform"), // unrelated, keep
+      (5L, "victor whiskey xray yankee zulu apple banana cherry dates elder"),
+      (6L, "victor whiskey xray yankee zulu apple banana cherry dates elder"), // dup of 5: tie -> drop 6 only
+      (7L, "tiny doc"), // < K tokens: no windows, always keep
+      // shares doc 1's FIRST window (8 tokens) then diverges: the anchor
+      // join emits a candidate, the verify count must reject it
+      (8L, "alpha bravo charlie delta echo foxtrot golf hotel quill rune"))
+    val tmp = java.nio.file.Files.createTempDirectory("dd15").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.queries("dd15_contained_docs")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(1L) == ((1, "drop")), s"doc1 ⊂ doc2 only (doc3 is the LARGER id of the tie): ${out(1L)}")
+    assert(out(2L) == ((0, "keep")), s"host is maximal: ${out(2L)}")
+    assert(out(3L) == ((2, "drop")), s"doc3 ⊂ doc2 and ties with doc1: ${out(3L)}")
+    assert(out(4L) == ((0, "keep")) && out(8L) == ((0, "keep")),
+      s"anchor-only matches must not drop: ${out(4L)} / ${out(8L)}")
+    assert(out(5L) == ((0, "keep")) && out(6L) == ((1, "drop")),
+      s"equal-length tie keeps the smaller id: ${out(5L)} / ${out(6L)}")
+    assert(out(7L) == ((0, "keep")), s"sub-K doc has no windows: ${out(7L)}")
+  }
 }

@@ -40,11 +40,11 @@ class OracleDisciplineSpec extends AnyFunSuite {
         s"see CORRECTNESS_r09 tx18/tx20/tx21/tx22):\n  ${offenders.mkString("\n  ")}")
   }
 
-  test("the four LM score queries stay rows-only (no oracle) with evidence twins hashed") {
+  test("the five LM/importance score queries stay rows-only (no oracle) with evidence twins hashed") {
     val scoreQueries = Seq("tx18_unigram_logprob", "tx20_bigram_logprob",
-      "tx21_backoff_heldout", "tx22_nb_source_score")
+      "tx21_backoff_heldout", "tx22_nb_source_score", "tx23_dsir_score")
     val twins = Seq("tx18e_unigram_evidence", "tx20e_bigram_evidence",
-      "tx21e_backoff_evidence", "tx22e_nb_evidence")
+      "tx21e_backoff_evidence", "tx22e_nb_evidence", "tx23e_dsir_evidence")
     scoreQueries.foreach { n =>
       assert(SparkEntry.queries.contains(n), s"$n missing from queries")
       assert(!SparkEntry.oracleSql.contains(n),

@@ -19,6 +19,7 @@ class PlanCensusSpec extends SparkSpec {
     "tx20_bigram_logprob", // same 1-row corpus total on the unigram side
     "tx21_backoff_heldout", // 1-row TRAIN-fold total under the backoff base score
     "tx22_nb_source_score", // 1-row (Tt, Tb, V) NB totals on the scoring side
+    "tx23_dsir_score", // two 1-row totals (target T, raw R) under the bucket ratios
     "ss12_sq8_ann", // 1-row quantization grid + the ss01-style broadcast query fanout
     "ss13_ivf_sq8_ann") // ss05's broadcast centroid assignment + the 1-row grid
 
@@ -40,7 +41,14 @@ class PlanCensusSpec extends SparkSpec {
     // siblings (tx18e's joins are inner — it does not collapse)
     "tx20e_bigram_evidence", "tx21e_backoff_evidence", "tx22e_nb_evidence",
     // dd14's rank window + left policy join drop under a bare count too
-    "dd14_policy_cut")
+    "dd14_policy_cut",
+    // dd15's final is docs LEFT JOIN a unique-key host aggregate — the
+    // dd12/tx-twin pattern, eliminated under a bare count
+    "dd15_contained_docs",
+    // tx23/tx23e: column pruning under a bare count drops the aggregate
+    // outputs, leaving their unique-key ratio/target joins unreferenced —
+    // Catalyst then eliminates them like the tx2x siblings above
+    "tx23_dsir_score", "tx23e_dsir_evidence")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

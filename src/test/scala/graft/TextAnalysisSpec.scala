@@ -396,4 +396,74 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  // tx23: DSIR importance weights must separate a planted target-vocab doc
+  // from a planted background-vocab doc. Disjoint bigram vocabularies put
+  // their hashed buckets fully on one side of the log ratio, so only the
+  // SIGN is asserted, which survives any bucket-collision layout. Counts
+  // are amplified (10 docs a side, repeated bigrams) because the +1/(T+256)
+  // smoothing dominates a handful of observations: with ct ≈ cr the ratio
+  // collapses to ln((R+256)/(T+256)) − ln((ct+2)/(ct+1)), which only goes
+  // positive once ct clears the totals gap — the scale regime the paper's
+  // hashed model assumes, recreated here in miniature.
+  test("tx23 DSIR weight is positive for target-vocab text, negative for background-vocab text") {
+    import spark.implicits._
+    val curated = "fern moss fern moss fern moss fern moss"
+    val crawl = "gear piston gear piston gear piston gear piston"
+    val docs =
+      (1L to 10L).map(i => (i, curated, "en")) ++
+        (11L to 20L).map(i => (i, crawl, "xx")) ++ Seq(
+          // probes: lang says crawl, text says curated — and vice versa
+          (100L, "fern moss fern moss", "xx"),
+          (101L, "gear piston gear piston", "en"))
+    val tmp = java.nio.file.Files.createTempDirectory("tx23").toString
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx23_dsir_score")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(4), r.getInt(5)))).toMap
+    val (avg100, sel100) = out(100L)
+    val (avg101, sel101) = out(101L)
+    assert(avg100 > 0 && sel100 == 1,
+      s"curated-vocab probe must look target-like: $avg100")
+    assert(avg101 < 0 && sel101 == 0,
+      s"crawl-vocab probe must look background-like: $avg101")
+    // the twin shares the featurization bit-for-bit: n_feats/n_buckets match
+    val twin = graft.SparkEntry.queries("tx23e_dsir_evidence")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val score = graft.SparkEntry.queries("tx23_dsir_score")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(twin == score,
+      s"tx23e and tx23 disagree on (n_feats, n_buckets): $twin vs $score")
+  }
+
+  // tx24: the α=0.5 temperature budget must flatten the language mix —
+  // every language's budget is exact integer arithmetic the test replays,
+  // and the head language must retain a strictly SMALLER fraction of its
+  // docs than the tail language (the entire point of temperature < 1).
+  test("tx24 budgets are min(n, 4·⌊√n⌋), ranks fill them exactly, and the mix flattens") {
+    val d = graft.sources.Tables.table(spark, sf001, "documents")
+    val langCounts = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.SparkEntry.queries("tx24_temperature_mix")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val byLang = out.groupBy(_._2)
+    langCounts.foreach { case (lang, n) =>
+      val want = math.min(n, math.floor(math.sqrt(n.toDouble)).toLong * 4)
+      val got = byLang.get(lang).map(_.size.toLong).getOrElse(0L)
+      assert(got == want, s"$lang: selected $got docs, budget says $want (n=$n)")
+      byLang(lang).foreach { case (_, _, rk, nl, b) =>
+        assert(nl == n && b == want && rk >= 1 && rk <= b,
+          s"$lang row carries (rk=$rk, n_lang=$nl, budget=$b), want n=$n budget=$want")
+      }
+    }
+    val head = langCounts.maxBy(_._2)
+    val tail = langCounts.minBy(_._2)
+    assert(head._2 > tail._2, "fixture sanity: languages are not uniform")
+    val headFrac = byLang(head._1).size.toDouble / head._2
+    val tailFrac = byLang(tail._1).size.toDouble / tail._2
+    assert(headFrac < tailFrac,
+      s"temperature must flatten: head ${head._1} keeps $headFrac, tail ${tail._1} keeps $tailFrac")
+  }
 }
