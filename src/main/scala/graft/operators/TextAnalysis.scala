@@ -798,12 +798,15 @@ object TextAnalysis {
         .select(col("b"),
           (round(log((coalesce(col("ct"), lit(0L)) + 1) / (col("t") + buckets)), 6).cast(dt)
             - round(log((col("cr") + 1) / (col("r") + buckets)), 6).cast(dt)).as("lam"))
-      feats.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .join(broadcast(lam), "b")
+      // scored per OCCURRENCE, not per (doc, bucket): Σ_occ λ_b ≡ Σ_b c_b·λ_b
+      // and the decimal sum is order-independent either way, so the
+      // (doc_id, b) pre-aggregate was a pure extra exchange over the full
+      // feature stream (measured at soak sf1.0: 6.3 → ~4.8 s without it)
+      feats.join(broadcast(lam), "b")
         .groupBy("doc_id")
-        .agg(sum(col("c")).cast("int").as("n_feats"),
+        .agg(count(lit(1)).cast("int").as("n_feats"),
           countDistinct(col("b")).cast("int").as("n_buckets"),
-          sum(col("c") * col("lam")).as("logw"))
+          sum(col("lam")).as("logw"))
         // raw IEEE quotient, not round(…, 6) — tx18's tie lesson
         .withColumn("avg_logw", col("logw").cast("double") / col("n_feats"))
         .withColumn("selected", (col("logw") > 0).cast("int"))
