@@ -451,9 +451,24 @@ object Dedup {
           s"graft_ddwin_index_${ProcessHandle.current().pid()}_${EtlQueries.fixtureKey(key)}")
         val path = f.getAbsolutePath
         val K = substringK
+        val Wb = org.apache.spark.sql.expressions.Window
+        // fp: md5 of the normalized token SEQUENCE — the sequence-CLASS
+        // key (identical sequences share every substring/containment
+        // relation). rnk orders members within a class (doc_id asc),
+        // csz is the class size; is_rep marks the class representative's
+        // window rows. Computed once at index-build time (one fp
+        // exchange) so dd15's class collapse is a SCAN FILTER at query
+        // time, never a join against the corpus-sized rep set — classes
+        // are length-homogeneous, so a class is either entirely
+        // window-eligible or entirely sub-K, and the build-time rank
+        // equals the rank among eligible members.
         val t = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+          .withColumn("fp", md5(concat_ws(" ", col("ws")).cast("binary")))
+          .withColumn("rnk", row_number().over(
+            Wb.partitionBy("fp").orderBy("doc_id")))
+          .withColumn("csz", count(lit(1)).over(Wb.partitionBy("fp")))
         // repartition BEFORE the explode: the K-window md5 expansion is
         // the dominant per-row compute, and an unsplittable
         // single-row-group file gives the scan 1-2 partitions,
@@ -461,13 +476,16 @@ object Dedup {
         // 7.8 s single-core vs ~0.9 s across 32)
         t.filter(size(col("ws")) >= K)
           .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("source"), explode(expr(
-            s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
-              s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
-          .select(col("doc_id"), col("source"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+          .select(col("doc_id"), col("source"), (col("rnk") === 1).as("is_rep"),
+            explode(expr(
+              s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
+                s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
+          .select(col("doc_id"), col("source"), col("is_rep"),
+            col("pw.pos").as("pos"), col("pw.h").as("h"))
           .repartition(col("h"))
           .write.mode("overwrite").parquet(s"$path/wins")
-        t.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"))
+        t.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"),
+          col("fp"), col("rnk"), col("csz"))
           .write.mode("overwrite").parquet(s"$path/docs")
         sys.addShutdownHook {
           def rm(x: java.io.File): Unit = {
@@ -883,52 +901,104 @@ object Dedup {
     // zero marginal training signal, and doc-level exact dedup (dd01)
     // cannot see it — the fingerprints differ. Distributed shape: probe
     // the SAME persisted window index dd12/dd13/dd14 share. Anchor join:
-    // each eligible doc's FIRST K-token window hash finds candidate
-    // (host, offset) pairs — containment must start at the host position
-    // matching window 1, so one equi-join on the 16-byte hash yields
-    // every possible alignment, never a cartesian. Verify join: all of
-    // the doc's windows must match the host at pos+offset; a count
+    // each eligible doc anchors on its RAREST window (minimum corpus
+    // occurrence count, ties by hash then position) — ANY window is a
+    // sound anchor because containment must match every window of the
+    // doc at the aligned host offset, and the rarest one minimizes the
+    // candidate bucket. (A first draft anchored on the doc's FIRST
+    // window; a Zipf-vocabulary soak cut — where thousands of docs open
+    // with the same 8 tokens — blew the candidate join past 9 minutes at
+    // 25k docs. Min-df anchoring finished the same cut in seconds: the
+    // hot-anchor hazard is exactly dd06's hot-shingle hazard, solved
+    // here by anchor CHOICE instead of a cap, so the contract stays
+    // exact and the oracle untouched.) One equi-join on the 16-byte
+    // anchor hash yields every candidate (host, offset) alignment, never
+    // a cartesian; the worst remaining bucket is a clique of docs whose
+    // EVERY window is corpus-common — mutually-contained boilerplate,
+    // where the pair set is the answer, not overhead. Verify join: all
+    // of the doc's windows must match the host at pos+offset; a count
     // compare against the doc's window count makes the check exact (LSH
     // nowhere in the loop — this is exact containment, same license as
-    // dd10's verify stage). Cost: Σ anchor-bucket pair sizes × doc window
-    // count — linear in corpus tokens for organic anchors; a boilerplate
-    // FIRST window (everyone opens with the same 8 tokens) is the hot-key
-    // hazard, capped in production dd06-style or re-anchored on the doc's
-    // min-df window. Drop rule keeps maximal docs: drop A iff a verified
-    // host is strictly longer, or equal-length with a smaller doc_id (the
-    // exact-dup tie falls to dd01's keep-first choice). Docs shorter than
-    // K tokens have no windows and are always kept — the oracle mirrors
-    // the same eligibility bound, so the contract is hash-exact.
+    // dd10's verify stage). Drop rule keeps maximal docs: drop A iff a
+    // verified host is strictly longer, or equal-length with a smaller
+    // doc_id (the exact-dup tie falls to dd01's keep-first choice). Docs
+    // shorter than K tokens have no windows and are always kept — the
+    // oracle mirrors the same eligibility bound, so the contract is
+    // hash-exact.
     "dd15_contained_docs" -> ((s, dir) => {
       val K = substringK
       val idx = ddWinIndexPath(s, dir)
-      val wins = s.read.parquet(s"$idx/wins").select("doc_id", "pos", "h")
-      val docs = s.read.parquet(s"$idx/docs").select("doc_id", "n_ws")
-      val nw = docs.filter(col("n_ws") >= K)
+      val wins = s.read.parquet(s"$idx/wins")
+        .select("doc_id", "is_rep", "pos", "h")
+      val docs = s.read.parquet(s"$idx/docs")
+        .select("doc_id", "n_ws", "fp", "rnk", "csz")
+      // SEQUENCE-CLASS collapse: docs with identical normalized token
+      // sequences (the sidecar fp) share every containment relation, so
+      // the alignment machinery runs on one REPRESENTATIVE per class and
+      // the counts expand back arithmetically. The class structure is
+      // computed at INDEX-BUILD time (is_rep on window rows, rnk/csz in
+      // the sidecar), so collapsing here is a scan filter — never a
+      // query-time join against the corpus-sized rep set (a first cut
+      // paid that join: +2× on organic soak). Organic corpora barely
+      // collapse (~0.2% dups); the degenerate corpus this defends
+      // against — a boilerplate/Zipf cut where 25k docs reduce to 316
+      // distinct sequences over 23 distinct windows — turns from
+      // tens-of-billions of candidate alignments into a 316-rep
+      // problem. Within a class the drop rule is pure arithmetic: the
+      // equal-length tie keeps the smallest doc_id, so member rank − 1
+      // same-class hosts. Across classes, containment with EQUAL length
+      // implies identical sequence (same class), so only strictly-longer
+      // host classes exist, and every member of a verified host class
+      // hosts every member of the contained class.
+      val reps = docs.filter(col("n_ws") >= K && col("rnk") === 1)
+        .select(col("doc_id"), col("fp"), col("n_ws"), col("csz"))
+      val nw = reps
         .select(col("doc_id").as("a"), col("n_ws").as("len_a"),
           (col("n_ws") - (K - 1)).as("nwin_a"))
-      val cand = wins.filter(col("pos") === 1)
-        .select(col("doc_id").as("a"), col("h"))
-        .join(wins.select(col("doc_id").as("b"), col("pos").as("bpos"), col("h")), "h")
+      val winsR = wins.filter(col("is_rep")).select("doc_id", "pos", "h")
+      // Rarest-window anchor over the representative window space (see
+      // the scaladoc note: min-df anchoring is what keeps the candidate
+      // bucket person-sized under realistic skew)
+      val dfh = winsR.groupBy("h").agg(count(lit(1)).as("dfh"))
+      // argmin by (df, h, pos) as a struct-min AGGREGATE — no sort, no
+      // window; partial aggregation runs map-side per doc
+      val anchor = winsR.join(dfh, "h")
+        .groupBy(col("doc_id").as("a"))
+        .agg(min(struct(col("dfh"), col("h"), col("pos"))).as("m"))
+        .select(col("a"), col("m.pos").as("apos"), col("m.h").as("h"))
+      val cand = anchor
+        .join(winsR.select(col("doc_id").as("b"), col("pos").as("bpos"), col("h")), "h")
         .filter(col("a") =!= col("b"))
-        .select(col("a"), col("b"), (col("bpos") - 1).as("off"))
+        .select(col("a"), col("b"), (col("bpos") - col("apos")).as("off"))
+        // a negative offset would align A's head before the host's first
+        // token — no wb row can match, so prune before the probe expansion
+        .filter(col("off") >= 0)
       val probe = cand
-        .join(wins.select(col("doc_id").as("a"), col("pos"), col("h")), "a")
+        .join(winsR.select(col("doc_id").as("a"), col("pos"), col("h")), "a")
       val matched = probe.alias("p")
-        .join(wins.select(col("doc_id").as("b"), col("pos").as("bpos"), col("h")).alias("w"),
+        .join(winsR.select(col("doc_id").as("b"), col("pos").as("bpos"), col("h")).alias("w"),
           col("p.b") === col("w.b") && col("p.h") === col("w.h") &&
             col("w.bpos") === col("p.pos") + col("p.off"))
         .select(col("p.a").as("a"), col("p.b").as("b"), col("p.off").as("off"))
         .groupBy("a", "b", "off").agg(count(lit(1)).as("n_match"))
-      val hosts = matched
+      // verified strictly-longer host classes, weighted by class size
+      val crossHosts = matched
         .join(nw, "a").filter(col("n_match") === col("nwin_a"))
-        .join(docs.select(col("doc_id").as("b"), col("n_ws").as("len_b")), "b")
-        .filter(col("len_b") > col("len_a") ||
-          (col("len_b") === col("len_a") && col("b") < col("a")))
-        .groupBy("a").agg(countDistinct(col("b")).cast("int").as("n_hosts"))
-      docs.select(col("doc_id"))
-        .join(hosts.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
-        .na.fill(0, Seq("n_hosts"))
+        .join(reps.select(col("doc_id").as("b"), col("n_ws").as("len_b"),
+          col("csz").as("csz_b")), "b")
+        .filter(col("len_b") > col("len_a"))
+        .select(col("a"), col("b"), col("csz_b")).distinct()
+        .groupBy("a").agg(sum(col("csz_b")).as("n_cross"))
+      // expand back to members: cross-class hosts apply to the whole
+      // class via its rep; same-class hosts are the rnk − 1 smaller-id
+      // members (eligible classes only — sub-K docs are always kept)
+      docs.select(col("doc_id"), col("n_ws"), col("fp"), col("rnk"))
+        .join(reps.select(col("fp"), col("doc_id").as("rep")), Seq("fp"), "left")
+        .join(crossHosts.withColumnRenamed("a", "rep"), Seq("rep"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_cross"), lit(0L)) +
+            when(col("n_ws") >= K, col("rnk") - 1).otherwise(lit(0L)))
+            .cast("int").as("n_hosts"))
         .withColumn("action", when(col("n_hosts") > 0, lit("drop")).otherwise(lit("keep")))
         .orderBy("doc_id")
     }),

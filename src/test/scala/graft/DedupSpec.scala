@@ -326,9 +326,17 @@ class DedupSpec extends SparkSpec {
           s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
       .select($"doc_id", $"source", $"pw.pos".as("pos"), $"pw.h".as("h"))
     val persisted = spark.read.parquet(s"$idx/wins")
+      .select("doc_id", "source", "pos", "h") // is_rep is dd15's class flag
     assert(persisted.exceptAll(recomputed).isEmpty &&
       recomputed.exceptAll(persisted).isEmpty,
       "persisted window index differs from inline recompute")
+    // dd15's sequence-class columns: every doc in this fixture is a
+    // distinct sequence except none, so each is its own rep of size 1
+    val side = spark.read.parquet(s"$idx/docs")
+      .select($"doc_id", $"rnk", $"csz").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(side.forall { case (_, rnk, csz) => rnk == 1 && csz == 1L },
+      s"all-distinct fixture must make every doc its own class rep: ${side.toSeq}")
     graft.Caches.releaseAll() // dd12's builder tracks the exploded-window cache
   }
 
