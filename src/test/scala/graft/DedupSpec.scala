@@ -447,4 +447,46 @@ class DedupSpec extends SparkSpec {
       s"equal-length tie keeps the smaller id: ${out(5L)} / ${out(6L)}")
     assert(out(7L) == ((0, "keep")), s"sub-K doc has no windows: ${out(7L)}")
   }
+
+  // dd15 against a BRUTE-FORCE containment reference on a seeded random
+  // corpus dense with planted copies, slices, and extensions — the class
+  // expansion arithmetic (rank-within-class + class-size-weighted cross
+  // hosts) has to agree with per-doc string search on every doc, not just
+  // the hand-built scenario above.
+  test("dd15 agrees with brute-force containment on a seeded corpus of copies, slices, extensions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ant", "bee", "cow", "dog", "elk", "fox")
+    def gen(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val base = (0 until 20).map(_ => gen(8 + rnd.nextInt(8)))
+    val derived =
+      base.take(6).map(ws => ws ++ gen(1 + rnd.nextInt(4))) ++ // extensions
+        base.slice(6, 10) ++ // exact copies
+        base.filter(_.size >= 10).take(5).map(ws => ws.slice(1, 9)) // 8-token slices
+    val all = (base ++ derived).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val tmp = java.nio.file.Files.createTempDirectory("dd15p").toString
+    all.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val toks = all.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val expect = all.map { case (id, _) =>
+      val ta = toks(id)
+      val hosts =
+        if (ta.size < 8) 0
+        else all.count { case (bid, _) =>
+          val tb = toks(bid)
+          bid != id && tb.size >= 8 &&
+            (tb.size > ta.size || (tb.size == ta.size && bid < id)) &&
+            (" " + tb.mkString(" ") + " ").contains(" " + ta.mkString(" ") + " ")
+        }
+      id -> hosts
+    }.toMap
+    val got = Dedup.queries("dd15_contained_docs")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expect,
+      s"diff: ${(got.toSet diff expect.toSet).toSeq.sortBy(_._1)} vs expected " +
+        s"${(expect.toSet diff got.toSet).toSeq.sortBy(_._1)}")
+  }
 }
