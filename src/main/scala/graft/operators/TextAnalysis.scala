@@ -323,6 +323,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The MULTILINGUAL training manifest — qp01's composition discipline
+    // over the r12 operators, as ONE declared query/plan: dd15's
+    // containment dedup first (dedup BEFORE sampling, so a doc and its
+    // extended copy cannot double-fill a language budget), tx24's α=1/2
+    // temperature budgets recomputed over the SURVIVOR language counts
+    // (budgets must reflect what sampling actually draws from), tx13's
+    // content-hash train fold (leakage-proof through any exact dups the
+    // containment pass kept as canonical), tx19's seeded shard + rank.
+    // Every stage is hash-exact, so unlike qp01 (whose dd10 stage is
+    // licensed by a recall spec) the WHOLE chained-CTE oracle mirrors
+    // bit-for-bit from first principles. Rerun ⇒ byte-identical shards.
+    "qp02_multilingual_manifest" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val kept = Dedup.queries("dd15_contained_docs")(s, dir)
+        .filter(col("action") === "keep").select("doc_id")
+      val d = table(s, dir, "documents").join(kept, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      val budgets = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .withColumn("budget",
+          least(col("n_lang"), (floor(sqrt(col("n_lang"))) * 4).cast("long")))
+      val mixed = d
+        .withColumn("rk", row_number().over(
+          W.partitionBy("lang").orderBy(col("fp"), col("doc_id"))))
+        .join(broadcast(budgets), "lang")
+        .filter(col("rk") <= col("budget"))
+      val train = mixed.filter(!substring(col("fp"), 1, 1).isin("d", "e", "f"))
+      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+      train.select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos",
+          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+        .select("doc_id", "lang", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -1236,6 +1272,41 @@ object TextAnalysis {
     // qp01's five stages are the proven per-stage mirrors chained as CTEs:
     // tx07's gate, dd10's exact all-pairs closure (restricted to the gated
     // set — the LSH stage it prunes for carries the same recall-1
+    // dd15's instr-containment CTE → survivor-count √-budgets → content
+    // fold → seeded shard; every stage is the proven mirror of its
+    // declared sibling (dd15 / tx24 / tx13 / tx19)
+    "qp02_multilingual_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, md5(lower(trim(text))) AS fp,
+        |    array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS ts,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_ws
+        |  FROM documents),
+        |e AS (SELECT * FROM t WHERE n_ws >= 8),
+        |dropped AS (
+        |  SELECT DISTINCT a.doc_id FROM e a JOIN e b ON a.doc_id != b.doc_id
+        |    AND (b.n_ws > a.n_ws OR (b.n_ws = a.n_ws AND b.doc_id < a.doc_id))
+        |    AND instr(' ' || b.ts || ' ', ' ' || a.ts || ' ') > 0),
+        |d AS (
+        |  SELECT doc_id, lang, fp FROM t
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+        |b AS (
+        |  SELECT lang, COUNT(*) AS n_lang,
+        |    LEAST(COUNT(*), CAST(FLOOR(SQRT(COUNT(*))) * 4 AS BIGINT)) AS budget
+        |  FROM d GROUP BY lang),
+        |r AS (
+        |  SELECT doc_id, lang, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk
+        |  FROM d),
+        |train AS (
+        |  SELECT r.doc_id, r.lang FROM r JOIN b ON r.lang = b.lang
+        |  WHERE r.rk <= b.budget AND substring(r.fp, 1, 1) NOT IN ('d', 'e', 'f')),
+        |sh AS (
+        |  SELECT doc_id, lang, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM train)
+        |SELECT doc_id, lang, substring(h, 1, 1) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1)
+        |    ORDER BY h, doc_id) AS INT) AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
     // license), tx10's df-capped trigram decontamination, tx13's nibble
     // fold, tx19's seeded shard/rank.
     "qp01_training_manifest" ->

@@ -48,7 +48,9 @@ class PlanCensusSpec extends SparkSpec {
     // tx23/tx23e: column pruning under a bare count drops the aggregate
     // outputs, leaving their unique-key ratio/target joins unreferenced —
     // Catalyst then eliminates them like the tx2x siblings above
-    "tx23_dsir_score", "tx23e_dsir_evidence")
+    "tx23_dsir_score", "tx23e_dsir_evidence",
+    // qp02 ends in the same shard-rank window as qp01/tx19
+    "qp02_multilingual_manifest")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

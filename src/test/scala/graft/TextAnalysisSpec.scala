@@ -438,6 +438,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"tx23e and tx23 disagree on (n_feats, n_buckets): $twin vs $score")
   }
 
+  // qp02 against an independent JVM composition: dd15's keep set (the
+  // declared query) fed through pure-Scala replicas of the budget,
+  // fold, and shard stages — the whole manifest must match tuple-set
+  // exact, pinning stage order and the survivor-count budget semantics.
+  test("qp02 multilingual manifest matches a JVM reference composition") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.table(spark, sf001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keep = graft.SparkEntry.queries("dd15_contained_docs")(spark, sf001)
+      .filter(col("action") === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val surv = docs.filter(d => keep(d._1))
+      .map { case (id, lang, text) => (id, lang, md5hex(text.toLowerCase.trim)) }
+    val sel = surv.toSeq.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      val budget = math.min(xs.size.toLong,
+        math.floor(math.sqrt(xs.size.toDouble)).toLong * 4).toInt
+      xs.sortBy(x => (x._3, x._1)).take(budget)
+    }
+    val train = sel.filter(x => !"def".contains(x._3.head))
+    val expect = train
+      .map { case (id, lang, _) => (id, lang, md5hex(s"s42:$id")) }
+      .groupBy(_._3.head).flatMap { case (_, xs) =>
+        xs.toSeq.sortBy(x => (x._3, x._1)).zipWithIndex.map {
+          case ((id, lang, h), i) => (id, lang, h.head.toString, i + 1) }
+      }.toSet
+    val got = graft.SparkEntry.queries("qp02_multilingual_manifest")(spark, sf001)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == expect,
+      s"engine-only: ${(got diff expect).take(5)}; reference-only: ${(expect diff got).take(5)}")
+  }
+
   // tx24: the α=0.5 temperature budget must flatten the language mix —
   // every language's budget is exact integer arithmetic the test replays,
   // and the head language must retain a strictly SMALLER fraction of its
