@@ -906,6 +906,36 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // tx24's budget in the unit trainers actually meter: TOKENS, not
+    // documents (a 100-word doc costs 10× a 10-word doc against a
+    // training budget). Per-language token budget = 64·⌊√(token_count)⌋
+    // (the same IEEE-exact √ flattening as tx24, scaled so gate corpora
+    // keep a meaningful slice), filled in content-hash order by
+    // CUMULATIVE token count: a doc enters while the budget is not yet
+    // crossed — the first doc to cross it still enters (budgets are
+    // soft-capped, the packing convention tx14 uses), everything after
+    // is cut. One language-count aggregate + one rank/cumsum exchange,
+    // the tx24 plan with a running SUM beside the row_number.
+    "tx25_token_budget_mix" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long").as("toks"))
+      val budgets = d.groupBy("lang").agg(sum(col("toks")).as("tok_lang"))
+        .withColumn("budget", (floor(sqrt(col("tok_lang"))) * 64).cast("long"))
+      val wl = W.partitionBy("lang").orderBy(col("fp"), col("doc_id"))
+      d.withColumn("cum", sum(col("toks")).over(
+          wl.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .join(broadcast(budgets), "lang")
+        .filter(col("cum") - col("toks") < col("budget"))
+        .select(col("doc_id"), col("lang"), col("toks"),
+          col("cum").cast("long").as("cum_toks"),
+          col("tok_lang").cast("long").as("tok_lang"),
+          col("budget").cast("long").as("budget"))
+        .orderBy("doc_id")
+    }),
+
     "tx08_cdc_chunks" -> ((s, dir) => {
       import graft.functions.SketchExprs
       table(s, dir, "documents")
@@ -1230,6 +1260,27 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN tgt.ct IS NULL THEN 1 ELSE 0 END) AS INT) AS n_unseen_tgt
         |FROM f JOIN raw ON f.b = raw.b LEFT JOIN tgt ON f.b = tgt.b
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+    // tx24's token-metered sibling: same √ budget trick over token
+    // counts, cumulative-sum soft cap (the crossing doc still enters).
+    "tx25_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, md5(lower(trim(text))) AS fp,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, SUM(toks) AS tok_lang,
+        |    CAST(FLOOR(SQRT(SUM(toks))) * 64 AS BIGINT) AS budget
+        |  FROM d GROUP BY lang),
+        |r AS (
+        |  SELECT doc_id, lang, toks,
+        |    SUM(toks) OVER (PARTITION BY lang ORDER BY fp, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT r.doc_id, r.lang, CAST(r.toks AS BIGINT) AS toks,
+        |  CAST(r.cum AS BIGINT) AS cum_toks,
+        |  CAST(b.tok_lang AS BIGINT) AS tok_lang, b.budget
+        |FROM r JOIN b ON r.lang = b.lang
+        |WHERE r.cum - r.toks < b.budget ORDER BY r.doc_id""".stripMargin,
     // sqrt is IEEE-correctly-rounded (see OracleDisciplineSpec's scaladoc)
     // so the ⌊√n⌋·4 budget is hash-safe; ranking is by md5 hex string —
     // string comparison, identical in both engines.

@@ -473,6 +473,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"engine-only: ${(got diff expect).take(5)}; reference-only: ${(expect diff got).take(5)}")
   }
 
+  // tx25: the token-metered budget must be a prefix of the content-hash
+  // order per language, stop at the first budget crossing (soft cap),
+  // and meter TOKENS — a language's selected token mass must sit within
+  // one doc of its ⌊√(total tokens)⌋·64 budget.
+  test("tx25 token budgets are prefixes that stop at the first crossing") {
+    val out = graft.SparkEntry.queries("tx25_token_budget_mix")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (lang, xs) =>
+      val budget = xs.head._6
+      val tokLang = xs.head._5
+      assert(budget == math.floor(math.sqrt(tokLang.toDouble)).toLong * 64,
+        s"$lang budget formula: $budget vs tok_lang $tokLang")
+      val maxCum = xs.map(_._4).max
+      val lastToks = xs.maxBy(_._4)._3
+      // every selected doc STARTED under budget; the final doc may cross
+      assert(xs.forall(x => x._4 - x._3 < budget), s"$lang: non-prefix selection")
+      assert(maxCum >= math.min(budget, tokLang) || maxCum + 0 == tokLang,
+        s"$lang: budget left unfilled: cum $maxCum of budget $budget (corpus $tokLang)")
+      assert(maxCum - lastToks < budget, s"$lang: a doc entered after the crossing")
+    }
+  }
+
   // tx24: the α=0.5 temperature budget must flatten the language mix —
   // every language's budget is exact integer arithmetic the test replays,
   // and the head language must retain a strictly SMALLER fraction of its
