@@ -1003,6 +1003,48 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Index HEALTH stats — the observability a PERSISTED index needs
+    // before anyone trusts query results built on it: per source, how
+    // many docs the snapshot covers (and how many are window-eligible),
+    // how many sequence classes they collapse to (1 − classes/docs is
+    // the exact-dup rate dd01 would find), how many window rows and
+    // distinct hashes the index holds, and how much occurrence MASS sits
+    // in hot hashes (global df > 64 — the dd06-cap exposure: a rising
+    // hot_occ share is the early warning that dd12's rank partitions and
+    // dd15's anchor buckets are heading toward the documented skew
+    // hazard). All exact integers from one index scan pair, so the
+    // oracle recomputes the identical numbers from documents and the
+    // hash pins BOTH the stats logic and the index build itself — a
+    // drifted fp/window definition fails here even if every consumer
+    // query happens to agree with its own mirror.
+    "dd16_index_stats" -> ((s, dir) => {
+      val idx = ddWinIndexPath(s, dir)
+      val wins = s.read.parquet(s"$idx/wins").select("source", "h")
+      val docs = s.read.parquet(s"$idx/docs").select("source", "n_ws", "fp")
+      val docsS = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_ws") >= substringK, 1L).otherwise(0L)).as("n_windowed"),
+        countDistinct(col("fp")).as("n_classes"))
+      val winsS = wins.groupBy("source").agg(
+        count(lit(1)).as("n_windows"),
+        countDistinct(col("h")).as("n_distinct_h"))
+      val hot = wins
+        .join(wins.groupBy("h").agg(count(lit(1)).as("dfh"))
+          .filter(col("dfh") > 64).select("h"), "h")
+        .groupBy("source").agg(count(lit(1)).as("hot_occ"))
+      docsS
+        .join(winsS, Seq("source"), "left")
+        .join(hot, Seq("source"), "left")
+        .na.fill(0, Seq("n_windows", "n_distinct_h", "hot_occ"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_windowed").cast("long").as("n_windowed"),
+          col("n_classes").cast("long").as("n_classes"),
+          col("n_windows").cast("long").as("n_windows"),
+          col("n_distinct_h").cast("long").as("n_distinct_h"),
+          col("hot_occ").cast("long").as("hot_occ"))
+        .orderBy("source")
+    }),
+
     // dd07 with a Bloom pre-filter — the shuffle-avoidance production form
     // of incremental dedup at 100 TB: build a Bloom filter over the
     // EXISTING corpus fingerprints (distributed aggregate; the driver
@@ -1362,6 +1404,43 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // The stats recomputed from documents — hashing BOTH the index build
+    // and the stats logic (see the query's scaladoc). Window hashes via
+    // the dd13 ws[i:i+7] slice; fp via array_to_string (Spark's
+    // concat_ws twin); hot threshold 64 occurrences GLOBAL.
+    "dd16_index_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, ws, len(ws) AS n_ws,
+        |    md5(array_to_string(ws, ' ')) AS fp
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, source, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM base WHERE n_ws >= 8)),
+        |df AS (SELECT h, COUNT(*) AS dfh FROM w GROUP BY h),
+        |docs_s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN n_ws >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_windowed,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_classes
+        |  FROM base GROUP BY source),
+        |wins_s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_h
+        |  FROM w GROUP BY source),
+        |hot AS (
+        |  SELECT w.source, CAST(COUNT(*) AS BIGINT) AS hot_occ
+        |  FROM w JOIN df ON w.h = df.h WHERE df.dfh > 64 GROUP BY w.source)
+        |SELECT d.source, d.n_docs, d.n_windowed, d.n_classes,
+        |  COALESCE(wins_s.n_windows, 0) AS n_windows,
+        |  COALESCE(wins_s.n_distinct_h, 0) AS n_distinct_h,
+        |  COALESCE(hot.hot_occ, 0) AS hot_occ
+        |FROM docs_s d
+        |LEFT JOIN wins_s ON d.source = wins_s.source
+        |LEFT JOIN hot ON d.source = hot.source
+        |ORDER BY d.source""".stripMargin,
     // Containment re-stated as delimited-string search: token sequences
     // joined on single spaces with space sentinels at both ends make
     // instr() match exactly token-aligned occurrences (tokens contain no

@@ -50,7 +50,10 @@ class PlanCensusSpec extends SparkSpec {
     // Catalyst then eliminates them like the tx2x siblings above
     "tx23_dsir_score", "tx23e_dsir_evidence",
     // qp02 ends in the same shard-rank window as qp01/tx19
-    "qp02_multilingual_manifest")
+    "qp02_multilingual_manifest",
+    // dd16's final is per-source aggregates LEFT-joined on the unique
+    // source key — eliminated under a bare count like the twins above
+    "dd16_index_stats")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
