@@ -194,10 +194,11 @@ object Bench {
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
       "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental", "st06_bloom_ingest_dedup"),
       "dd11_incremental_fuzzy" -> Seq("dd11_incremental_fuzzy"), // banded index fixture (r11)
-      // shared substring window-index fixture (r12) — one build serves all five
+      // shared substring window-index fixture (r12) — one build serves all seven
       "dd12_substring_dedup" ->
         Seq("dd12_substring_dedup", "dd13_source_overlap", "dd14_policy_cut",
-          "dd15_contained_docs", "dd16_index_stats"),
+          "dd15_contained_docs", "dd16_index_stats",
+          "dd17_incremental_substring", "dd18_batch_novelty"),
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14

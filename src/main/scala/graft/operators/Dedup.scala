@@ -500,6 +500,36 @@ object Dedup {
     })()
   }
 
+  /** The BATCH side of the incremental substring family (dd17/dd18): the
+    * odd-doc_id slice's K-token window frame, computed from `documents`
+    * AT QUERY TIME — the same honesty contract dd11 adopted in r12 (a
+    * real ingest always pays its own tokenize/explode/md5; only the
+    * CORPUS side may come from a persisted index). Returns the window
+    * occurrences (doc_id, source, pos, h); token counts for the batch
+    * come from [[batchDocs]] on the same slice. */
+  private def batchWindows(s: SparkSession, dir: String): DataFrame = {
+    val K = substringK
+    table(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= K)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
+            s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
+      .select(col("doc_id"), col("source"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+  }
+
+  /** Batch-slice doc sidecar for dd17/dd18: (doc_id, source, n_ws),
+    * computed at query time like [[batchWindows]]. */
+  private def batchDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_ws"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
     "dd01_exact_dedup" -> ((s, dir) => {
@@ -1045,6 +1075,139 @@ object Dedup {
         .orderBy("source")
     }),
 
+    // INCREMENTAL substring dedup — dd12 for a GROWING corpus, closing
+    // the incremental family (dd07 : dd01 :: dd11 : dd10 :: dd17 : dd12):
+    // a new batch (odd doc_ids, the deterministic split the whole family
+    // uses so the oracle can mirror it) gets dd12's span surgery against
+    // an EXISTING corpus (even doc_ids) without re-ranking anything
+    // corpus-wide. The batch pays its own tokenize/explode/md5
+    // ([[batchWindows]], the dd11 honesty contract); the corpus side is a
+    // probe of the persisted window index ([[ddWinIndexPath]]) restricted
+    // to even doc_ids — standing in for the corpus-only snapshot a
+    // production ingest service maintains (the filter only ADDS scan cost
+    // vs that snapshot, so the recorded figure is conservative). The
+    // semantics differ from "dd12 restricted to odd docs" in exactly the
+    // way an ingest needs: the CORPUS is always canonical. A batch window
+    // occurrence is cut if its hash exists ANYWHERE in the corpus (the
+    // canonical copy is already ingested — no rank needed, which is also
+    // what kills the hot-hash rank hazard dd12 documents: corpus-known
+    // hashes never enter a rank window here); batch-only hashes fall back
+    // to dd12's rule among the batch (first (doc_id, pos) occurrence
+    // canonical, rest cut). Cut occurrences merge into maximal spans per
+    // doc (the islands pass, starts < K apart). One exchange on the
+    // 16-byte hash carries corpus-probe + batch-dup detection; the span
+    // merge is one batch-sized doc_id exchange. Per-run cost is
+    // batch-scan + index-probe — nothing corpus-wide recomputed, the
+    // property that makes nightly ingests affordable at 100 TB.
+    "dd17_incremental_substring" -> ((s, dir) => {
+      val K = substringK
+      val W = org.apache.spark.sql.expressions.Window
+      val idx = ddWinIndexPath(s, dir)
+      val corpusH = s.read.parquet(s"$idx/wins")
+        .filter(col("doc_id") % 2 === 0)
+        .select("h").distinct()
+      // ONE pass classifies every batch occurrence (corpus-known or not)
+      // and the h-partitioned result is cached for its four consumers
+      // (dup count, corpus-known cuts, batch-dup detection, batch rank) —
+      // without it the plan re-runs the batch explode AND the corpus
+      // distinct per consumer (read in the r12 plan audit: 4 copies of
+      // each subtree). The cached working set is batch-occurrence-sized,
+      // the one thing an ingest can always afford to hold.
+      val flagged = graft.Caches.track(
+        batchWindows(s, dir).select("doc_id", "pos", "h")
+          .join(corpusH.withColumn("known", lit(true)), Seq("h"), "left")
+          .na.fill(false, Seq("known"))
+          .repartition(col("h")))
+      // corpus-known occurrences: all cut (canonical lives in the corpus)
+      val inCorpus = flagged.filter(col("known")).select("doc_id", "pos", "h")
+      // batch-only hashes: dd12's rule within the batch
+      val bOnly = flagged.filter(!col("known")).select("doc_id", "pos", "h")
+      val bDupH = bOnly.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val bOcc = bOnly.join(bDupH, "h")
+      val bCut = bOcc
+        .withColumn("rn", row_number().over(W.partitionBy("h").orderBy("doc_id", "pos")))
+        .filter(col("rn") > 1)
+        .select("doc_id", "pos", "h")
+      val dupOcc = inCorpus.unionByName(bOcc)
+      val cut = inCorpus.unionByName(bCut)
+      val wDoc = W.partitionBy("doc_id").orderBy("pos")
+      val spans = cut
+        .withColumn("prev", lag("pos", 1).over(wDoc))
+        .withColumn("ns", when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1)
+          .otherwise(0))
+        .withColumn("span_id", sum("ns").over(wDoc))
+        .groupBy("doc_id", "span_id")
+        .agg(min("pos").as("s"), max("pos").as("e"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_cut_spans"),
+          sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"))
+      val dupCounts = dupOcc.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_dup_windows"))
+      batchDocs(s, dir)
+        .select(col("doc_id"),
+          greatest(col("n_ws") - (K - 1), lit(0)).cast("int").as("n_windows"))
+        .join(dupCounts, Seq("doc_id"), "left")
+        .join(spans, Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_dup_windows", "n_cut_spans", "n_cut_tokens"))
+        .withColumn("dup_ratio",
+          when(col("n_windows") > 0, col("n_dup_windows") / col("n_windows")))
+        .orderBy("doc_id")
+    }),
+
+    // Batch NOVELTY diagnostic — the pre-commit question an ingest
+    // operator asks BEFORE paying dd17's surgery or growing the index:
+    // how much of this batch is actually new? Per batch source: doc and
+    // window-eligible counts, window occurrences, distinct window hashes,
+    // how many of those hashes the corpus index has never seen, and the
+    // novelty fraction (novel / distinct — the direct predictor of index
+    // growth and the complement of the dedup rate dd17 will find). The
+    // dd16 playbook applied to the ingest boundary: all exact integers
+    // plus one int/int division, so the oracle recomputes everything from
+    // documents and the hash pins the batch-vs-index join semantics.
+    // Shape at 100 TB: the batch's distinct (source, h) frame — already
+    // far smaller than its occurrence frame — left-anti-joins the corpus
+    // hash set on the 16-byte hash (one exchange; at production scale the
+    // corpus side is a Bloom/fp index probe, dd08's transport), and every
+    // aggregate's state is bounded by the source count.
+    "dd18_batch_novelty" -> ((s, dir) => {
+      val K = substringK
+      val idx = ddWinIndexPath(s, dir)
+      val corpusH = s.read.parquet(s"$idx/wins")
+        .filter(col("doc_id") % 2 === 0)
+        .select("h").distinct()
+      // ONE aggregation over the batch's window frame carries the whole
+      // query: per-(source, h) occurrence counts (map-side combine
+      // shrinks the exchange to the distinct-hash frame), from which the
+      // per-source totals AND the novelty anti-join both derive — the
+      // two consumers share the identical subtree, so ReusedExchange
+      // serves them from one shuffle.
+      val sh = batchWindows(s, dir)
+        .groupBy("source", "h").agg(count(lit(1)).as("n_occ"))
+      val docsS = batchDocs(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_ws") >= K, 1L).otherwise(0L)).as("n_windowed"))
+      val winsS = sh.groupBy("source").agg(
+        sum(col("n_occ")).as("n_windows"),
+        count(lit(1)).as("n_distinct_h"))
+      val novel = sh.select("source", "h")
+        .join(corpusH, Seq("h"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_novel_h"))
+      docsS
+        .join(winsS, Seq("source"), "left")
+        .join(novel, Seq("source"), "left")
+        .na.fill(0, Seq("n_windows", "n_distinct_h", "n_novel_h"))
+        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+          col("n_windowed").cast("long").as("n_windowed"),
+          col("n_windows").cast("long").as("n_windows"),
+          col("n_distinct_h").cast("long").as("n_distinct_h"),
+          col("n_novel_h").cast("long").as("n_novel_h"))
+        .withColumn("novelty_frac",
+          when(col("n_distinct_h") > 0, col("n_novel_h") / col("n_distinct_h")))
+        .orderBy("source")
+    }),
+
     // dd07 with a Bloom pre-filter — the shuffle-avoidance production form
     // of incremental dedup at 100 TB: build a Bloom filter over the
     // EXISTING corpus fingerprints (distributed aggregate; the driver
@@ -1464,6 +1627,100 @@ object Dedup {
         |  CASE WHEN h.n_hosts IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
         |FROM t LEFT JOIN hosts h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // Mirrors dd17: corpus-known batch occurrences all cut, batch-only
+    // hashes follow dd12's rank rule within the batch, islands merge on
+    // starts < 8 apart. in-corpus and batch-only occurrence sets are
+    // disjoint by construction, so UNION ALL is exact.
+    "dd17_incremental_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |bw AS (SELECT * FROM w WHERE doc_id % 2 = 1),
+        |ch AS (SELECT DISTINCT h FROM w WHERE doc_id % 2 = 0),
+        |incorp AS (SELECT bw.* FROM bw JOIN ch USING (h)),
+        |bonly AS (SELECT * FROM bw
+        |          WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = bw.h)),
+        |bdup AS (SELECT h FROM bonly GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |bocc AS (SELECT bonly.* FROM bonly JOIN bdup USING (h)),
+        |bcut AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM bocc) WHERE rn > 1),
+        |cut AS (SELECT doc_id, pos FROM incorp
+        |        UNION ALL SELECT doc_id, pos FROM bcut),
+        |occ AS (SELECT doc_id, pos FROM incorp
+        |        UNION ALL SELECT doc_id, pos FROM bocc),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM (SELECT doc_id, pos,
+        |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM cut)),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e
+        |          FROM sp GROUP BY 1, 2),
+        |sstats AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_cut_spans,
+        |    CAST(SUM(e - s + 8) AS INT) AS n_cut_tokens FROM spans GROUP BY 1),
+        |dstats AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_windows
+        |  FROM occ GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(greatest(len(ws) - 7, 0) AS INT) AS n_windows
+        |  FROM t WHERE doc_id % 2 = 1)
+        |SELECT base.doc_id, n_windows,
+        |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(n_cut_spans, 0) AS n_cut_spans,
+        |  COALESCE(n_cut_tokens, 0) AS n_cut_tokens,
+        |  CASE WHEN n_windows > 0
+        |    THEN CAST(COALESCE(n_dup_windows, 0) AS DOUBLE) / n_windows
+        |  END AS dup_ratio
+        |FROM base
+        |LEFT JOIN dstats USING (doc_id)
+        |LEFT JOIN sstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Mirrors dd18: batch per-source counts, distinct batch hashes
+    // anti-joined against the corpus hash set, novelty as an int/int
+    // IEEE division (NULL when the source has no windowed docs).
+    "dd18_batch_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM t WHERE len(ws) >= 8)),
+        |ch AS (SELECT DISTINCT h FROM w WHERE doc_id % 2 = 0),
+        |bw AS (SELECT * FROM w WHERE doc_id % 2 = 1),
+        |docs_s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN len(ws) >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_windowed
+        |  FROM t WHERE doc_id % 2 = 1 GROUP BY source),
+        |wins_s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_h
+        |  FROM bw GROUP BY source),
+        |novel AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel_h
+        |  FROM (SELECT DISTINCT source, h FROM bw) d
+        |  WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = d.h)
+        |  GROUP BY source)
+        |SELECT d.source, d.n_docs, d.n_windowed,
+        |  COALESCE(wins_s.n_windows, 0) AS n_windows,
+        |  COALESCE(wins_s.n_distinct_h, 0) AS n_distinct_h,
+        |  COALESCE(novel.n_novel_h, 0) AS n_novel_h,
+        |  CASE WHEN COALESCE(wins_s.n_distinct_h, 0) > 0
+        |    THEN CAST(COALESCE(novel.n_novel_h, 0) AS DOUBLE)
+        |      / wins_s.n_distinct_h
+        |  END AS novelty_frac
+        |FROM docs_s d
+        |LEFT JOIN wins_s ON d.source = wins_s.source
+        |LEFT JOIN novel ON d.source = novel.source
+        |ORDER BY d.source""".stripMargin,
     // NOT EXISTS, not NOT IN: a NULL fp on the existing side would make
     // NOT IN return an empty result, while the engine's left_anti join
     // keeps null-key batch rows (null matches nothing). NOT EXISTS with

@@ -394,6 +394,80 @@ class DedupSpec extends SparkSpec {
     graft.Caches.releaseAll() // dd14's builder tracks the window cache
   }
 
+  test("dd17 incremental substring: corpus always canonical, batch-only dups fall to dd12's rule") {
+    // K = 8. Even doc_ids = corpus, odd = batch. shared10's three
+    // interior windows live in CORPUS doc 2; batch doc 1 repeats them at
+    // positions 9-11. Under dd12, doc 1 (smaller id) would be canonical
+    // and doc 2 would be cut — dd17 must cut DOC 1 instead: the corpus
+    // copy is already ingested, id order is irrelevant. batchdup8 is a
+    // batch-ONLY hash shared by docs 3 and 5: dd12's first-(doc_id, pos)
+    // rule applies within the batch (doc 3 canonical, doc 5 cut).
+    val shared10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tail1 = "kilo lima mike november oscar papa quebec romeo"
+    val head2 = "sierra tango uniform victor whiskey xray yankee zulu"
+    val batchdup8 = "mango nectar olive peach quince radish squash turnip"
+    val filler8 = "ash birch cedar elm fir hazel maple oak"
+    val marker8 = "gear piston valve crank shaft flange rotor stator"
+    val tmp = java.nio.file.Files.createTempDirectory("dd17").toString
+    Seq(
+      (1L, s"$head2 $shared10", "sA"), // batch; shared10 at tokens 9-18
+      (2L, s"$shared10 $tail1", "sA"), // corpus canonical for shared10
+      (3L, batchdup8, "sA"), // batch; one window, batch-only dup with doc 5
+      (4L, marker8, "sB"), // corpus; unrelated
+      (5L, s"$batchdup8 $filler8", "sB"), // batch; dup window at pos 1
+      (7L, "tiny doc", "sB")) // batch; < K tokens, zero windows
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.queries("dd17_incremental_substring")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L, 7L), s"batch docs only: ${out.keySet}")
+    // doc 1: 11 windows; positions 9-11 are corpus-known -> ALL cut (the
+    // corpus-canonical pin), merging into one 10-token span.
+    assert(out(1L) == ((11, 3, 1, 10, Some(3.0 / 11))), s"doc1: ${out(1L)}")
+    // doc 3: batch-only dup hash, doc 3 is the batch-first occurrence.
+    assert(out(3L) == ((1, 1, 0, 0, Some(1.0))), s"doc3: ${out(3L)}")
+    // doc 5: 9 windows; pos 1 repeats doc 3's hash, non-canonical -> cut.
+    assert(out(5L) == ((9, 1, 1, 8, Some(1.0 / 9))), s"doc5: ${out(5L)}")
+    // doc 7: no windows; NULL ratio, not 0/0.
+    assert(out(7L) == ((0, 0, 0, 0, None)), s"doc7: ${out(7L)}")
+    graft.Caches.releaseAll() // dd17's builder tracks the flagged-occurrence cache
+  }
+
+  test("dd18 batch novelty: per-source distinct hashes split into corpus-known and novel") {
+    // Same fixture shape as dd17's: corpus knows shared10's interior
+    // windows (doc 2) and marker8 (doc 4); batch sources sA/sB.
+    val shared10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tail1 = "kilo lima mike november oscar papa quebec romeo"
+    val head2 = "sierra tango uniform victor whiskey xray yankee zulu"
+    val batchdup8 = "mango nectar olive peach quince radish squash turnip"
+    val filler8 = "ash birch cedar elm fir hazel maple oak"
+    val marker8 = "gear piston valve crank shaft flange rotor stator"
+    val tmp = java.nio.file.Files.createTempDirectory("dd18").toString
+    Seq(
+      (1L, s"$head2 $shared10", "sA"), // batch: 11 windows, 3 corpus-known
+      (2L, s"$shared10 $tail1", "sA"), // corpus
+      (3L, batchdup8, "sA"), // batch: 1 novel window
+      (4L, marker8, "sB"), // corpus
+      (5L, s"$batchdup8 $filler8", "sB"), // batch: 9 windows, all novel
+      (7L, "tiny doc", "sB")) // batch: sub-K
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.queries("dd18_batch_novelty")(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    // sA: docs 1+3; doc 1's 8 head-straddling windows + doc 3's 1 are
+    // novel, doc 1's 3 shared10-interior windows are corpus-known.
+    assert(out("sA") == ((2L, 2L, 12L, 12L, 9L, Some(9.0 / 12))), s"sA: ${out("sA")}")
+    // sB: doc 5 windowed (9 distinct novel windows), doc 7 sub-K.
+    assert(out("sB") == ((2L, 1L, 9L, 9L, 9L, Some(1.0))), s"sB: ${out("sB")}")
+  }
+
   test("dd05's non-convergence guard FIRES on a diameter > maxIter chain") {
     // Min-label propagation moves the component-min one hop per round, so
     // a path graph 0-1-2-...-n has diameter n and needs ~n rounds. With

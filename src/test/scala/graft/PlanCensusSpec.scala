@@ -53,7 +53,10 @@ class PlanCensusSpec extends SparkSpec {
     "qp02_multilingual_manifest",
     // dd16's final is per-source aggregates LEFT-joined on the unique
     // source key — eliminated under a bare count like the twins above
-    "dd16_index_stats")
+    "dd16_index_stats",
+    // dd17 ends in dd12's unique-doc_id LEFT-join pattern; dd18 in
+    // dd16's unique-source one — both eliminated under a bare count
+    "dd17_incremental_substring", "dd18_batch_novelty")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
