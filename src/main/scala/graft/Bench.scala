@@ -193,12 +193,16 @@ object Bench {
       "ss06_pq_ann" -> Seq("ss06_pq_ann", "ss07_pq_rerank"),
       "q37_bucketed_join" -> Seq("q37_bucketed_join"),
       "dd08_bloom_incremental" -> Seq("dd08_bloom_incremental", "st06_bloom_ingest_dedup"),
-      "dd11_incremental_fuzzy" -> Seq("dd11_incremental_fuzzy"), // banded index fixture (r11)
+      // banded index fixture (r11); qp03's fuzzy stage probes it too
+      "dd11_incremental_fuzzy" ->
+        Seq("dd11_incremental_fuzzy", "qp03_incremental_manifest"),
       // shared substring window-index fixture (r12) — one build serves all seven
+      // consumers plus qp03's substring stage
       "dd12_substring_dedup" ->
         Seq("dd12_substring_dedup", "dd13_source_overlap", "dd14_policy_cut",
           "dd15_contained_docs", "dd16_index_stats",
-          "dd17_incremental_substring", "dd18_batch_novelty"),
+          "dd17_incremental_substring", "dd18_batch_novelty",
+          "qp03_incremental_manifest"),
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14

@@ -507,7 +507,7 @@ object Dedup {
     * CORPUS side may come from a persisted index). Returns the window
     * occurrences (doc_id, source, pos, h); token counts for the batch
     * come from [[batchDocs]] on the same slice. */
-  private def batchWindows(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def batchWindows(s: SparkSession, dir: String): DataFrame = {
     val K = substringK
     table(s, dir, "documents")
       .filter(col("doc_id") % 2 === 1)
@@ -522,13 +522,127 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("pw.pos").as("pos"), col("pw.h").as("h"))
   }
 
+  /** dd11's decision procedure over an ARBITRARY batch-doc set — factored
+    * out (r12) so qp03 can apply the greedy ingest rule to its
+    * exact-gate survivors. `batchDocs` must carry (doc_id, text) with
+    * odd doc_ids (the family's batch-parity convention — the existing
+    * corpus is the even side of the persisted banded index, and the
+    * label arithmetic distinguishes the sides by parity). Returns the
+    * surviving doc_ids, unordered (dd11 sorts at the query boundary).
+    * See the dd11 query comment for the full plan-shape story. */
+  private[graft] def incrementalFuzzyKeep(
+      s: SparkSession, dir: String, batchDocs: DataFrame): DataFrame = {
+    val idx = dd11IndexPath(s, dir)
+    val batch = fuzzySigs(batchDocs)
+    val batchBands = bandedBuckets(batch)
+    val sh = s.read.parquet(s"$idx/sh")
+      .unionByName(batch.select(col("doc_id"), col("sh")))
+    val batchIds = batch.select(col("doc_id"))
+    // probe side = batch bands only; build side = corpus index ∪ batch
+    val allBands = s.read.parquet(s"$idx/bands").unionByName(batchBands)
+    val cand = batchBands
+      .select(col("band"), col("bucket"), col("doc_id").as("id_p"))
+      .join(allBands.select(col("band"), col("bucket"), col("doc_id").as("id_q")),
+        Seq("band", "bucket"))
+      .filter(col("id_p") =!= col("id_q"))
+      .select(least(col("id_p"), col("id_q")).as("id_a"),
+        greatest(col("id_p"), col("id_q")).as("id_b"))
+      .distinct()
+    val edges = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", SketchExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+      .filter(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.7)
+      .select("id_a", "id_b")
+    val labels = propagateMinLabelsLogN(edges)
+    val stats = labels.groupBy("cluster_id").agg(
+      max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("has_existing"),
+      min(when(col("doc_id") % 2 === 1, col("doc_id"))).as("min_batch"))
+    val clusteredKeep = labels.join(stats, "cluster_id")
+      .filter(col("doc_id") % 2 === 1 && col("has_existing") === 0
+        && col("doc_id") === col("min_batch"))
+      .select("doc_id")
+    val clusteredBatch = labels.filter(col("doc_id") % 2 === 1).select("doc_id")
+    batchIds.select("doc_id")
+      .join(clusteredBatch, Seq("doc_id"), "left_anti")
+      .unionByName(clusteredKeep)
+  }
+
   /** Batch-slice doc sidecar for dd17/dd18: (doc_id, source, n_ws),
     * computed at query time like [[batchWindows]]. */
-  private def batchDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def batchDocs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("source"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_ws"))
+
+  /** dd17's span surgery over an ARBITRARY batch window frame — factored
+    * out (r12) so qp03 can run the cut statistics on its ACCEPTED docs
+    * only (a span duplicated solely against a REJECTED batch doc must
+    * not be cut — the rejected copy never enters the corpus). `bw` is
+    * (doc_id, pos, h) occurrences, `bd` is (doc_id, …, n_ws); both are
+    * query-time products of [[batchWindows]]/[[batchDocs]], possibly
+    * id-filtered. Corpus side = the persisted window index's even-doc
+    * slice. ONE pass classifies every batch occurrence (corpus-known or
+    * not) and the h-partitioned result is cached for its four consumers
+    * (dup count, corpus-known cuts, batch-dup detection, batch rank) —
+    * without it the plan re-runs the batch explode AND the corpus
+    * distinct per consumer (read in the r12 plan audit: 4 copies of each
+    * subtree). The cached working set is batch-occurrence-sized, the one
+    * thing an ingest can always afford to hold. Returns the dd17 output
+    * shape, unordered (callers sort). */
+  private[graft] def incrementalSubstringStats(
+      s: SparkSession, dir: String, bw: DataFrame, bd: DataFrame): DataFrame = {
+    val K = substringK
+    val W = org.apache.spark.sql.expressions.Window
+    val idx = ddWinIndexPath(s, dir)
+    val corpusH = s.read.parquet(s"$idx/wins")
+      .filter(col("doc_id") % 2 === 0)
+      .select("h").distinct()
+    // No explicit repartition: when the classify join runs as a shuffle
+    // join its output is already hash-partitioned on h (the rank window
+    // reuses it); when AQE broadcasts the corpus side instead, the rank
+    // pays the one h-exchange the family budgets anyway — an explicit
+    // repartition would be a guaranteed extra full exchange of the
+    // occurrence frame in the first case.
+    val flagged = graft.Caches.track(
+      bw.join(corpusH.withColumn("known", lit(true)), Seq("h"), "left")
+        .na.fill(false, Seq("known")))
+    // corpus-known occurrences: all cut (canonical lives in the corpus)
+    val inCorpus = flagged.filter(col("known")).select("doc_id", "pos", "h")
+    // batch-only hashes: dd12's rule within the batch
+    val bOnly = flagged.filter(!col("known")).select("doc_id", "pos", "h")
+    val bDupH = bOnly.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val bOcc = bOnly.join(bDupH, "h")
+    val bCut = bOcc
+      .withColumn("rn", row_number().over(W.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rn") > 1)
+      .select("doc_id", "pos", "h")
+    val dupOcc = inCorpus.unionByName(bOcc)
+    val cut = inCorpus.unionByName(bCut)
+    val wDoc = W.partitionBy("doc_id").orderBy("pos")
+    val spans = cut
+      .withColumn("prev", lag("pos", 1).over(wDoc))
+      .withColumn("ns", when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1)
+        .otherwise(0))
+      .withColumn("span_id", sum("ns").over(wDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_cut_spans"),
+        sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"))
+    val dupCounts = dupOcc.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_dup_windows"))
+    bd.select(col("doc_id"),
+        greatest(col("n_ws") - (K - 1), lit(0)).cast("int").as("n_windows"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_dup_windows", "n_cut_spans", "n_cut_tokens"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") > 0, col("n_dup_windows") / col("n_windows")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: survivors = min doc_id per content fingerprint.
@@ -681,43 +795,10 @@ object Dedup {
     // bands UNION batch bands. Hash-exact: the oracle is the exact
     // all-pairs closure RESTRICTED to batch-touching edges, licensed by
     // the same gate-scale recall-1 spec as dd10.
-    "dd11_incremental_fuzzy" -> ((s, dir) => {
-      val idx = dd11IndexPath(s, dir)
-      val batch = fuzzySigs(table(s, dir, "documents").filter(col("doc_id") % 2 === 1))
-      val batchBands = bandedBuckets(batch)
-      val sh = s.read.parquet(s"$idx/sh")
-        .unionByName(batch.select(col("doc_id"), col("sh")))
-      val batchIds = batch.select(col("doc_id"))
-      // probe side = batch bands only; build side = corpus index ∪ batch
-      val allBands = s.read.parquet(s"$idx/bands").unionByName(batchBands)
-      val cand = batchBands
-        .select(col("band"), col("bucket"), col("doc_id").as("id_p"))
-        .join(allBands.select(col("band"), col("bucket"), col("doc_id").as("id_q")),
-          Seq("band", "bucket"))
-        .filter(col("id_p") =!= col("id_q"))
-        .select(least(col("id_p"), col("id_q")).as("id_a"),
-          greatest(col("id_p"), col("id_q")).as("id_b"))
-        .distinct()
-      val edges = cand
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", SketchExprs.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
-        .filter(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.7)
-        .select("id_a", "id_b")
-      val labels = propagateMinLabelsLogN(edges)
-      val stats = labels.groupBy("cluster_id").agg(
-        max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("has_existing"),
-        min(when(col("doc_id") % 2 === 1, col("doc_id"))).as("min_batch"))
-      val clusteredKeep = labels.join(stats, "cluster_id")
-        .filter(col("doc_id") % 2 === 1 && col("has_existing") === 0
-          && col("doc_id") === col("min_batch"))
-        .select("doc_id")
-      val clusteredBatch = labels.filter(col("doc_id") % 2 === 1).select("doc_id")
-      batchIds.select("doc_id")
-        .join(clusteredBatch, Seq("doc_id"), "left_anti")
-        .unionByName(clusteredKeep)
-        .orderBy("doc_id")
-    }),
+    "dd11_incremental_fuzzy" -> ((s, dir) =>
+      incrementalFuzzyKeep(s, dir,
+        table(s, dir, "documents").filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")),
 
     // Exact SUBSTRING dedup — the sequence-level recipe of Lee et al. 2021
     // ("Deduplicating Training Data Makes Language Models Better",
@@ -1099,62 +1180,11 @@ object Dedup {
     // merge is one batch-sized doc_id exchange. Per-run cost is
     // batch-scan + index-probe — nothing corpus-wide recomputed, the
     // property that makes nightly ingests affordable at 100 TB.
-    "dd17_incremental_substring" -> ((s, dir) => {
-      val K = substringK
-      val W = org.apache.spark.sql.expressions.Window
-      val idx = ddWinIndexPath(s, dir)
-      val corpusH = s.read.parquet(s"$idx/wins")
-        .filter(col("doc_id") % 2 === 0)
-        .select("h").distinct()
-      // ONE pass classifies every batch occurrence (corpus-known or not)
-      // and the h-partitioned result is cached for its four consumers
-      // (dup count, corpus-known cuts, batch-dup detection, batch rank) —
-      // without it the plan re-runs the batch explode AND the corpus
-      // distinct per consumer (read in the r12 plan audit: 4 copies of
-      // each subtree). The cached working set is batch-occurrence-sized,
-      // the one thing an ingest can always afford to hold.
-      val flagged = graft.Caches.track(
-        batchWindows(s, dir).select("doc_id", "pos", "h")
-          .join(corpusH.withColumn("known", lit(true)), Seq("h"), "left")
-          .na.fill(false, Seq("known"))
-          .repartition(col("h")))
-      // corpus-known occurrences: all cut (canonical lives in the corpus)
-      val inCorpus = flagged.filter(col("known")).select("doc_id", "pos", "h")
-      // batch-only hashes: dd12's rule within the batch
-      val bOnly = flagged.filter(!col("known")).select("doc_id", "pos", "h")
-      val bDupH = bOnly.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1).select("h")
-      val bOcc = bOnly.join(bDupH, "h")
-      val bCut = bOcc
-        .withColumn("rn", row_number().over(W.partitionBy("h").orderBy("doc_id", "pos")))
-        .filter(col("rn") > 1)
-        .select("doc_id", "pos", "h")
-      val dupOcc = inCorpus.unionByName(bOcc)
-      val cut = inCorpus.unionByName(bCut)
-      val wDoc = W.partitionBy("doc_id").orderBy("pos")
-      val spans = cut
-        .withColumn("prev", lag("pos", 1).over(wDoc))
-        .withColumn("ns", when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1)
-          .otherwise(0))
-        .withColumn("span_id", sum("ns").over(wDoc))
-        .groupBy("doc_id", "span_id")
-        .agg(min("pos").as("s"), max("pos").as("e"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_cut_spans"),
-          sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"))
-      val dupCounts = dupOcc.groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_dup_windows"))
-      batchDocs(s, dir)
-        .select(col("doc_id"),
-          greatest(col("n_ws") - (K - 1), lit(0)).cast("int").as("n_windows"))
-        .join(dupCounts, Seq("doc_id"), "left")
-        .join(spans, Seq("doc_id"), "left")
-        .na.fill(0, Seq("n_dup_windows", "n_cut_spans", "n_cut_tokens"))
-        .withColumn("dup_ratio",
-          when(col("n_windows") > 0, col("n_dup_windows") / col("n_windows")))
-        .orderBy("doc_id")
-    }),
+    "dd17_incremental_substring" -> ((s, dir) =>
+      incrementalSubstringStats(s, dir,
+        batchWindows(s, dir).select("doc_id", "pos", "h"),
+        batchDocs(s, dir))
+        .orderBy("doc_id")),
 
     // Batch NOVELTY diagnostic — the pre-commit question an ingest
     // operator asks BEFORE paying dd17's surgery or growing the index:

@@ -359,6 +359,68 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The INCREMENTAL (nightly-ingest) manifest — qp01's composition
+    // discipline over the r12 incremental family, as ONE declared query:
+    // what tonight's batch (odd doc_ids) contributes to the training
+    // corpus, with every corpus-side cost a persisted-index probe.
+    // Stage 1: dd07's exact gate (fp anti-join vs the existing corpus +
+    // keep-first within the batch). Stage 2: dd11's greedy fuzzy-ingest
+    // rule applied to the exact survivors ([[graft.operators.Dedup
+    // .incrementalFuzzyKeep]] — banded probe of the persisted LSH index,
+    // exact verify, touched-subgraph CC; the gate-scale recall-1 license
+    // transfers to the subset because per-doc signatures don't depend on
+    // the corpus, qp01's argument). Stage 3: dd17's substring surgery on
+    // the ACCEPTED docs only (a span duplicated solely against a
+    // rejected batch doc is NOT cut — the rejected copy never lands), so
+    // each accepted doc gets its post-cut token count, the number a
+    // token-budgeted trainer actually ingests. Stage 4: tx13's
+    // content-hash train fold (leakage-proof through dups). Stage 5:
+    // tx19's seeded shard + rank. Output: (doc_id, shard, pos,
+    // n_tokens_kept) — rerun ⇒ byte-identical, and appending the same
+    // batch twice would contribute nothing (every doc is an exact dup of
+    // its first ingest). Hash-exact under dd11's recall license: the
+    // oracle chains the proven dd07/dd11/dd17/tx13/tx19 mirrors as CTEs.
+    "qp03_incremental_manifest" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+      val existing = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      val exact = batch.join(existing.select("fp"), Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text")
+      // The accepted-id set is consumed THREE times (window semi-join,
+      // doc-sidecar semi-join, train-fold join); without materialization
+      // each consumer re-runs the whole exact+fuzzy gate lineage (the CC
+      // loop inside incrementalFuzzyKeep is already checkpoint-backed,
+      // but the signature scan and probe joins above it are not) —
+      // measured 3× the suite's dd11 cost at sf0.1. The frame is id-only
+      // (batch-survivor-sized), so the eager localCheckpoint is the same
+      // bounded materialization the CC loop itself uses.
+      val accepted = Dedup.incrementalFuzzyKeep(s, dir, exact).localCheckpoint()
+      val ad = Dedup.batchDocs(s, dir)
+        .join(accepted, Seq("doc_id"), "left_semi")
+      val stats = Dedup.incrementalSubstringStats(s, dir,
+        Dedup.batchWindows(s, dir).select("doc_id", "pos", "h")
+          .join(accepted, Seq("doc_id"), "left_semi"),
+        ad)
+      val tokensKept = ad.join(stats.select("doc_id", "n_cut_tokens"), "doc_id")
+        .select(col("doc_id"),
+          (col("n_ws") - col("n_cut_tokens")).cast("int").as("n_tokens_kept"))
+      val train = accepted.join(batch.select("doc_id", "fp"), "doc_id")
+        .filter(!substring(col("fp"), 1, 1).isin("d", "e", "f"))
+      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+      train.select(col("doc_id"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos",
+          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+        .join(tokensKept, "doc_id")
+        .select("doc_id", "shard", "pos", "n_tokens_kept")
+        .orderBy("doc_id")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -1358,6 +1420,94 @@ object TextAnalysis {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1)
         |    ORDER BY h, doc_id) AS INT) AS pos
         |FROM sh ORDER BY doc_id""".stripMargin,
+    // qp03: the proven dd07 (exact gate) / dd11 (batch-touching fuzzy
+    // closure + greedy ingest rule, recall-1 licensed) / dd17
+    // (corpus-canonical substring cut, here on the accepted set) / tx13
+    // (fold nibble) / tx19 (seeded shard) mirrors chained as CTEs.
+    "qp03_incremental_manifest" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, text, md5(lower(trim(text))) AS fp FROM documents),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT b.doc_id, b.text,
+        |      ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+        |    FROM dd b WHERE b.doc_id % 2 = 1 AND NOT EXISTS (
+        |      SELECT 1 FROM dd e WHERE e.doc_id % 2 = 0 AND e.fp = b.fp))
+        |  WHERE rn = 1),
+        |shn AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |        UNION ALL SELECT doc_id, text FROM ex)),
+        |fpairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+        |  WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+        |edges AS (
+        |  SELECT id_a, id_b FROM fpairs UNION SELECT id_b, id_a FROM fpairs),
+        |reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id),
+        |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |cstats AS (
+        |  SELECT cluster_id,
+        |    MAX(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS has_existing,
+        |    MIN(CASE WHEN id % 2 = 1 THEN id END) AS min_batch
+        |  FROM labels GROUP BY cluster_id),
+        |fdrops AS (
+        |  SELECT id FROM labels JOIN cstats USING (cluster_id)
+        |  WHERE id % 2 = 1 AND (has_existing = 1 OR id != min_batch)),
+        |acc AS (SELECT doc_id FROM ex
+        |        WHERE doc_id NOT IN (SELECT id FROM fdrops)),
+        |t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |aw AS (SELECT w.* FROM w JOIN acc USING (doc_id)),
+        |ch AS (SELECT DISTINCT h FROM w WHERE doc_id % 2 = 0),
+        |incorp AS (SELECT aw.* FROM aw JOIN ch USING (h)),
+        |bonly AS (SELECT * FROM aw
+        |          WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = aw.h)),
+        |bdup AS (SELECT h FROM bonly GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |bcut AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT bonly.doc_id, bonly.pos,
+        |      ROW_NUMBER() OVER (PARTITION BY bonly.h
+        |        ORDER BY bonly.doc_id, bonly.pos) AS rn
+        |    FROM bonly JOIN bdup USING (h)) WHERE rn > 1),
+        |cut AS (SELECT doc_id, pos FROM incorp
+        |        UNION ALL SELECT doc_id, pos FROM bcut),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM (SELECT doc_id, pos,
+        |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM cut)),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e
+        |          FROM sp GROUP BY 1, 2),
+        |sstats AS (
+        |  SELECT doc_id, SUM(e - s + 8) AS n_cut_tokens FROM spans GROUP BY 1),
+        |toks AS (SELECT t.doc_id, len(ws) AS n_ws FROM t JOIN acc USING (doc_id)),
+        |train AS (
+        |  SELECT a.doc_id FROM acc a JOIN dd ON dd.doc_id = a.doc_id
+        |  WHERE substring(dd.fp, 1, 1) NOT IN ('d', 'e', 'f')),
+        |keyed AS (
+        |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h FROM train)
+        |SELECT k.doc_id, substring(h, 1, 1) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY substring(h, 1, 1) ORDER BY h, k.doc_id) AS INT) AS pos,
+        |  CAST(toks.n_ws - COALESCE(sstats.n_cut_tokens, 0) AS INT) AS n_tokens_kept
+        |FROM keyed k
+        |JOIN toks ON toks.doc_id = k.doc_id
+        |LEFT JOIN sstats ON sstats.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     // license), tx10's df-capped trigram decontamination, tx13's nibble
     // fold, tx19's seeded shard/rank.
     "qp01_training_manifest" ->

@@ -56,7 +56,10 @@ class PlanCensusSpec extends SparkSpec {
     "dd16_index_stats",
     // dd17 ends in dd12's unique-doc_id LEFT-join pattern; dd18 in
     // dd16's unique-source one — both eliminated under a bare count
-    "dd17_incremental_substring", "dd18_batch_novelty")
+    "dd17_incremental_substring", "dd18_batch_novelty",
+    // qp03 ends in the qp01/tx19 shard-rank window (collapsed like its
+    // siblings; the trailing tokensKept join prunes with it)
+    "qp03_incremental_manifest")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

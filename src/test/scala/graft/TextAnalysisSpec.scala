@@ -243,6 +243,48 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("qp03 incremental manifest is consistent with the incremental family it composes") {
+    val q = graft.SparkEntry.queries
+    val manifest = q("qp03_incremental_manifest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val ids = manifest.map(_._1).toSet
+    assert(ids.nonEmpty)
+    assert(ids.forall(_ % 2 == 1), "manifest must hold batch (odd) docs only")
+    // stages 1+2+4: the manifest is EXACTLY the train-fold slice of
+    // dd07 ∩ dd11 — an exact-dropped doc cannot change fuzzy
+    // connectivity or component minima (its kept twin has the identical
+    // shingle set and a smaller id), so fuzzy-on-exact-survivors equals
+    // dd11 restricted to them
+    val dd07 = q("dd07_incremental_dedup")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val dd11 = q("dd11_incremental_fuzzy")(spark, sf001)
+      .collect().map(_.getLong(0)).toSet
+    val folds = q("tx13_hash_split")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = (dd07 & dd11).filter(folds(_) == "train")
+    assert(ids == expected,
+      s"manifest != train-fold(dd07 ∩ dd11): extra=${ids -- expected} missing=${expected -- ids}")
+    // stage 3: n_tokens_kept is bounded by the doc's token count and
+    // never BELOW dd17's full-batch figure — qp03 cuts on the accepted
+    // set only, and removing (rejected) docs can only shrink the dup
+    // relation, so cut tokens are monotonically ≤ dd17's
+    val nws = graft.operators.Dedup.batchDocs(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val dd17cut = q("dd17_incremental_substring")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    manifest.foreach { case (id, _, _, kept) =>
+      assert(kept <= nws(id), s"doc $id keeps more tokens than it has")
+      assert(kept >= nws(id) - dd17cut(id),
+        s"doc $id: accepted-set cut exceeds full-batch cut (non-monotone)")
+    }
+    // stage 5: dense 1..n positions per shard under the seeded key
+    manifest.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq,
+        s"shard $shard positions not dense: ${rows.map(_._3).sorted.mkString(",")}")
+    }
+    graft.Caches.releaseAll() // qp03's substring stage tracks the flagged cache
+  }
+
   test("tx19 shard shuffle: dense 1..n positions per shard, all docs covered, order differs from doc_id order") {
     val out = graft.SparkEntry.queries("tx19_shuffle_shards")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
