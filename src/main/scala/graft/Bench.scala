@@ -197,12 +197,12 @@ object Bench {
       "dd11_incremental_fuzzy" ->
         Seq("dd11_incremental_fuzzy", "qp03_incremental_manifest"),
       // shared substring window-index fixture (r12) — one build serves all seven
-      // consumers plus qp03's substring stage
+      // consumers plus qp03's substring stage and st08's corpus hash set
       "dd12_substring_dedup" ->
         Seq("dd12_substring_dedup", "dd13_source_overlap", "dd14_policy_cut",
           "dd15_contained_docs", "dd16_index_stats",
           "dd17_incremental_substring", "dd18_batch_novelty",
-          "qp03_incremental_manifest"),
+          "qp03_incremental_manifest", "st08_substring_ingest"),
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14

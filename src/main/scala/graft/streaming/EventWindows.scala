@@ -118,6 +118,27 @@ object EventWindows {
         .orderBy("new_id", "ex_id")
     }),
 
+    // Batch twin of the streaming substring-ingest cut
+    // ([[Stateful.ingestSubstringCut]] — stream-static semi-join of each
+    // arriving doc's window hashes against the persisted window index's
+    // corpus (even-doc) slice, span merge as per-group arithmetic, no
+    // batch-internal rule: micro-batch-boundary-invariant by design,
+    // StreamingSpec asserts one-file-at-a-time == all-at-once == this
+    // twin). Emits only docs with something to cut. Hash-exact: all
+    // integers, the oracle mirrors the corpus-known restriction of
+    // dd17's islands pass.
+    "st08_substring_ingest" -> ((s, dir) => {
+      val Dd = graft.operators.Dedup
+      val corpusH = s.read.parquet(s"${Dd.ddWinIndexPath(s, dir)}/wins")
+        .filter(col("doc_id") % 2 === 0)
+        .select("h").distinct()
+      Stateful.ingestSubstringCut(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text"),
+        corpusH, Dd.substringK)
+        .orderBy("doc_id")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -144,6 +165,42 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Mirrors st08: corpus-known (even-doc) window occurrences of batch
+    // (odd) docs, islands merge (dd17's machinery restricted to the
+    // corpus-known branch), docs with zero such occurrences absent.
+    "st08_substring_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |ch AS (SELECT DISTINCT h FROM w WHERE doc_id % 2 = 0),
+        |occ AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN ch USING (h)
+        |  WHERE w.doc_id % 2 = 1),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM (SELECT doc_id, pos,
+        |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM occ)),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e
+        |          FROM sp GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_cut_spans,
+        |    CAST(SUM(e - s + 8) AS INT) AS n_cut_tokens FROM spans GROUP BY 1),
+        |occn AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_corpus_windows
+        |  FROM occ GROUP BY 1)
+        |SELECT occn.doc_id,
+        |  CAST(len(t.ws) - 7 AS INT) AS n_windows,
+        |  occn.n_corpus_windows, agg.n_cut_spans, agg.n_cut_tokens
+        |FROM occn
+        |JOIN t ON t.doc_id = occn.doc_id
+        |JOIN agg ON agg.doc_id = occn.doc_id
+        |ORDER BY occn.doc_id""".stripMargin,
     // st06 computes EXACTLY dd07/dd08's result (Bloom split is a pure
     // pre-filter; keep-first pinned by the pre-reduction) — the oracle
     // is SHARED verbatim, by reference.

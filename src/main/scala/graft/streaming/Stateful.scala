@@ -198,6 +198,67 @@ object Stateful {
       .select(col("new_id"), col("ex_id"), col("cos"))
   }
 
+  /** Streaming substring-ingest cut — the SUBSTRING-family analogue of
+    * [[ingestNeardupPairs]]: each arriving doc's K-token window hashes
+    * probe the static corpus's persisted window index via a stream-static
+    * LEFT SEMI join, and the corpus-known positions merge into maximal
+    * cut spans PER DOC. Emits one row per doc that needs surgery (≥ 1
+    * corpus-duplicated window): (doc_id, n_windows, n_corpus_windows,
+    * n_cut_spans, n_cut_tokens) — the alert stream a streaming ingest
+    * routes to its rewrite stage; docs with nothing to cut are absent by
+    * design. Unlike dd17 there is NO batch-internal rule: on a stream,
+    * each doc is judged against the static corpus alone, independent of
+    * what co-arrives in its micro-batch — so the result is invariant to
+    * micro-batch boundaries (the parity spec feeds the same rows one
+    * file at a time and all at once).
+    *
+    * Streaming legality is the design constraint: dd17's islands pass is
+    * a lag/sum WINDOW (unsupported on streams), so the span merge here
+    * runs as per-group ARITHMETIC over the collected sorted positions —
+    * one `aggregate` HOF, same math (a span breaks when the next start
+    * is > K-1 past the previous), leaving the plan stateless up to ONE
+    * streaming aggregation (complete/update mode). Per-group state is
+    * one position list per doc — bounded by doc length, not the stream.
+    *
+    * STALENESS: the corpus hash set covers the index snapshot as of plan
+    * time; on an appended corpus rebuild and restart (the
+    * [[incrementalDedupBloom]] contract). */
+  def ingestSubstringCut(docs: DataFrame, corpusH: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        (size(col("ws")) - (k - 1)).cast("int").as("n_windows"), col("ws"))
+    val occ = toks
+      .select(col("doc_id"), col("n_windows"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), i -> " +
+          s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $k)) AS binary)) AS h))")).as("pw"))
+      .select(col("doc_id"), col("n_windows"),
+        col("pw.pos").as("pos"), col("pw.h").as("h"))
+      .join(corpusH, Seq("h"), "left_semi")
+    occ.groupBy("doc_id")
+      .agg(first(col("n_windows")).as("n_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), col("n_windows"),
+        size(col("ps")).cast("int").as("n_corpus_windows"),
+        expr(
+          s"""aggregate(ps,
+             |  named_struct('n', 0, 'cut', 0, 's', -1, 'e', -1),
+             |  (a, p) -> IF(a.s = -1,
+             |    named_struct('n', 1, 'cut', a.cut, 's', p, 'e', p),
+             |    IF(p <= a.e + ${k - 1},
+             |      named_struct('n', a.n, 'cut', a.cut, 's', a.s, 'e', p),
+             |      named_struct('n', a.n + 1, 'cut', a.cut + a.e - a.s + $k,
+             |        's', p, 'e', p))),
+             |  a -> named_struct('n', a.n,
+             |    'cut', IF(a.s = -1, a.cut, a.cut + a.e - a.s + $k)))""".stripMargin)
+          .as("sp"))
+      .select(col("doc_id"), col("n_windows"), col("n_corpus_windows"),
+        col("sp.n").cast("int").as("n_cut_spans"),
+        col("sp.cut").cast("int").as("n_cut_tokens"))
+  }
+
   def incrementalDedupBloom(docs: DataFrame, existing: DataFrame,
       sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]],
       eventTimeCol: Option[String] = None,

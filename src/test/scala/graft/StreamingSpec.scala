@@ -293,6 +293,41 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${streamed.size} distinct pairs, batch twin ${batch.size}")
   }
 
+  test("st08 streaming substring ingest: one-file-at-a-time equals the batch twin") {
+    // The helper's contract is micro-batch-boundary INVARIANCE (each doc
+    // is judged against the static corpus alone), so the strongest test
+    // feeds the same rows one file per trigger and demands the batch
+    // twin's exact row set.
+    val Dd = graft.operators.Dedup
+    val corpusH = spark.read
+      .parquet(s"${Dd.ddWinIndexPath(spark, sf001)}/wins")
+      .filter(col("doc_id") % 2 === 0).select("h").distinct()
+    val batchDocs = Tables.table(spark, sf001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val expected = graft.streaming.EventWindows
+      .queries("st08_substring_ingest")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(expected.nonEmpty, "gate corpus must contain cross-parity substring dups")
+    val tmp = java.nio.file.Files.createTempDirectory("st08").toString
+    batchDocs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestSubstringCut(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(batchDocs.schema).parquet(tmp),
+      corpusH, Dd.substringK)
+    val q = stream.writeStream.format("memory").queryName("st08_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM st08_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(streamed == expected,
+      s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
+  }
+
   test("st06's keep-first pre-reduction is fp-set-invariant through the bloom helper") {
     // st06 pre-reduces the batch to keep-first-by-doc_id before the
     // streaming helper so the kept doc_id is deterministic (the helper's
