@@ -202,7 +202,8 @@ object Bench {
         Seq("dd12_substring_dedup", "dd13_source_overlap", "dd14_policy_cut",
           "dd15_contained_docs", "dd16_index_stats",
           "dd17_incremental_substring", "dd18_batch_novelty",
-          "qp03_incremental_manifest", "st08_substring_ingest"),
+          "dd19_refreshed_stats", "qp03_incremental_manifest",
+          "st08_substring_ingest"),
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14

@@ -474,6 +474,13 @@ object Dedup {
         // single-row-group file gives the scan 1-2 partitions,
         // serializing the whole expansion (measured at soak sf1.0:
         // 7.8 s single-core vs ~0.9 s across 32)
+        // Physically PARTITIONED by doc_id parity (r12): the incremental
+        // family (dd17/dd18/st08/qp03) reads only the corpus (par=0)
+        // slice, and with `par` as a partition directory that read is
+        // DIRECTORY pruning — the batch half of the index never reaches
+        // those scans (plan-asserted in DedupSpec). Full-corpus
+        // consumers (dd12-dd16) read both directories; h-clustering is
+        // preserved within each.
         t.filter(size(col("ws")) >= K)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("source"), (col("rnk") === 1).as("is_rep"),
@@ -481,9 +488,10 @@ object Dedup {
               s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
                 s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
           .select(col("doc_id"), col("source"), col("is_rep"),
-            col("pw.pos").as("pos"), col("pw.h").as("h"))
+            col("pw.pos").as("pos"), col("pw.h").as("h"),
+            (col("doc_id") % 2).as("par"))
           .repartition(col("h"))
-          .write.mode("overwrite").parquet(s"$path/wins")
+          .write.mode("overwrite").partitionBy("par").parquet(s"$path/wins")
         t.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"),
           col("fp"), col("rnk"), col("csz"))
           .write.mode("overwrite").parquet(s"$path/docs")
@@ -576,6 +584,36 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_ws"))
 
+  /** dd16's health-stat aggregation over explicit window/doc frames —
+    * factored out (r12) so dd19 can run the IDENTICAL stats over the
+    * refreshed union (corpus index slice + query-time batch delta) and
+    * share dd16's oracle verbatim. `wins` carries (source, h)
+    * occurrences, `docs` carries (source, n_ws, fp). */
+  private def indexStats(wins: DataFrame, docs: DataFrame): DataFrame = {
+    val docsS = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("n_ws") >= substringK, 1L).otherwise(0L)).as("n_windowed"),
+      countDistinct(col("fp")).as("n_classes"))
+    val winsS = wins.groupBy("source").agg(
+      count(lit(1)).as("n_windows"),
+      countDistinct(col("h")).as("n_distinct_h"))
+    val hot = wins
+      .join(wins.groupBy("h").agg(count(lit(1)).as("dfh"))
+        .filter(col("dfh") > 64).select("h"), "h")
+      .groupBy("source").agg(count(lit(1)).as("hot_occ"))
+    docsS
+      .join(winsS, Seq("source"), "left")
+      .join(hot, Seq("source"), "left")
+      .na.fill(0, Seq("n_windows", "n_distinct_h", "hot_occ"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_windowed").cast("long").as("n_windowed"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("n_windows").cast("long").as("n_windows"),
+        col("n_distinct_h").cast("long").as("n_distinct_h"),
+        col("hot_occ").cast("long").as("hot_occ"))
+      .orderBy("source")
+  }
+
   /** dd17's span surgery over an ARBITRARY batch window frame — factored
     * out (r12) so qp03 can run the cut statistics on its ACCEPTED docs
     * only (a span duplicated solely against a REJECTED batch doc must
@@ -596,8 +634,12 @@ object Dedup {
     val K = substringK
     val W = org.apache.spark.sql.expressions.Window
     val idx = ddWinIndexPath(s, dir)
+    // par == doc_id % 2 is a PARTITION directory of the persisted index:
+    // this filter prunes the batch half at file-listing time (asserted
+    // by the PartitionFilters plan test), so the corpus-hash derivation
+    // reads exactly the slice a production corpus-only index would hold.
     val corpusH = s.read.parquet(s"$idx/wins")
-      .filter(col("doc_id") % 2 === 0)
+      .filter(col("par") === 0)
       .select("h").distinct()
     // No explicit repartition: when the classify join runs as a shuffle
     // join its output is already hash-partitioned on h (the rank window
@@ -1130,30 +1172,35 @@ object Dedup {
     // query happens to agree with its own mirror.
     "dd16_index_stats" -> ((s, dir) => {
       val idx = ddWinIndexPath(s, dir)
-      val wins = s.read.parquet(s"$idx/wins").select("source", "h")
-      val docs = s.read.parquet(s"$idx/docs").select("source", "n_ws", "fp")
-      val docsS = docs.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("n_ws") >= substringK, 1L).otherwise(0L)).as("n_windowed"),
-        countDistinct(col("fp")).as("n_classes"))
-      val winsS = wins.groupBy("source").agg(
-        count(lit(1)).as("n_windows"),
-        countDistinct(col("h")).as("n_distinct_h"))
-      val hot = wins
-        .join(wins.groupBy("h").agg(count(lit(1)).as("dfh"))
-          .filter(col("dfh") > 64).select("h"), "h")
-        .groupBy("source").agg(count(lit(1)).as("hot_occ"))
-      docsS
-        .join(winsS, Seq("source"), "left")
-        .join(hot, Seq("source"), "left")
-        .na.fill(0, Seq("n_windows", "n_distinct_h", "hot_occ"))
-        .select(col("source"), col("n_docs").cast("long").as("n_docs"),
-          col("n_windowed").cast("long").as("n_windowed"),
-          col("n_classes").cast("long").as("n_classes"),
-          col("n_windows").cast("long").as("n_windows"),
-          col("n_distinct_h").cast("long").as("n_distinct_h"),
-          col("hot_occ").cast("long").as("hot_occ"))
-        .orderBy("source")
+      indexStats(
+        s.read.parquet(s"$idx/wins").select("source", "h"),
+        s.read.parquet(s"$idx/docs").select("source", "n_ws", "fp"))
+    }),
+
+    // Index REFRESH contract — the remaining lifecycle question for a
+    // persisted index (r12): when the corpus GROWS, production must not
+    // rebuild from scratch; it merges the batch's delta. dd19 computes
+    // dd16's exact health stats over (corpus par=0 slice of the
+    // persisted index) ∪ (the batch's window/doc frames derived from
+    // `documents` AT QUERY TIME — the refresh payload a real merge
+    // writes), and shares dd16's ORACLE VERBATIM: refresh ≡ rebuild,
+    // bit-for-bit, the dd08 ≡ dd07 shared-oracle playbook applied to
+    // index maintenance. The corpus side is a pruned directory read; the
+    // batch side pays exactly one tokenize/explode/md5 of the delta —
+    // the cost profile an appending ingest actually has.
+    "dd19_refreshed_stats" -> ((s, dir) => {
+      val winsC = s.read.parquet(s"${ddWinIndexPath(s, dir)}/wins")
+        .filter(col("par") === 0).select("source", "h")
+      val docsC = s.read.parquet(s"${ddWinIndexPath(s, dir)}/docs")
+        .filter(col("doc_id") % 2 === 0).select("source", "n_ws", "fp")
+      val winsB = batchWindows(s, dir).select("source", "h")
+      val docsB = table(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+        .select(col("source"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        .select(col("source"), size(col("ws")).as("n_ws"),
+          md5(concat_ws(" ", col("ws")).cast("binary")).as("fp"))
+      indexStats(winsC.unionByName(winsB), docsC.unionByName(docsB))
     }),
 
     // INCREMENTAL substring dedup — dd12 for a GROWING corpus, closing
@@ -1205,7 +1252,7 @@ object Dedup {
       val K = substringK
       val idx = ddWinIndexPath(s, dir)
       val corpusH = s.read.parquet(s"$idx/wins")
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("par") === 0) // partition-directory prune, see dd17
         .select("h").distinct()
       // ONE aggregation over the batch's window frame carries the whole
       // query: per-(source, h) occurrence counts (map-side combine
@@ -1427,6 +1474,41 @@ object Dedup {
       |SELECT id AS doc_id, MIN(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** dd16's oracle — shared VERBATIM by dd19 (refresh == rebuild). */
+  private val indexStatsOracle: String =
+    """WITH t AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, ws, len(ws) AS n_ws,
+        |    md5(array_to_string(ws, ' ')) AS fp
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, source, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM base WHERE n_ws >= 8)),
+        |df AS (SELECT h, COUNT(*) AS dfh FROM w GROUP BY h),
+        |docs_s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN n_ws >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_windowed,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_classes
+        |  FROM base GROUP BY source),
+        |wins_s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_h
+        |  FROM w GROUP BY source),
+        |hot AS (
+        |  SELECT w.source, CAST(COUNT(*) AS BIGINT) AS hot_occ
+        |  FROM w JOIN df ON w.h = df.h WHERE df.dfh > 64 GROUP BY w.source)
+        |SELECT d.source, d.n_docs, d.n_windowed, d.n_classes,
+        |  COALESCE(wins_s.n_windows, 0) AS n_windows,
+        |  COALESCE(wins_s.n_distinct_h, 0) AS n_distinct_h,
+        |  COALESCE(hot.hot_occ, 0) AS hot_occ
+        |FROM docs_s d
+        |LEFT JOIN wins_s ON d.source = wins_s.source
+        |LEFT JOIN hot ON d.source = hot.source
+        |ORDER BY d.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd09_dup_clusters_logn" -> clustersOracle,
     // Mirrors dd12 exactly: 8-token window hashes, cross-doc dup set,
@@ -1600,40 +1682,11 @@ object Dedup {
     // The stats recomputed from documents — hashing BOTH the index build
     // and the stats logic (see the query's scaladoc). Window hashes via
     // the dd13 ws[i:i+7] slice; fp via array_to_string (Spark's
-    // concat_ws twin); hot threshold 64 occurrences GLOBAL.
-    "dd16_index_stats" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS ws
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, source, ws, len(ws) AS n_ws,
-        |    md5(array_to_string(ws, ' ')) AS fp
-        |  FROM t),
-        |w AS (
-        |  SELECT doc_id, source, md5(array_to_string(ws[i:i+7], ' ')) AS h
-        |  FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws) - 6)) AS i
-        |        FROM base WHERE n_ws >= 8)),
-        |df AS (SELECT h, COUNT(*) AS dfh FROM w GROUP BY h),
-        |docs_s AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(CASE WHEN n_ws >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_windowed,
-        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_classes
-        |  FROM base GROUP BY source),
-        |wins_s AS (
-        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_windows,
-        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_h
-        |  FROM w GROUP BY source),
-        |hot AS (
-        |  SELECT w.source, CAST(COUNT(*) AS BIGINT) AS hot_occ
-        |  FROM w JOIN df ON w.h = df.h WHERE df.dfh > 64 GROUP BY w.source)
-        |SELECT d.source, d.n_docs, d.n_windowed, d.n_classes,
-        |  COALESCE(wins_s.n_windows, 0) AS n_windows,
-        |  COALESCE(wins_s.n_distinct_h, 0) AS n_distinct_h,
-        |  COALESCE(hot.hot_occ, 0) AS hot_occ
-        |FROM docs_s d
-        |LEFT JOIN wins_s ON d.source = wins_s.source
-        |LEFT JOIN hot ON d.source = hot.source
-        |ORDER BY d.source""".stripMargin,
+    // concat_ws twin); hot threshold 64 occurrences GLOBAL. dd19 shares
+    // this SQL VERBATIM (via indexStatsOracle): a refresh that merged
+    // the batch delta correctly is indistinguishable from a rebuild.
+    "dd19_refreshed_stats" -> indexStatsOracle,
+    "dd16_index_stats" -> indexStatsOracle,
     // Containment re-stated as delimited-string search: token sequences
     // joined on single spaces with space sentinels at both ends make
     // instr() match exactly token-aligned occurrences (tokens contain no

@@ -130,7 +130,7 @@ object EventWindows {
     "st08_substring_ingest" -> ((s, dir) => {
       val Dd = graft.operators.Dedup
       val corpusH = s.read.parquet(s"${Dd.ddWinIndexPath(s, dir)}/wins")
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("par") === 0) // partition-directory prune, see dd17
         .select("h").distinct()
       Stateful.ingestSubstringCut(
         Tables.table(s, dir, "documents").filter(col("doc_id") % 2 === 1)

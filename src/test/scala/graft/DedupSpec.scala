@@ -436,6 +436,19 @@ class DedupSpec extends SparkSpec {
     graft.Caches.releaseAll() // dd17's builder tracks the flagged-occurrence cache
   }
 
+  test("dd17's corpus-hash read prunes to the index's par=0 partition directory") {
+    // The incremental family must never scan the batch half of the
+    // persisted window index: `par` is a physical partition directory,
+    // so the filter has to land in PartitionFilters (file-listing
+    // pruning), not as a post-scan Filter over doc_id arithmetic.
+    val plan = Dedup.queries("dd17_incremental_substring")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*par[^\\]]*0\\)\\].*"),
+      s"expected a par=0 PartitionFilters entry in dd17's plan")
+    graft.Caches.releaseAll()
+  }
+
   test("dd18 batch novelty: per-source distinct hashes split into corpus-known and novel") {
     // Same fixture shape as dd17's: corpus knows shared10's interior
     // windows (doc 2) and marker8 (doc 4); batch sources sA/sB.

@@ -59,7 +59,9 @@ class PlanCensusSpec extends SparkSpec {
     "dd17_incremental_substring", "dd18_batch_novelty",
     // qp03 ends in the qp01/tx19 shard-rank window (collapsed like its
     // siblings; the trailing tokensKept join prunes with it)
-    "qp03_incremental_manifest")
+    "qp03_incremental_manifest",
+    // dd19 shares dd16's unique-source LEFT-join final
+    "dd19_refreshed_stats")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -301,7 +301,7 @@ class StreamingSpec extends SparkSpec {
     val Dd = graft.operators.Dedup
     val corpusH = spark.read
       .parquet(s"${Dd.ddWinIndexPath(spark, sf001)}/wins")
-      .filter(col("doc_id") % 2 === 0).select("h").distinct()
+      .filter(col("par") === 0).select("h").distinct()
     val batchDocs = Tables.table(spark, sf001, "documents")
       .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
     val expected = graft.streaming.EventWindows
