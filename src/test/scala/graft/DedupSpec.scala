@@ -449,6 +449,34 @@ class DedupSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("dd19 refreshed stats equal dd16's rebuild stats row-for-row") {
+    // The refresh contract in-engine (the shared oracle proves it against
+    // DuckDB; this pins the two ENGINE paths against each other): stats
+    // over (corpus index slice + query-time batch delta) must be
+    // byte-identical to stats over the full rebuilt index.
+    val rebuild = Dedup.queries("dd16_index_stats")(spark, sf001).collect().toSeq
+    val refresh = Dedup.queries("dd19_refreshed_stats")(spark, sf001).collect().toSeq
+    assert(rebuild == refresh,
+      s"refresh != rebuild: ${refresh.diff(rebuild).take(3)} vs ${rebuild.diff(refresh).take(3)}")
+  }
+
+  test("st08's corpus-only cut is bounded by dd17's full incremental cut per doc") {
+    // st08 sees only the corpus-known branch (no batch-internal rule), so
+    // for every doc it emits, its dup-window and cut-token counts must
+    // never exceed dd17's, which add batch-only dups on top.
+    val dd17 = Dedup.queries("dd17_incremental_substring")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(4)))).toMap
+    val st08 = graft.streaming.EventWindows.queries("st08_substring_ingest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(4)))
+    assert(st08.nonEmpty)
+    st08.foreach { case (id, nCorpus, nCut) =>
+      val (dDup, dCut) = dd17(id)
+      assert(nCorpus <= dDup && nCut <= dCut,
+        s"doc $id: st08 ($nCorpus, $nCut) exceeds dd17 ($dDup, $dCut)")
+    }
+    graft.Caches.releaseAll() // dd17's builder tracks the flagged cache
+  }
+
   test("dd18 batch novelty: per-source distinct hashes split into corpus-known and novel") {
     // Same fixture shape as dd17's: corpus knows shared10's interior
     // windows (doc 2) and marker8 (doc 4); batch sources sA/sB.
