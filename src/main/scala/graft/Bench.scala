@@ -210,6 +210,7 @@ object Bench {
       "e17_partition_prune" -> Seq("e17_partition_prune"),
       "e18_evolved_scan" -> Seq("e18_evolved_scan"), // fixture write at builder time
       "e19_orc_scan" -> Seq("e19_orc_scan")) // ORC fixture write at builder time
+    val prewarmFailed = scala.collection.mutable.Set.empty[String]
     memoPrewarm
       .filter { case (_, served) => served.exists(n => only.forall(_.contains(n))) }
       .foreach { case (n, served) =>
@@ -218,9 +219,16 @@ object Bench {
           prewarmedOk ++= served.filter(x => only.forall(_.contains(x)))
         }
         catch { case NonFatal(e) =>
+          prewarmFailed += n
           System.err.println(s"[bench] $n memo pre-warm failed: ${e.getMessage}")
         }
       }
+    // A query served by SEVERAL builders (qp03: dd11's banded index AND
+    // dd12's window index) is memo-warm only if ALL of them succeeded —
+    // one failed builder means its timed run pays that cold build, and
+    // the record must not claim otherwise.
+    memoPrewarm.filter(c => prewarmFailed(c._1))
+      .foreach { case (_, served) => prewarmedOk --= served }
     val prewarmed = prewarmedOk.toSeq
     // None = the run FAILED — a fast-failing run must never become the
     // recorded best time (a failure is not a measurement).

@@ -481,7 +481,7 @@ object Dedup {
         // those scans (plan-asserted in DedupSpec). Full-corpus
         // consumers (dd12-dd16) read both directories; h-clustering is
         // preserved within each.
-        t.filter(size(col("ws")) >= K)
+        val winsDf = t.filter(size(col("ws")) >= K)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("source"), (col("rnk") === 1).as("is_rep"),
             explode(expr(
@@ -490,8 +490,17 @@ object Dedup {
           .select(col("doc_id"), col("source"), col("is_rep"),
             col("pw.pos").as("pos"), col("pw.h").as("h"),
             (col("doc_id") % 2).as("par"))
-          .repartition(col("h"))
+        winsDf.repartition(col("h"))
           .write.mode("overwrite").partitionBy("par").parquet(s"$path/wins")
+        // A partitionBy write of an EMPTY frame emits only _SUCCESS — no
+        // schema-bearing file — and every consumer's read would then
+        // throw UNABLE_TO_INFER_SCHEMA at plan time (a corpus with no
+        // K-token doc must yield empty results, as the pre-partitioned
+        // form did). Probe the read; on failure, write the schema flat
+        // (par rides as a regular column — the par=0 filters still
+        // apply, there is just nothing to prune).
+        if (scala.util.Try(s.read.parquet(s"$path/wins").schema).isFailure)
+          winsDf.limit(0).write.mode("overwrite").parquet(s"$path/wins")
         t.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"),
           col("fp"), col("rnk"), col("csz"))
           .write.mode("overwrite").parquet(s"$path/docs")
@@ -1185,15 +1194,17 @@ object Dedup {
     // `documents` AT QUERY TIME — the refresh payload a real merge
     // writes), and shares dd16's ORACLE VERBATIM: refresh ≡ rebuild,
     // bit-for-bit, the dd08 ≡ dd07 shared-oracle playbook applied to
-    // index maintenance. The corpus side is a pruned directory read; the
-    // batch side pays exactly one tokenize/explode/md5 of the delta —
-    // the cost profile an appending ingest actually has.
+    // index maintenance. The corpus side is a pruned directory read per
+    // stats consumer (scans are cheap; dd16 reads the same index thrice);
+    // the batch side's tokenize/explode/md5 — the expensive per-row work
+    // — runs ONCE into a delta-sized tracked cache, which is exactly the
+    // materialized delta a real merge writes before appending it.
     "dd19_refreshed_stats" -> ((s, dir) => {
       val winsC = s.read.parquet(s"${ddWinIndexPath(s, dir)}/wins")
         .filter(col("par") === 0).select("source", "h")
       val docsC = s.read.parquet(s"${ddWinIndexPath(s, dir)}/docs")
         .filter(col("doc_id") % 2 === 0).select("source", "n_ws", "fp")
-      val winsB = batchWindows(s, dir).select("source", "h")
+      val winsB = graft.Caches.track(batchWindows(s, dir).select("source", "h"))
       val docsB = table(s, dir, "documents")
         .filter(col("doc_id") % 2 === 1)
         .select(col("source"),

@@ -449,6 +449,26 @@ class DedupSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("window index of a corpus with no K-token doc stays readable and yields empty stats") {
+    // A partitionBy write of an empty frame emits no schema-bearing
+    // file; the build's flat-schema fallback must keep every consumer
+    // planning (returning empty/zero results) instead of throwing
+    // UNABLE_TO_INFER_SCHEMA — the pre-partitioning behavior.
+    val tmp = java.nio.file.Files.createTempDirectory("ddempty").toString
+    Seq((1L, "tiny doc", "sA"), (2L, "also small here", "sB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val stats = Dedup.queries("dd16_index_stats")(spark, tmp).collect()
+    assert(stats.length == 2 && stats.forall(_.getLong(4) == 0L),
+      s"expected two zero-window sources: ${stats.mkString(";")}")
+    val inc = Dedup.queries("dd17_incremental_substring")(spark, tmp).collect()
+    assert(inc.length == 1 && inc.head.getInt(2) == 0, // doc 1, no dup windows
+      s"dd17 over the windowless corpus: ${inc.mkString(";")}")
+    graft.Caches.releaseAll()
+  }
+
   test("dd19 refreshed stats equal dd16's rebuild stats row-for-row") {
     // The refresh contract in-engine (the shared oracle proves it against
     // DuckDB; this pins the two ENGINE paths against each other): stats

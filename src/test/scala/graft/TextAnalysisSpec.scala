@@ -250,11 +250,17 @@ class TextAnalysisSpec extends SparkSpec {
     val ids = manifest.map(_._1).toSet
     assert(ids.nonEmpty)
     assert(ids.forall(_ % 2 == 1), "manifest must hold batch (odd) docs only")
-    // stages 1+2+4: the manifest is EXACTLY the train-fold slice of
-    // dd07 ∩ dd11 — an exact-dropped doc cannot change fuzzy
-    // connectivity or component minima (its kept twin has the identical
-    // shingle set and a smaller id), so fuzzy-on-exact-survivors equals
-    // dd11 restricted to them
+    // stages 1+2+4: on THIS fixture the manifest is exactly the
+    // train-fold slice of dd07 ∩ dd11. That equality is a FIXTURE PIN,
+    // not a theorem: it needs every exact-dup class to be
+    // shingle-identical, so that an exact-dropped doc cannot change
+    // fuzzy connectivity or component minima. The gate corpus's dups
+    // are byte-identical copies, which satisfies it; in general dd07's
+    // fp normalizes lower/trim while shingles split the RAW text, so a
+    // case-variant exact-dup could carry a fuzzy edge its kept twin
+    // lacks and qp03 (fuzzy on exact survivors — the declared contract,
+    // mirrored exactly by its oracle) would legitimately diverge from
+    // dd11-restricted.
     val dd07 = q("dd07_incremental_dedup")(spark, sf001)
       .collect().map(_.getLong(0)).toSet
     val dd11 = q("dd11_incremental_fuzzy")(spark, sf001)
