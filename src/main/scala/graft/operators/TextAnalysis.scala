@@ -421,6 +421,68 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // PROPORTIONAL quality gate — the pruning form production filters
+    // actually use (keep the top q% by score, per language), beside
+    // tx09's fixed-k quota: a fixed k misjudges corpora whose language
+    // sizes differ by orders of magnitude, a proportion tracks them.
+    // Keeps the top 30% per language by tx02's composite quality,
+    // ceil'd in exact integer arithmetic ((3n+9) div 10) with doc_id
+    // breaking score ties, so the kept SET is bit-deterministic
+    // cross-engine (the score itself is int/int IEEE divisions — tx02's
+    // hashed oracle already pins both engines compute it identically).
+    // Shape at 100 TB: one rank exchange on lang — tx24's disposition:
+    // a language partition is a skew hazard at extreme scale; production
+    // replaces the exact rank with a two-pass quantile threshold
+    // (estimate the per-lang cutoff, then filter map-side), the same
+    // trade dd06 makes with its cap.
+    "tx26_percentile_gate" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      table(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("n_stop",
+          size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+        .withColumn("n_short",
+          size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
+        .withColumn("quality",
+          (col("n_stop") / col("n_words")) * 2.0
+            - (col("n_short") / col("n_words")))
+        .withColumn("q_rank", row_number().over(
+          W.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("n_lang", count(lit(1)).over(W.partitionBy("lang")))
+        // exact INTEGER division on both engines (`div` here, `//` in the
+        // oracle) — a double-path ceil would hit DuckDB's round-on-cast
+        // vs Spark's truncate-on-cast
+        .filter(expr("q_rank <= (n_lang * 3 + 9) div 10"))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("q_rank"), col("n_lang").cast("long").as("n_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Long-document CHUNKING into fixed-budget training sequences — the
+    // step every pretraining pipeline runs between documents and
+    // sequences: a doc longer than the budget becomes ⌈n/B⌉ chunks
+    // (ceil in exact int arithmetic), each with its token offset and
+    // length, the final partial chunk emitted with its true length so
+    // both downstream policies (drop-tail, pack-tail) are derivable.
+    // B = 64 tokens keeps gate corpora (10-100 words/doc) exercising
+    // multi-chunk splitting. Embarrassingly parallel — pure per-row
+    // arithmetic + explode, no exchange before the declared orderBy;
+    // zero-token docs yield no chunks.
+    "tx27_sequence_chunks" -> ((s, dir) => {
+      val B = 64
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_ws"))
+        .filter(col("n_ws") > 0)
+        .select(col("doc_id"), col("n_ws"),
+          explode(expr(s"sequence(0, cast((n_ws + ${B - 1}) div $B AS INT) - 1)"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("n_ws"), col("chunk_idx"),
+          (col("chunk_idx") * B + 1).as("start_tok"),
+          least(lit(B), col("n_ws") - col("chunk_idx") * B).cast("int").as("n_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -1738,6 +1800,40 @@ object TextAnalysis {
          |        len(string_split(text, ' ')) AS words,
          |        len(regexp_extract_all(lower(text), '$EnStop')) AS en_hits
          |      FROM documents) ORDER BY doc_id""".stripMargin,
+    // Mirrors tx26: tx02's quality statistic, per-language rank with
+    // doc_id tie-break, ceil(0.3 n) in integer division.
+    "tx26_percentile_gate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    (len(regexp_extract_all(lower(text), '$EnStop'))
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+         |    - (len(list_filter(string_split(text, ' '), w -> length(w) <= 2))
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id) AS q_rank,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM q)
+         |SELECT doc_id, lang, quality, CAST(q_rank AS INT) AS q_rank,
+         |  CAST(n_lang AS BIGINT) AS n_lang
+         |FROM r WHERE q_rank <= (n_lang * 3 + 9) // 10
+         |ORDER BY doc_id""".stripMargin,
+    // Mirrors tx27: ceil(n/64) chunks per doc in integer division, final
+    // partial chunk with its true token count, zero-token docs absent.
+    "tx27_sequence_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS n_ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_ws, unnest(range(0, (n_ws + 63) // 64)) AS chunk_idx
+        |  FROM t WHERE n_ws > 0)
+        |SELECT doc_id, CAST(n_ws AS INT) AS n_ws,
+        |  CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(chunk_idx * 64 + 1 AS INT) AS start_tok,
+        |  CAST(least(64, n_ws - chunk_idx * 64) AS INT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "tx02_quality" ->
       s"""SELECT doc_id, n_len, n_words,
          |  n_len / n_words AS avg_word_len,

@@ -291,6 +291,50 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.releaseAll() // qp03's substring stage tracks the flagged cache
   }
 
+  test("tx26 keeps exactly ceil(0.3 n) docs per language, highest quality first") {
+    val q = graft.SparkEntry.queries
+    val kept = q("tx26_percentile_gate")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3), r.getLong(4)))
+    assert(kept.nonEmpty)
+    val langTotals = graft.sources.Tables.table(spark, sf001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = langTotals(lang)
+      val want = (n * 3 + 9) / 10
+      assert(rows.length == want, s"$lang: kept ${rows.length}, want ceil(0.3*$n)=$want")
+      // ranks dense from 1, and quality non-increasing along the rank
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length).toSeq, s"$lang ranks not dense")
+      assert(byRank.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"$lang quality not non-increasing along rank")
+    }
+  }
+
+  test("tx27 chunking arithmetic: ceil(n/64) chunks, true-length tail, zero-token docs absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx27").toString
+    def words(n: Int) = Seq.tabulate(n)(i => s"w$i").mkString(" ")
+    Seq((1L, words(1)), (2L, words(64)), (3L, words(65)), (4L, words(130)),
+      (5L, "123 456")) // digits only: zero [a-z]+ tokens
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx27_sequence_chunks")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!byDoc.contains(5L), "zero-token doc must yield no chunks")
+    assert(byDoc(1L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0, 1, 1)))
+    assert(byDoc(2L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0, 1, 64)))
+    assert(byDoc(3L).map(t => (t._2, t._3, t._4)).toSeq == Seq((0, 1, 64), (1, 65, 1)))
+    assert(byDoc(4L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0, 1, 64), (1, 65, 64), (2, 129, 2)))
+  }
+
   test("tx19 shard shuffle: dense 1..n positions per shard, all docs covered, order differs from doc_id order") {
     val out = graft.SparkEntry.queries("tx19_shuffle_shards")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
