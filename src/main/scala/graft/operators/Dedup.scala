@@ -496,10 +496,20 @@ object Dedup {
         // schema-bearing file — and every consumer's read would then
         // throw UNABLE_TO_INFER_SCHEMA at plan time (a corpus with no
         // K-token doc must yield empty results, as the pre-partitioned
-        // form did). Probe the read; on failure, write the schema flat
-        // (par rides as a regular column — the par=0 filters still
-        // apply, there is just nothing to prune).
-        if (scala.util.Try(s.read.parquet(s"$path/wins").schema).isFailure)
+        // form did). Detect THAT case precisely — the just-finished write
+        // left no part file anywhere under wins/ — and write the schema
+        // flat (par rides as a regular column — the par=0 filters still
+        // apply, there is just nothing to prune). r12 probed the read and
+        // treated ANY exception as emptiness, which would have silently
+        // replaced a populated index with an empty one on a transient
+        // read failure (r12 advice); a failure with part files present
+        // now surfaces at the consumer instead of being masked here.
+        def hasPartFile(x: java.io.File): Boolean = {
+          val fs = Option(x.listFiles()).getOrElse(Array.empty[java.io.File])
+          fs.exists(c => c.isFile && c.getName.startsWith("part-")) ||
+            fs.exists(c => c.isDirectory && hasPartFile(c))
+        }
+        if (!hasPartFile(new java.io.File(s"$path/wins")))
           winsDf.limit(0).write.mode("overwrite").parquet(s"$path/wins")
         t.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"),
           col("fp"), col("rnk"), col("csz"))

@@ -397,9 +397,15 @@ object TextAnalysis {
       // loop inside incrementalFuzzyKeep is already checkpoint-backed,
       // but the signature scan and probe joins above it are not) —
       // measured 3× the suite's dd11 cost at sf0.1. The frame is id-only
-      // (batch-survivor-sized), so the eager localCheckpoint is the same
-      // bounded materialization the CC loop itself uses.
-      val accepted = Dedup.incrementalFuzzyKeep(s, dir, exact).localCheckpoint()
+      // (batch-survivor-sized). LAZY checkpoint (r12 advice): eager ran
+      // the whole exact+fuzzy gate as a side effect of merely BUILDING
+      // this frame, so every plan-only inspection (bench action probe,
+      // plan census) paid the full LSH+CC cost; with eager=false the
+      // lineage still truncates at the first action and the three
+      // consumers share the materialized blocks, but construction is
+      // side-effect-free.
+      val accepted =
+        Dedup.incrementalFuzzyKeep(s, dir, exact).localCheckpoint(eager = false)
       val ad = Dedup.batchDocs(s, dir)
         .join(accepted, Seq("doc_id"), "left_semi")
       val stats = Dedup.incrementalSubstringStats(s, dir,
