@@ -28,6 +28,74 @@ object BenchAction {
     if (materialize) { df.queryExecution.toRdd.count(); () } else { df.count(); () }
 }
 
+/** The solo phase's scheduler, extracted with the child runner, clock and
+  * sleep INJECTED so the composed wall-time behavior is unit-testable in
+  * milliseconds with a stub child (r13, from the r12 failure: every piece
+  * of the solo machinery was individually correct, but its composition —
+  * 120 s settle + up to 16 children × (240 s start gate + JVM boot +
+  * min-of-2) + a second rerun loop — had no total ceiling and blew past
+  * the driver's bench bound, so the round shipped rc=124 and no solo map.
+  * The schedule now runs inside a HARD wall budget: settle and every
+  * child spend from the same clock, a child's own wall cap never exceeds
+  * the remaining budget, spawning stops when the remainder drops under
+  * the floor, and whatever was never attempted is reported in `skipped`
+  * so the caller can flag `solo_failed` honestly). */
+private[graft] object SoloScheduler {
+  /** `budgetSec` — hard wall for the whole phase, settle included;
+    * `settleSec` — flat pause before the first child (the measured
+    * post-suite decay window); `childCapSec` — per-child wall cap (the
+    * effective cap is min(childCapSec, remaining)); `floorSec` — don't
+    * spawn a child with less than this left (a child needs JVM boot +
+    * warmup before it can produce a figure at all). */
+  final case class Config(
+      budgetSec: Double, settleSec: Double, childCapSec: Double, floorSec: Double)
+  /** `figs` — per-query solo walls (min over the runs that landed);
+    * `skipped` — targets never attempted because the budget ran out;
+    * `anomalous` — first-run figure read above 1.25× its in-suite
+    * witness (suite pressure only ever inflates, so the in-suite wall is
+    * a "this plan can run this fast" proof; a child above it ran on box
+    * state the gates can't see — the figure still records, but the
+    * artifact names it suspect); `spentSec` — the phase's actual wall. */
+  final case class Result(
+      figs: Seq[(String, Double)], skipped: Seq[String],
+      anomalous: Seq[String], spentSec: Double)
+
+  /** Children run CHEAPEST-first (by in-suite figure) so the heaviest
+    * queries — where absolute error matters most — land latest on the
+    * post-suite decay curve; the single heaviest target then gets one
+    * time-spaced resample at the tail (min kept) if budget remains —
+    * r12's bounded answer to multi-minute contention eras no load gate
+    * sees, cut from "every anomalous child reruns" to ONE child (r12
+    * verdict #1: the second loop was half the wall overrun). */
+  def run(targets: Seq[String], inSuite: Map[String, Double], cfg: Config,
+      runChild: (String, Double) => Option[Double],
+      sleep: Double => Unit, now: () => Double): Result = {
+    val t0 = now()
+    def remaining: Double = cfg.budgetSec - (now() - t0)
+    if (targets.isEmpty) return Result(Nil, Nil, Nil, now() - t0)
+    sleep(math.max(0.0, math.min(cfg.settleSec, remaining)))
+    val order = targets.sortBy(n => inSuite.getOrElse(n, 0.0))
+    val first = Seq.newBuilder[(String, Double)]
+    val skipped = Seq.newBuilder[String]
+    order.foreach { name =>
+      if (remaining < cfg.floorSec) skipped += name
+      else runChild(name, math.min(cfg.childCapSec, remaining))
+        .foreach(v => first += name -> v)
+    }
+    val firstFigs = first.result()
+    val anomalous = firstFigs.collect {
+      case (n, v) if v > inSuite.getOrElse(n, Double.MaxValue) * 1.25 => n
+    }
+    val heaviest = order.last
+    val second: Map[String, Double] =
+      if (!firstFigs.exists(_._1 == heaviest) || remaining < cfg.floorSec) Map.empty
+      else runChild(heaviest, math.min(cfg.childCapSec, remaining))
+        .map(heaviest -> _).toMap
+    val figs = firstFigs.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }
+    Result(figs, skipped.result(), anomalous, now() - t0)
+  }
+}
+
 /** Record assembly, extracted so BenchRecordSpec can pin the artifact
   * shape — in particular that a run which attempted the fresh-JVM solo
   * pass either carries the `queries_solo` map or says `solo_failed`
@@ -68,7 +136,8 @@ private[graft] object BenchRecord {
       maxPending: Int,
       sfDir: String,
       materialized: Seq[String],
-      prewarmed: Seq[String]): (String, String) = {
+      prewarmed: Seq[String],
+      soloMeta: String = ""): (String, String) = {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     // Any failure makes the TOTAL a sentinel: summing only successes would
     // let a query that regresses into failure SHRINK the headline number
@@ -86,8 +155,11 @@ private[graft] object BenchRecord {
     val soloField =
       solo.map(m => ",\"queries_solo\":" + qmap(m.toSeq.sortBy(-_._2))).getOrElse("") +
         (if (soloIncomplete) ",\"solo_failed\":true" else "")
+    // Budget/skip/anomaly telemetry (r13) — full line only: the compact
+    // line must stay under the driver's 2000-char tail capture, and the
+    // load-bearing signal (figures + solo_failed) already rides both.
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the slowest queries (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; a solo child reading >1.25x its in-suite witness reruns once at the loop tail, min kept); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the slowest queries (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r13: the whole solo phase runs inside a hard wall budget — cheapest-first children, one tail resample of the heaviest, budget-skipped targets flag solo_failed, a figure >1.25x its in-suite witness is listed anomalous); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal), the
@@ -340,7 +412,12 @@ object Bench {
     // signal. Skipped inside a child and under a local SPARK_GRAFT_ONLY
     // iteration filter (such a run IS usually the solo probe).
     val soloChild = sys.env.contains("SPARK_GRAFT_SOLO_CHILD")
-    val soloN = sys.env.get("SPARK_GRAFT_SOLO_N").map(_.toInt).getOrElse(8)
+    // soloN 8 → 4 (r12 verdict #1): the judge's solo/in-suite comparison
+    // showed only the top couple of queries actually distort under suite
+    // pressure (dd14 29.17 recorded vs 2.98 solo; dd12 5.45 vs 1.64) while
+    // ranks 5-8 were within 10% — half the children bought no signal and
+    // their wall cost is what pushed the phase past the driver's bound.
+    val soloN = sys.env.get("SPARK_GRAFT_SOLO_N").map(_.toInt).getOrElse(4)
     val soloTargets = results.filter(_._2 >= 0).sortBy(-_._2).take(soloN).map(_._1)
     // SPARK_GRAFT_SOLO_FORCE runs the children even under an ONLY filter —
     // local iteration on the solo machinery itself
@@ -359,6 +436,22 @@ object Bench {
       s""""load_1min":{"start":${f(loadStart)},"pass_a":${f(loadA)},"pass_b":${f(loadB)},$passCField"end":${f(loadEnd)}},"load_gate":{"limit":${f(loadLimit)},"bound_sec":$gateBoundSec}$exceeded"""
     val fullOutPath = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_FULL.json")
     val matNames = collapses.toSeq.filter(_._2).map(_._1).sorted
+    // Stamped sibling record (r12 verdict #2): BENCH_FULL.json is a
+    // single mutable file that EVERY bench invocation overwrites — in r12
+    // it was the only copy of the driver's 142-query map and a later
+    // local run clobbered it. Full-suite runs (not a child, no ONLY
+    // filter) additionally write a timestamp-stamped copy that nothing
+    // ever overwrites; local iteration runs stay single-file.
+    val stamped: Option[java.nio.file.Path] =
+      if (soloChild || only.nonEmpty) None
+      else Some(java.nio.file.Paths.get(fullOutPath.replaceAll("\\.json$", "") +
+        "_" + new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+          .format(new java.util.Date()) + ".json"))
+    def persistFull(line: String): Unit =
+      (java.nio.file.Paths.get(fullOutPath) :: stamped.toList).foreach { p =>
+        try java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+        catch { case NonFatal(_) => () }
+      }
     // Kill-safety: persist the MAIN record before the many-minute solo
     // pass — a harness timeout mid-solo must cost the round its solo map
     // (flagged solo_failed in this provisional record), never the whole
@@ -367,9 +460,7 @@ object Bench {
       val (preFull, _) = BenchRecord.render(
         results, None, soloIncomplete = true, load, maxPending, sfDir,
         materialized = matNames, prewarmed = prewarmed)
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(fullOutPath), (preFull + "\n").getBytes("UTF-8"))
-      catch { case NonFatal(_) => () }
+      persistFull(preFull)
     }
     // The parent's context stops BEFORE the children run, not after the
     // records render — nothing below needs Spark, and the children must
@@ -381,54 +472,45 @@ object Bench {
     // qp01 5.25 at T+4) while children past ~T+7 min read clean — with
     // every load gate green, parent stopped or not. Whatever the
     // post-saturation state is (dirty shuffle-litter writeback, CPU/VM
-    // settle — loadavg sees none of it), it decays over minutes. So:
-    // (1) a flat settle pause before the first child, and (2) children
-    // run CHEAPEST-FIRST, so the heaviest queries — where absolute error
-    // matters most — run last, 10+ minutes after the suite, on the box
-    // state the decay curve shows is clean.
+    // settle — loadavg sees none of it), it decays over minutes. So a
+    // flat settle pause before the first child, then cheapest-first
+    // children inside SoloScheduler's HARD wall budget (r12 shipped
+    // rc=124 because this phase had no ceiling — see SoloScheduler's
+    // doc). Default budget 600 s: the suite passes themselves take
+    // ~6-10 min at sf0.1, so suite + solo stays well inside a
+    // half-hour driver bound while still fitting settle + 4 children +
+    // the heaviest's resample on the r12-measured child walls.
     val soloSettle = sys.env.get("SPARK_GRAFT_SOLO_SETTLE_SEC").map(_.toInt).getOrElse(120)
-    if (soloAttempted) Thread.sleep(soloSettle * 1000L)
-    val soloOrder = soloTargets.sortBy(name => results.toMap.getOrElse(name, 0.0))
-    val soloFirst: Seq[(String, Double)] =
-      if (!soloAttempted) Nil
-      else soloOrder.flatMap { name =>
-        runSoloChild(Seq(name), sfDir).flatMap(_.get(name)).map(name -> _)
-      }
-    // A SECOND child loop, min-kept, with two triggers:
-    // (a) the heaviest query always gets one time-spaced resample — the
-    //     box shows multi-minute contention eras that no gate sees (the
-    //     same identical dd14 child read 2.06 s and 4.32 s hours apart,
-    //     load green both times), and min over time-spaced samples is
-    //     the one estimator that survives them;
-    // (b) ANOMALY rerun (r12, measured): a solo figure reading above
-    //     1.25x its own in-suite figure is suspect — suite pressure only
-    //     ever INFLATES, so the in-suite wall is a "this plan can run
-    //     this fast" witness, and a child that reads above it ran on box
-    //     state the gates can't see. The first children start inside the
-    //     previous child's undecayed hot window despite the settle (a
-    //     full preview run read tx20's child at 9.92 s where the
-    //     identical command minutes later read 2.52); rerunning the
-    //     flagged children once, cheapest-first, at the tail of the loop
-    //     lands them on the clean end of the decay curve. Bounded to one
-    //     extra child each so the bench wall stays predictable.
+    val soloCfg = SoloScheduler.Config(
+      budgetSec = sys.env.get("SPARK_GRAFT_SOLO_BUDGET_SEC").map(_.toDouble).getOrElse(600.0),
+      settleSec = soloSettle.toDouble,
+      childCapSec = sys.env.get("SPARK_GRAFT_SOLO_CHILD_CAP_SEC").map(_.toDouble).getOrElse(300.0),
+      floorSec = 60.0)
     val inSuiteOf = results.toMap
-    val anomalous = soloFirst.collect {
-      case (n, v) if v > inSuiteOf.getOrElse(n, Double.MaxValue) * 1.25 => n
-    }
-    val rerunNames =
-      if (soloFirst.isEmpty) Nil
-      else (anomalous :+ soloTargets.head).distinct
-        .sortBy(n => inSuiteOf.getOrElse(n, 0.0))
-    val second = rerunNames.flatMap { n =>
-      runSoloChild(Seq(n), sfDir).flatMap(_.get(n)).map(n -> _)
-    }.toMap
-    val soloFigs: Seq[(String, Double)] =
-      soloFirst.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }
+    // SPARK_GRAFT_SOLO_DRYRUN=1 swaps the child for a stub (short sleep +
+    // a figure derived from the in-suite wall) so a full end-to-end bench
+    // run exercises the real scheduling/record path in seconds — the r12
+    // failure mode (composition never examined) stays testable outside
+    // sbt too. SoloSchedulerSpec drives the scheduler directly.
+    val childRunner: (String, Double) => Option[Double] =
+      if (sys.env.contains("SPARK_GRAFT_SOLO_DRYRUN"))
+        (name, _) => { Thread.sleep(500); Some(inSuiteOf.getOrElse(name, 1.0) * 0.9) }
+      else
+        (name, capSec) => runSoloChild(Seq(name), sfDir, capSec).flatMap(_.get(name))
+    val soloRes =
+      if (!soloAttempted) SoloScheduler.Result(Nil, Nil, Nil, 0.0)
+      else SoloScheduler.run(soloTargets, inSuiteOf, soloCfg, childRunner,
+        sec => Thread.sleep((sec * 1000).toLong), () => System.nanoTime() / 1e9)
     val solo: Option[Map[String, Double]] =
-      if (soloFigs.isEmpty) None else Some(soloFigs.toMap)
-    // `solo_failed` flags ANY missing figure, not just a total loss — a
-    // partially-failed solo pass must not read as a complete one
-    val soloIncomplete = soloAttempted && soloFigs.size < soloTargets.size
+      if (soloRes.figs.isEmpty) None else Some(soloRes.figs.toMap)
+    // `solo_failed` flags ANY missing figure — child failure, timeout, or
+    // budget-exhausted skip — a partial pass must not read as complete.
+    val soloIncomplete = soloAttempted && soloRes.figs.size < soloTargets.size
+    def jlist(k: String, xs: Seq[String]): String =
+      if (xs.isEmpty) "" else xs.map("\"" + _ + "\"").mkString(s""","$k":[""", ",", "]")
+    val soloMeta =
+      if (!soloAttempted) ""
+      else s""","solo_budget":{"sec":${f(soloCfg.budgetSec)},"spent":${f(soloRes.spentSec)}${jlist("skipped", soloRes.skipped)}${jlist("anomalous", soloRes.anomalous)}}"""
     // Full record: per-query map FIRST, total LAST — the driver's record
     // keeps only the final 2000 chars of output, and at 87+ queries this
     // line is ~2.1k chars, so whatever clips must be the head, never the
@@ -440,13 +522,11 @@ object Bench {
     // line.
     val (full, compact) = BenchRecord.render(
       results, solo, soloIncomplete, load, maxPending, sfDir,
-      materialized = matNames, prewarmed = prewarmed)
+      materialized = matNames, prewarmed = prewarmed, soloMeta = soloMeta)
     // Belt-and-braces artifact: the complete record as a file, immune to
     // any stdout capture window. The solo child redirects it away from
     // BENCH_FULL.json so it cannot clobber the parent's record.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(fullOutPath), (full + "\n").getBytes("UTF-8"))
-    catch { case NonFatal(_) => () }
+    persistFull(full)
     if (!soloAttempted) spark.stop()
     // Print AFTER spark.stop() so no executor/shutdown log line can land
     // after the JSON; these must be the last stdout lines.
@@ -461,16 +541,21 @@ object Bench {
     * metaspace, catalyst internals, GC ergonomics) taints the figures.
     * Callers pass ONE query per child (see the solo-pass note in main:
     * co-resident heavy plans distort each other 1.5-2.5x even in a
-    * fresh JVM); the child's start gate is bounded at 240 s — enough
-    * for the previous child's single-query load tail to decay, without
-    * letting eight sequential children each wait the full suite bound.
+    * fresh JVM); the child's start gate is bounded at 60 s (r13, was
+    * 240: the scheduler's settle + cheapest-first ordering already
+    * absorbs the decay, and four children each potentially waiting four
+    * minutes for loadavg was a third of the r12 wall overrun — a child
+    * that gives up waiting runs anyway and its own record says
+    * load_exceeded). `capSec` is the child's total wall allowance,
+    * handed down by SoloScheduler from the phase budget.
     * Module opens and heap mirror build.sbt's standalone recipe; the
     * classpath is the parent's own (sbt forks with the full path on the
     * command line, so java.class.path is complete in every launch mode).
     * Any failure — spawn error, rc != 0, timeout, unparseable record —
     * returns None and the record says `solo_failed`; the main figures
     * are never at risk. */
-  private def runSoloChild(targets: Seq[String], sfDir: String): Option[Map[String, Double]] = {
+  private def runSoloChild(
+      targets: Seq[String], sfDir: String, capSec: Double): Option[Map[String, Double]] = {
     try {
       val out = java.nio.file.Files.createTempFile("graft_bench_solo_", ".json")
       val addOpens = Seq(
@@ -489,11 +574,12 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_SOLO_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_FULL_OUT", out.toString)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.environment().put("SPARK_GRAFT_LOAD_BOUND_SEC", "240")
+      pb.environment().put("SPARK_GRAFT_LOAD_BOUND_SEC", "60")
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      if (!p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)) {
+      if (!p.waitFor(math.max(1000L, (capSec * 1000).toLong),
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
         p.destroyForcibly()
         System.err.println("[bench] solo child timed out")
         None
