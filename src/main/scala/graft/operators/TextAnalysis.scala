@@ -437,9 +437,9 @@ object TextAnalysis {
     // cross-engine (the score itself is int/int IEEE divisions — tx02's
     // hashed oracle already pins both engines compute it identically).
     // Shape at 100 TB: one rank exchange on lang — tx24's disposition:
-    // a language partition is a skew hazard at extreme scale; production
-    // replaces the exact rank with a two-pass quantile threshold
-    // (estimate the per-lang cutoff, then filter map-side), the same
+    // a language partition is a skew hazard at extreme scale; the
+    // production form that replaces the exact rank with a two-pass
+    // quantile threshold is DECLARED as tx28 below (r13), the same
     // trade dd06 makes with its cap.
     "tx26_percentile_gate" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
@@ -487,6 +487,57 @@ object TextAnalysis {
           (col("chunk_idx") * B + 1).as("start_tok"),
           least(lit(B), col("n_ws") - col("chunk_idx") * B).cast("int").as("n_tok"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // tx26's PRODUCTION form (r12 verdict #3): the same top-30%-per-lang
+    // cut WITHOUT the full-corpus rank exchange on lang — at extreme
+    // scale a language partition is a skew hazard (one dominant language
+    // = one straggler partition holding most of the corpus). Two-pass
+    // threshold, kept EXACT so it stays hashable (approx_percentile's
+    // merge is partitioning-dependent and un-mirrorable): pass 1
+    // aggregates per-(lang, quality) COUNTS — a distinct-values-sized
+    // frame, not a corpus-sized one — and a window over that small frame
+    // finds each language's exact cutoff value, rows-strictly-above
+    // count, and quota k = (3n+9) div 10; pass 2 re-scans with a
+    // BROADCAST of the one-row-per-lang threshold table and keeps
+    // quality > cutoff map-side (no exchange at all), while the
+    // residual rank that resolves the doc_id tie-break runs only over
+    // rows EXACTLY AT the cutoff — per language, the ties at one double
+    // value, a vanishingly small exchange. Same kept set as tx26 by
+    // construction (spec-pinned); the cost moves from rank-exchanging
+    // the corpus to one small agg + one broadcast + scans.
+    "tx28_quantile_gate" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val scored = table(s, dir, "documents")
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("n_stop",
+          size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+        .withColumn("n_short",
+          size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
+        .withColumn("quality",
+          (col("n_stop") / col("n_words")) * 2.0
+            - (col("n_short") / col("n_words")))
+        .select("doc_id", "lang", "quality")
+      // default RANGE frame includes peers, but (lang, quality) rows are
+      // distinct post-groupBy, so the running sum is exact on both engines
+      val thr = scored.groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
+        .withColumn("n_lang", sum("cnt").over(W.partitionBy("lang")))
+        .withColumn("cum", sum("cnt").over(
+          W.partitionBy("lang").orderBy(col("quality").desc)))
+        .withColumn("k", expr("(n_lang * 3 + 9) div 10"))
+        .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+        .select(col("lang"), col("quality").as("thr_q"),
+          (col("cum") - col("cnt")).as("c_above"), col("k"), col("n_lang"))
+      val joined = scored.join(broadcast(thr), "lang")
+      val tied = joined.filter(col("quality") === col("thr_q"))
+        .withColumn("tie_rnk",
+          row_number().over(W.partitionBy("lang").orderBy("doc_id")))
+        .filter(col("tie_rnk") <= col("k") - col("c_above"))
+      joined.filter(col("quality") > col("thr_q"))
+        .unionByName(tied.drop("tie_rnk"))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_lang").cast("long").as("n_lang"))
+        .orderBy("doc_id")
     }),
 
     "tx13_hash_split" -> ((s, dir) => {
@@ -1825,6 +1876,42 @@ object TextAnalysis {
          |SELECT doc_id, lang, quality, CAST(q_rank AS INT) AS q_rank,
          |  CAST(n_lang AS BIGINT) AS n_lang
          |FROM r WHERE q_rank <= (n_lang * 3 + 9) // 10
+         |ORDER BY doc_id""".stripMargin,
+    // Mirrors tx28's two-pass threshold from first principles: the same
+    // per-(lang, quality) counts / running-sum cutoff / strictly-above +
+    // ranked-ties split. Running SUMs partition over the GROUPED frame,
+    // where quality values are distinct within a lang, so the default
+    // RANGE frame's peer inclusion is moot on both engines.
+    "tx28_quantile_gate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    (len(regexp_extract_all(lower(text), '$EnStop'))
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+         |    - (len(list_filter(string_split(text, ' '), w -> length(w) <= 2))
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+         |  FROM documents),
+         |c AS (SELECT lang, quality, COUNT(*) AS cnt FROM q GROUP BY lang, quality),
+         |t AS (
+         |  SELECT lang, quality AS thr_q, cnt,
+         |    SUM(cnt) OVER (PARTITION BY lang) AS n_lang,
+         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY quality DESC) AS cum
+         |  FROM c),
+         |thr AS (
+         |  SELECT lang, thr_q, cum - cnt AS c_above,
+         |    (n_lang * 3 + 9) // 10 AS k, n_lang
+         |  FROM t WHERE cum >= (n_lang * 3 + 9) // 10
+         |    AND cum - cnt < (n_lang * 3 + 9) // 10),
+         |tied AS (
+         |  SELECT q.doc_id, q.lang, q.quality, thr.n_lang,
+         |    ROW_NUMBER() OVER (PARTITION BY q.lang ORDER BY q.doc_id) AS tie_rnk,
+         |    thr.k - thr.c_above AS n_fill
+         |  FROM q JOIN thr ON q.lang = thr.lang AND q.quality = thr.thr_q)
+         |SELECT doc_id, lang, quality, CAST(n_lang AS BIGINT) AS n_lang
+         |FROM (
+         |  SELECT q.doc_id, q.lang, q.quality, thr.n_lang
+         |  FROM q JOIN thr ON q.lang = thr.lang AND q.quality > thr.thr_q
+         |  UNION ALL
+         |  SELECT doc_id, lang, quality, n_lang FROM tied WHERE tie_rnk <= n_fill)
          |ORDER BY doc_id""".stripMargin,
     // Mirrors tx27: ceil(n/64) chunks per doc in integer division, final
     // partial chunk with its true token count, zero-token docs absent.

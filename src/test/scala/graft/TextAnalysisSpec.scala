@@ -313,6 +313,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tx28's two-pass threshold keeps EXACTLY tx26's set, and its plan ranks only tied rows") {
+    val q = graft.SparkEntry.queries
+    def rows(name: String) = q(name)(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val rank = q("tx26_percentile_gate")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val threshold = rows("tx28_quantile_gate")
+    assert(rank.nonEmpty)
+    assert(threshold == rank,
+      s"two-pass form diverged from the exact rank: only_tx28=" +
+        s"${(threshold -- rank).take(5)}, only_tx26=${(rank -- threshold).take(5)}")
+    // the point of tx28: NO full-corpus Window partitioned by lang alone —
+    // the only lang-partitioned window in the plan must sit above a
+    // threshold-tie filter (the residual rank), and the windows over the
+    // grouped counts frame are post-aggregate (small input). A regression
+    // that reintroduces a corpus-wide rank would pass the equality above
+    // and fail here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LW, Aggregate}
+    val plan = q("tx28_quantile_gate")(spark, sf001).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LW => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val guarded = w.child.collectFirst {
+        case f: Filter if f.condition.sql.contains("thr_q") => f
+        case a: Aggregate => a
+      }
+      assert(guarded.nonEmpty,
+        s"window over raw corpus rows (no tie filter / aggregate below): ${w.simpleString(3)}")
+    }
+  }
+
   test("tx27 chunking arithmetic: ceil(n/64) chunks, true-length tail, zero-token docs absent") {
     val spark2 = spark
     import spark2.implicits._
