@@ -226,6 +226,52 @@ class EtlPipelineSpec extends SparkSpec {
       "streaming and batch pipeline outputs differ")
   }
 
+  test("ep01 covers ep02: column superset, shared values identical frame-to-frame") {
+    // Closes the ep01/ep02 oracle-regime loop in code (r12 verdict #7):
+    // ep01's rows-only check is licensed by ep02 hash-covering the shared
+    // columns — valid only while ep02's column set really is ep01's minus
+    // the three hash-derived ones AND the shared values agree row for row
+    // under each query's declared serialization (ep01: to_json arrays;
+    // ep02: ';'-joined with %.4f doubles). A drift in either frame's
+    // projection breaks the license silently; this pins it.
+    val q = graft.SparkEntry.queries
+    val e1 = q("ep01_unified_pipeline")(spark, sf001)
+    val e2 = q("ep02_pipeline_hashable")(spark, sf001)
+    val hashDerived = Set("uid", "company_id", "address_id")
+    assert(hashDerived.subsetOf(e1.columns.toSet))
+    assert(e1.columns.toSet -- hashDerived == e2.columns.toSet,
+      s"ep02 columns are not ep01 minus hash-derived: " +
+        s"only_ep01=${e1.columns.toSet -- hashDerived -- e2.columns.toSet}, " +
+        s"only_ep02=${e2.columns.toSet -- e1.columns.toSet}")
+    val shared = e2.columns.toSeq
+    val r1 = e1.select(shared.map(org.apache.spark.sql.functions.col): _*).collect()
+    val r2 = e2.collect()
+    assert(r1.length == r2.length && r1.nonEmpty)
+    def normalize(jsonArr: String): String = {
+      import org.json4s.jackson.JsonMethods.parse
+      import org.json4s._
+      parse(jsonArr) match {
+        case JArray(items) => items.map {
+          case JString(s) => s
+          case JDouble(d) => "%.4f".formatLocal(java.util.Locale.ROOT, d)
+          case JInt(i) => "%.4f".formatLocal(java.util.Locale.ROOT, i.toDouble)
+          case other => other.values.toString
+        }.mkString(";")
+        case other => other.values.toString
+      }
+    }
+    r1.zip(r2).zipWithIndex.foreach { case ((a, b), i) =>
+      shared.indices.foreach { ci =>
+        val (v1, v2) = (a.get(ci), b.get(ci))
+        val ok = (v1 == null && v2 == null) || (v1 != null && v1 == v2) ||
+          // array column: ep01 JSON vs ep02 ';'-join of the same values
+          (v1 != null && v2 != null && v1.toString.startsWith("[") &&
+            normalize(v1.toString) == v2.toString)
+        assert(ok, s"row $i col ${shared(ci)}: ep01=$v1 ep02=$v2")
+      }
+    }
+  }
+
   test("merge alone is UNION ALL semantics — no cross-platform dedup (A25)") {
     val frames = Seq(
       Pipeline.transform(domclickRaw, PlatformSpecs.domclick, fixedNow),
