@@ -508,26 +508,8 @@ object TextAnalysis {
     // the corpus to one small agg + one broadcast + scans.
     "tx28_quantile_gate" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val scored = table(s, dir, "documents")
-        .withColumn("n_words", size(split(col("text"), " ")))
-        .withColumn("n_stop",
-          size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
-        .withColumn("n_short",
-          size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
-        .withColumn("quality",
-          (col("n_stop") / col("n_words")) * 2.0
-            - (col("n_short") / col("n_words")))
-        .select("doc_id", "lang", "quality")
-      // default RANGE frame includes peers, but (lang, quality) rows are
-      // distinct post-groupBy, so the running sum is exact on both engines
-      val thr = scored.groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
-        .withColumn("n_lang", sum("cnt").over(W.partitionBy("lang")))
-        .withColumn("cum", sum("cnt").over(
-          W.partitionBy("lang").orderBy(col("quality").desc)))
-        .withColumn("k", expr("(n_lang * 3 + 9) div 10"))
-        .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
-        .select(col("lang"), col("quality").as("thr_q"),
-          (col("cum") - col("cnt")).as("c_above"), col("k"), col("n_lang"))
+      val scored = qualityScored(table(s, dir, "documents"))
+      val thr = qualityThresholds(scored)
       val joined = scored.join(broadcast(thr), "lang")
       val tied = joined.filter(col("quality") === col("thr_q"))
         .withColumn("tie_rnk",
@@ -537,6 +519,55 @@ object TextAnalysis {
         .unionByName(tied.drop("tie_rnk"))
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_lang").cast("long").as("n_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020: corpus split
+    // into head/middle/tail by LM-score terciles, trainers then sample
+    // per bucket) — declared with an EXACT-INTEGER commonness score so
+    // the buckets are hash-exact, the tx18e/tx23e evidence discipline:
+    // score = (Σ_tokens corpus_count(token)) * 1e6 div n_tokens, the
+    // per-token mean corpus frequency in millionths (a monotone proxy
+    // for unigram log-prob's ORDERING is not needed — the bucket rule is
+    // defined ON this score, so there is no float anywhere). Tercile
+    // boundary VALUES come from the tx28 two-pass machinery collapsed to
+    // one global row: per-score counts (distinct-values-sized), running
+    // sum in score-desc order, t1/t2 = the scores where the cumulative
+    // first reaches ceil(n/3) / ceil(2n/3); assignment is then a
+    // map-side CASE against the broadcast 1-row thresholds — docs AT a
+    // boundary fall to the lower bucket (value-based binning like
+    // CCNet's, deterministic without any residual rank). Zero-token docs
+    // are excluded (no mean exists). Shape at 100 TB: one token-count
+    // agg + one hash join on word + one doc agg + a tiny histogram
+    // window + broadcast CASE — no corpus-wide rank; the 1e6 scale fits
+    // long up to ~1e12-token corpora (past that, production widens to
+    // DECIMAL(38,0) — same div semantics on both engines).
+    "tx29_ppl_buckets" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val scores = tok.join(cnt, "w")
+        .groupBy("doc_id")
+        .agg(sum("c").as("sum_c"), count(lit(1)).as("n_tok"))
+        .select(col("doc_id"),
+          expr("(sum_c * 1000000) div n_tok").as("score"))
+      val hist = scores.groupBy("score").agg(count(lit(1)).as("hcnt"))
+        .withColumn("n", sum("hcnt").over(W.partitionBy()))
+        .withColumn("cum", sum("hcnt").over(W.orderBy(col("score").desc)))
+      val thr = hist.agg(
+        max(when(col("cum") >= expr("(n + 2) div 3")
+          && col("cum") - col("hcnt") < expr("(n + 2) div 3"), col("score"))).as("t1"),
+        max(when(col("cum") >= expr("(2 * n + 2) div 3")
+          && col("cum") - col("hcnt") < expr("(2 * n + 2) div 3"), col("score"))).as("t2"))
+      // 1-row broadcast cross join — the tx18/tx20 corpus-totals pattern
+      // (PlanCensusSpec allowlists these BNLJ sites explicitly)
+      scores.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("score"),
+          when(col("score") > col("t1"), "head")
+            .when(col("score") > col("t2"), "middle")
+            .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     }),
 
@@ -1331,6 +1362,40 @@ object TextAnalysis {
       |  LEFT JOIN wtok t ON o.w = t.w
       |  GROUP BY d.doc_id, d.source)""".stripMargin
 
+  /** tx02's composite quality over an arbitrary documents frame — pure
+    * per-row arithmetic (stream-legal: [[graft.streaming.Stateful
+    * .ingestQualityGate]] applies it per micro-batch). */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("n_stop",
+        size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+      .withColumn("n_short",
+        size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
+      .withColumn("quality",
+        (col("n_stop") / col("n_words")) * 2.0
+          - (col("n_short") / col("n_words")))
+      .select("doc_id", "lang", "quality")
+
+  /** tx28's pass 1 — the OFFLINE-trained per-language cutoff table (one
+    * row per lang: exact threshold value, strictly-above count, quota
+    * k = (3n+9) div 10, n): per-(lang, quality) counts are a
+    * distinct-values-sized aggregate and the running sum runs over that
+    * small frame, never the corpus. The default RANGE frame includes
+    * peers, but (lang, quality) rows are distinct post-groupBy, so the
+    * running sum is exact on both engines. */
+  private[graft] def qualityThresholds(scored: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    scored.groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
+      .withColumn("n_lang", sum("cnt").over(W.partitionBy("lang")))
+      .withColumn("cum", sum("cnt").over(
+        W.partitionBy("lang").orderBy(col("quality").desc)))
+      .withColumn("k", expr("(n_lang * 3 + 9) div 10"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("lang"), col("quality").as("thr_q"),
+        (col("cum") - col("cnt")).as("c_above"), col("k"), col("n_lang"))
+  }
+
   val oracle: Map[String, String] = Map(
     // tx18/tx20/tx21/tx22 carry NO oracle by design: their score columns
     // are round(ln(x), 6) and the 6 dp rounding of an irrational flips at
@@ -1913,6 +1978,37 @@ object TextAnalysis {
          |  UNION ALL
          |  SELECT doc_id, lang, quality, n_lang FROM tied WHERE tie_rnk <= n_fill)
          |ORDER BY doc_id""".stripMargin,
+    // Mirrors tx29 from first principles: same integer commonness score,
+    // same histogram running-sum tercile boundaries, same value-based
+    // CASE (boundary docs fall to the lower bucket). All-integer — the
+    // HUGEINT sums cast back to BIGINT to match Spark's long.
+    "tx29_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST((SUM(c.c) * 1000000) // COUNT(*) AS BIGINT) AS score
+        |  FROM tok t JOIN cnt c ON t.w = c.w
+        |  GROUP BY t.doc_id),
+        |h AS (
+        |  SELECT score, COUNT(*) AS hcnt,
+        |    SUM(COUNT(*)) OVER () AS n,
+        |    SUM(COUNT(*)) OVER (ORDER BY score DESC) AS cum
+        |  FROM sc GROUP BY score),
+        |thr AS (
+        |  SELECT
+        |    MAX(CASE WHEN cum >= (n + 2) // 3
+        |      AND cum - hcnt < (n + 2) // 3 THEN score END) AS t1,
+        |    MAX(CASE WHEN cum >= (2 * n + 2) // 3
+        |      AND cum - hcnt < (2 * n + 2) // 3 THEN score END) AS t2
+        |  FROM h)
+        |SELECT sc.doc_id, sc.score,
+        |  CASE WHEN sc.score > thr.t1 THEN 'head'
+        |       WHEN sc.score > thr.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc, thr ORDER BY doc_id""".stripMargin,
     // Mirrors tx27: ceil(n/64) chunks per doc in integer division, final
     // partial chunk with its true token count, zero-token docs absent.
     "tx27_sequence_chunks" ->

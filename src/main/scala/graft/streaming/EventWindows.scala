@@ -139,6 +139,25 @@ object EventWindows {
         .orderBy("doc_id")
     }),
 
+    // Batch twin of the streaming serving-side quality gate
+    // ([[Stateful.ingestQualityGate]]): per-language cutoffs TRAINED on
+    // the corpus slice (even doc_ids) with tx28's pass-1 histogram
+    // machinery, arriving (odd) docs admitted iff strictly above their
+    // language's cutoff — a stateless broadcast decision per doc, the
+    // production shape of threshold serving. Hash-exact: the quality
+    // doubles and integer histogram cutoffs are deterministic on both
+    // engines (tx26/tx28's license).
+    "st09_quality_gate_ingest" -> ((s, dir) => {
+      val Tx = graft.operators.TextAnalysis
+      val thr = Tx.qualityThresholds(Tx.qualityScored(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 2 === 0)))
+      Stateful.ingestQualityGate(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "text"),
+        thr)
+        .orderBy("doc_id")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -201,6 +220,32 @@ object EventWindows {
         |JOIN t ON t.doc_id = occn.doc_id
         |JOIN agg ON agg.doc_id = occn.doc_id
         |ORDER BY occn.doc_id""".stripMargin,
+    // Mirrors st09: tx28's pass-1 cutoff CTEs restricted to the corpus
+    // (even) slice, arriving (odd) docs kept on strict quality > cutoff.
+    "st09_quality_gate_ingest" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    (len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b'))
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 2.0
+        |    - (len(list_filter(string_split(text, ' '), w -> length(w) <= 2))
+        |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, quality, COUNT(*) AS cnt FROM q
+        |  WHERE doc_id % 2 = 0 GROUP BY lang, quality),
+        |t AS (
+        |  SELECT lang, quality AS thr_q, cnt,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n_lang,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY quality DESC) AS cum
+        |  FROM c),
+        |thr AS (
+        |  SELECT lang, thr_q FROM t
+        |  WHERE cum >= (n_lang * 3 + 9) // 10
+        |    AND cum - cnt < (n_lang * 3 + 9) // 10)
+        |SELECT q.doc_id, q.lang, q.quality
+        |FROM q JOIN thr ON q.lang = thr.lang AND q.quality > thr.thr_q
+        |WHERE q.doc_id % 2 = 1
+        |ORDER BY q.doc_id""".stripMargin,
     // st06 computes EXACTLY dd07/dd08's result (Bloom split is a pure
     // pre-filter; keep-first pinned by the pre-reduction) — the oracle
     // is SHARED verbatim, by reference.

@@ -282,4 +282,22 @@ object Stateful {
     }
     deduped.select("doc_id", "fp")
   }
+
+  /** Serving-side quality gate (st09): arriving docs are scored with
+    * tx02's composite quality per row and admitted iff STRICTLY above
+    * their language's offline-trained tx28 cutoff — the pass-2 half of
+    * the two-pass gate as a stateless stream-static broadcast join, which
+    * is exactly how a production filter serves a threshold trained on the
+    * corpus snapshot. Stateless per doc ⇒ micro-batch-boundary invariant
+    * by construction (StreamingSpec pins one-file-at-a-time == batch
+    * twin). Strict `>` only: the residual tie-fill that tops the quota up
+    * to exactly k (tx28's tied-rank) needs corpus-global state and is a
+    * batch close-out step, not a serving decision. A language with no
+    * corpus threshold row admits nothing (no evidence, conservative —
+    * the inner join drops it). */
+  def ingestQualityGate(docs: DataFrame, thresholds: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.qualityScored(docs)
+      .join(broadcast(thresholds.select("lang", "thr_q")), "lang")
+      .filter(col("quality") > col("thr_q"))
+      .select(col("doc_id"), col("lang"), col("quality"))
 }

@@ -21,7 +21,8 @@ class PlanCensusSpec extends SparkSpec {
     "tx22_nb_source_score", // 1-row (Tt, Tb, V) NB totals on the scoring side
     "tx23_dsir_score", // two 1-row totals (target T, raw R) under the bucket ratios
     "ss12_sq8_ann", // 1-row quantization grid + the ss01-style broadcast query fanout
-    "ss13_ivf_sq8_ann") // ss05's broadcast centroid assignment + the 1-row grid
+    "ss13_ivf_sq8_ann", // ss05's broadcast centroid assignment + the 1-row grid
+    "tx29_ppl_buckets") // 1-row broadcast tercile thresholds under the bucket CASE
 
   // Queries whose count() plan legally collapses (Catalyst eliminates
   // cardinality-preserving windows / unique-key outer joins under a bare
@@ -49,6 +50,10 @@ class PlanCensusSpec extends SparkSpec {
     // outputs, leaving their unique-key ratio/target joins unreferenced —
     // Catalyst then eliminates them like the tx2x siblings above
     "tx23_dsir_score", "tx23e_dsir_evidence",
+    // tx29: under a bare count the bucket CASE prunes away, leaving the
+    // guaranteed-1-row threshold aggregate's cross join unreferenced —
+    // Catalyst eliminates it like the tx2x 1-row corpus totals above
+    "tx29_ppl_buckets",
     // qp02 ends in the same shard-rank window as qp01/tx19
     "qp02_multilingual_manifest",
     // dd16's final is per-source aggregates LEFT-joined on the unique

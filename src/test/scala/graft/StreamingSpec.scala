@@ -328,6 +328,37 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
   }
 
+  test("st09 streaming quality gate: one-file-at-a-time equals the batch twin") {
+    // The gate is stateless per doc (score + broadcast threshold
+    // compare), so batch-boundary invariance is by construction — this
+    // pins it stays that way (a future change that sneaks corpus-global
+    // state into the serving path breaks the per-trigger equality).
+    val Tx = graft.operators.TextAnalysis
+    val thr = Tx.qualityThresholds(Tx.qualityScored(
+      Tables.table(spark, sf001, "documents").filter(col("doc_id") % 2 === 0)))
+    val batchDocs = Tables.table(spark, sf001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "text")
+    val expected = graft.streaming.EventWindows
+      .queries("st09_quality_gate_ingest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "gate corpus must admit some batch docs")
+    val tmp = java.nio.file.Files.createTempDirectory("st09").toString
+    batchDocs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestQualityGate(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(batchDocs.schema).parquet(tmp),
+      thr)
+    val q = stream.writeStream.format("memory").queryName("st09_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM st09_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == expected,
+      s"stream admitted ${streamed.size} docs, batch twin ${expected.size}")
+  }
+
   test("st06's keep-first pre-reduction is fp-set-invariant through the bloom helper") {
     // st06 pre-reduces the batch to keep-first-by-doc_id before the
     // streaming helper so the kept doc_id is deterministic (the helper's

@@ -344,6 +344,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tx29 tercile buckets on a hand-computed corpus; boundary ties fall to the lower bucket") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx29").toString
+    // counts: aa=4 bb=3 cc=1 dd=1 → scores (mean corpus-freq in 1e6ths):
+    // d1 (aa aa) 4e6, d2/d5 (aa bb) 3.5e6, d3 (bb cc) 2e6, d4 (dd) 1e6.
+    // n=5 → k1=(5+2)div3=2, k2=(10+2)div3=4; desc cum: 4e6→1,
+    // 3.5e6(hcnt 2)→3, 2e6→4, 1e6→5 ⇒ t1=3.5e6, t2=2e6.
+    // head = score>t1 = {d1}; middle = >t2 = {d2, d5} (the tie at t1
+    // falls BELOW the boundary); tail = {d3 (at t2), d4}.
+    Seq((1L, "aa aa"), (2L, "aa bb"), (3L, "bb cc"), (4L, "dd"), (5L, "aa bb"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx29_ppl_buckets")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(out == List(
+      (1L, 4000000L, "head"), (2L, 3500000L, "middle"), (3L, 2000000L, "tail"),
+      (4L, 1000000L, "tail"), (5L, 3500000L, "middle")))
+  }
+
   test("tx27 chunking arithmetic: ceil(n/64) chunks, true-length tail, zero-token docs absent") {
     val spark2 = spark
     import spark2.implicits._
