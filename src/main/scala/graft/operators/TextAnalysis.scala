@@ -510,13 +510,22 @@ object TextAnalysis {
       val W = org.apache.spark.sql.expressions.Window
       val scored = qualityScored(table(s, dir, "documents"))
       val thr = qualityThresholds(scored)
-      val joined = scored.join(broadcast(thr), "lang")
-      val tied = joined.filter(col("quality") === col("thr_q"))
-        .withColumn("tie_rnk",
-          row_number().over(W.partitionBy("lang").orderBy("doc_id")))
-        .filter(col("tie_rnk") <= col("k") - col("c_above"))
-      joined.filter(col("quality") > col("thr_q"))
-        .unionByName(tied.drop("tie_rnk"))
+      // Pass 2 is ONE scan (the r13 soak caught the first cut paying two —
+      // separate above/tied branches re-ran the regex scoring per branch,
+      // 3 scans total, and lost to tx26 outright at zipf0.5): keep
+      // quality >= cutoff map-side (~the quota fraction survives), then
+      // rank within (lang, quality) — for above-cutoff rows the rank is
+      // irrelevant (first disjunct keeps them), for AT-cutoff rows it IS
+      // the doc_id tie-break. The exchange carries only the kept
+      // fraction, partitioned by (lang, quality) — strictly finer than
+      // tx26's lang partitioning, so a dominant language still cannot
+      // produce a straggler partition (ties at one double value bound it).
+      scored.join(broadcast(thr), "lang")
+        .filter(col("quality") >= col("thr_q"))
+        .withColumn("tie_rnk", row_number().over(
+          W.partitionBy("lang", "quality").orderBy("doc_id")))
+        .filter(col("quality") > col("thr_q") ||
+          col("tie_rnk") <= col("k") - col("c_above"))
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_lang").cast("long").as("n_lang"))
         .orderBy("doc_id")
