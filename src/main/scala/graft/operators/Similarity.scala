@@ -75,6 +75,51 @@ object Similarity {
   def lshBucket(vCol: String, nPlanes: Int, dims: Int, offset: Int = 0): Column =
     graft.functions.SketchExprs.hyperplaneLsh(col(vCol), nPlanes, offset)
 
+  /** Fixed-point Lloyd k-means (see the ss14 scaladoc): integer features
+    * floor(v·1e6)+1e6, argmin assignment computed MAP-SIDE against one
+    * broadcast row holding all k centroids (array_min over struct(dist,
+    * cell) — lexicographic struct ordering is the tie-break to the lower
+    * cell), centroid update one (cell, dim) aggregation with integer-mean
+    * `div`. Returns (vec_id, cluster, dist) for the final assignment. */
+  private[graft] def kmeansFixedPoint(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val feats = e.select(col("vec_id"),
+      expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
+    val distExpr = // exact integer squared L2 between f and cc.c
+      "aggregate(zip_with(f, cc.c, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    def assign(cents: DataFrame): DataFrame =
+      feats.crossJoin(broadcast(
+          cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))))
+        .withColumn("m", expr(
+          s"array_min(transform(cs, cc -> struct($distExpr AS dist, cc.cell AS cell)))"))
+        .select(col("vec_id"), col("f"),
+          col("m.cell").as("cell"), col("m.dist").as("dist"))
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val upd = assigned
+        .select(col("cell"), posexplode(col("f")).as(Seq("dim", "fv")))
+        .groupBy("cell", "dim")
+        .agg(expr("sum(fv) div count(1)").as("cv"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+          .as("cnew"))
+      // Each round's centroid frame is k rows but is consumed TWICE (the
+      // next assign + the empty-cell join) and its lineage holds a full
+      // corpus scan — uncached, plan size and scan count grow
+      // exponentially in rounds. Tracked cache bounds it: one corpus
+      // scan per round, k cached rows per round.
+      graft.Caches.track(
+        prev.join(upd, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("cnew"), col("c")).as("c")))
+    }
+    val init = feats.orderBy("vec_id").limit(k)
+      .withColumn("cell", (row_number().over(W.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("cell"), col("f").as("c"))
+    val finalCents = (1 to iters).foldLeft(init)((c, _) => update(assign(c), c))
+    assign(finalCents)
+      .select(col("vec_id"), col("cell").as("cluster"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k for a small query set (vec_id < 5).
     "ss01_cosine_topk" -> ((s, dir) => {
@@ -283,6 +328,52 @@ object Similarity {
         .filter(col("rk") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk"), col("approx_dist"))
         .orderBy("query_id", "rk")
+    }),
+
+    // Distributed K-MEANS corpus clustering (r13) — the curation primitive
+    // behind SemDeDup's stage 1 (Abbas et al. 2023 cluster the corpus,
+    // then near-dup WITHIN cells), cluster-balanced sampling, and IVF
+    // centroid training (ss05/ss06 seed theirs from fixed vectors; this
+    // is the trained form). Declared HASH-EXACT via FIXED-POINT Lloyd:
+    // embeddings quantize ONCE to integer features f_i = floor(v_i·1e6)
+    // + 1e6 (positive, so Spark's `div` and DuckDB's `//` agree — the
+    // tx29 discipline), and every downstream value — squared-L2
+    // distances, argmin assignment, integer-mean centroid updates — is
+    // exact integer arithmetic. No float exists past the first
+    // projection, so the iteration is bit-stable across engines, runs,
+    // and partitionings (a float-mean k-means cannot promise any of
+    // that: summation order changes the centroid, and decimal→double
+    // casts round differently per engine). Two Lloyd rounds from
+    // deterministic seeds (the k smallest vec_ids), ties to the lower
+    // cell, empty cells keep their previous centroid. Shape at 100 TB:
+    // per round ONE corpus scan computes the argmin map-side against
+    // the k×64-long broadcast centroid row (array_min over a
+    // struct(dist, cell) transform — no join, no corpus shuffle, no
+    // per-vector window) plus one (cell, dim)-keyed aggregation whose
+    // group count is k×dims (map-side partials reduce each task to 512
+    // rows); centroid state stays broadcast-sized. The 1e-6 grid is the
+    // SQ8 trade restated: curation-grade geometry at integer precision.
+    "ss14_kmeans" -> ((s, dir) =>
+      kmeansFixedPoint(emb(s, dir), k = 8, iters = 2).orderBy("vec_id")),
+
+    // CLUSTER-BALANCED prototype sampling (r13) — the step after ss14 in
+    // a curation pipeline (SemDeDup keeps per-cluster representatives;
+    // cluster-balanced subsampling caps any one mode of the corpus): the
+    // q vectors CLOSEST to their centroid per cluster, rank by (dist,
+    // vec_id) — all-integer, so the sample is hash-exact by ss14's
+    // license. The rank filter plans as WindowGroupLimit: each map task
+    // keeps a q-row heap per cluster BEFORE the exchange, so the k-way
+    // partitioned window never sees the corpus — the exchange carries
+    // ≤ q rows per (task, cluster), which is what makes a k=8 partition
+    // key safe at 100 TB (the tx09 shape, not the tx26 rank hazard).
+    "ss15_cluster_sample" -> ((s, dir) => {
+      val q = 16
+      val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
+      kmeansFixedPoint(emb(s, dir), k = 8, iters = 2)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= q)
+        .select("vec_id", "cluster", "dist", "rk")
+        .orderBy("cluster", "rk")
     }),
 
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
@@ -616,7 +707,75 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  // The shared k-means CTE chain (two Lloyd rounds unrolled over the
+  // flattened integer features) through the final assignment `fin` —
+  // ss14 selects it directly, ss15 wraps it in the per-cluster rank.
+  private val kmeansOracleCtes =
+    """WITH f AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      + 1000000 AS fv
+        |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |seed AS (
+        |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM (SELECT DISTINCT vec_id FROM f ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT seed.cell, f.dim, f.fv AS cv FROM seed JOIN f USING (vec_id)),
+        |d1 AS (
+        |  SELECT f.vec_id, c.cell, SUM((f.fv - c.cv) * (f.fv - c.cv)) AS dist
+        |  FROM f JOIN c0 c USING (dim) GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a1.cell, f.dim, SUM(f.fv) // COUNT(*) AS cv
+        |  FROM a1 JOIN f USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c.cell, c.dim, CAST(COALESCE(u1.cv, c.cv) AS BIGINT) AS cv
+        |  FROM c0 c LEFT JOIN u1 ON u1.cell = c.cell AND u1.dim = c.dim),
+        |d2 AS (
+        |  SELECT f.vec_id, c.cell, SUM((f.fv - c.cv) * (f.fv - c.cv)) AS dist
+        |  FROM f JOIN c1 c USING (dim) GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a2.cell, f.dim, SUM(f.fv) // COUNT(*) AS cv
+        |  FROM a2 JOIN f USING (vec_id) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c.cell, c.dim, CAST(COALESCE(u2.cv, c.cv) AS BIGINT) AS cv
+        |  FROM c1 c LEFT JOIN u2 ON u2.cell = c.cell AND u2.dim = c.dim),
+        |d3 AS (
+        |  SELECT f.vec_id, c.cell, SUM((f.fv - c.cv) * (f.fv - c.cv)) AS dist
+        |  FROM f JOIN c2 c USING (dim) GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT vec_id, CAST(cell AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
+        |  FROM (
+        |    SELECT vec_id, cell, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |    FROM d3) WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // Mirrors ss14 term-for-term with the two Lloyd rounds unrolled as
+    // CTEs over the flattened (vec_id, dim, fv) integer features: seed
+    // centroids = the 8 smallest vec_ids, assignment rank (dist, cell),
+    // integer-mean update with empty cells keeping the prior centroid.
+    // All-integer end to end — `//` here ≡ `div` there on the positive
+    // shifted features; HUGEINT sums cast back to BIGINT.
+    "ss14_kmeans" ->
+      (kmeansOracleCtes + "\nSELECT vec_id, cluster, dist FROM fin ORDER BY vec_id"),
+    // Mirrors ss15: ss14's chain + the per-cluster (dist, vec_id) rank.
+    "ss15_cluster_sample" ->
+      (kmeansOracleCtes + """
+        |SELECT vec_id, cluster, dist, rk FROM (
+        |  SELECT vec_id, cluster, dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS INT) AS rk
+        |  FROM fin) WHERE rk <= 16
+        |ORDER BY cluster, rk""".stripMargin),
     // Mirrors ss12 term-for-term: per-dim min/max grid, floor((x-mn)*255/
     // (mx-mn)) capped at 255, bin-midpoint reconstruction, index-ordered
     // squared-diff sum (list_sum ≡ the engine's sq_l2_dist left fold).

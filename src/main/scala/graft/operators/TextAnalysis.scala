@@ -580,6 +580,96 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Exact SUBSTRING decontamination (r13) — the Lee et al. 2021 /
+    // GPT-3-style screening applied at the SPAN level: a training doc
+    // that contains any K-token window appearing verbatim in a held-out
+    // eval doc (doc_id % 10 == 0 — a 10% held-out slice; tx10/tx12 use
+    // % 50, widened here so the gate corpus yields a non-trivial
+    // contamination set to hash: 6 docs at sf0.01 vs 1 at % 50) is
+    // contaminated, and the contaminated region — not the whole doc —
+    // is what a surgical pipeline cuts. tx10 flags doc PAIRS on >= 3
+    // shared trigrams; tx30 answers the finer operational question
+    // "which spans do I remove so the train split provably contains no
+    // eval K-gram", dd12's islands machinery pointed across the fold
+    // boundary. Probes the SAME persisted window index as dd12-dd19
+    // (built once per corpus snapshot): eval-side distinct hashes
+    // semi-join the train-side occurrences on the 16-byte h — NO rank,
+    // NO pair expansion (a hot eval window costs occurrence rows, never
+    // eval_docs × train_docs pairs — the tx10 cap hazard never exists
+    // here), then one per-doc window merges flagged positions into
+    // maximal spans (starts < K apart overlap). Per-span counts ride
+    // the same aggregation, so the whole query is one semi-join + one
+    // per-doc window + one join to the doc sidecar. Shape at 100 TB:
+    // one h-exchange over the train occurrences + a doc-partitioned
+    // window — linear in corpus tokens, eval side is the tiny fraction.
+    // Hash-exact: md5 windows, integer arithmetic, one int/int IEEE
+    // division.
+    "tx30_substring_decontam" -> ((s, dir) => {
+      val K = Dedup.substringK
+      val W = org.apache.spark.sql.expressions.Window
+      val idx = Dedup.ddWinIndexPath(s, dir)
+      val wins = s.read.parquet(s"$idx/wins")
+        .select(col("doc_id"), col("pos"), col("h"))
+      val evalH = wins.filter(col("doc_id") % 10 === 0).select("h").distinct()
+      val occ = wins.filter(col("doc_id") % 10 =!= 0)
+        .join(evalH, Seq("h"), "left_semi")
+      val wDoc = W.partitionBy("doc_id").orderBy("pos")
+      val stats = occ
+        .withColumn("prev", lag("pos", 1).over(wDoc))
+        .withColumn("ns", when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1)
+          .otherwise(0))
+        .withColumn("span_id", sum("ns").over(wDoc))
+        .groupBy("doc_id", "span_id")
+        .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("nw"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_contam_spans"),
+          sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"),
+          sum("nw").cast("int").as("n_contam_windows"))
+      stats
+        .join(s.read.parquet(s"$idx/docs")
+          .select(col("doc_id"),
+            greatest(col("n_ws") - (K - 1), lit(0)).cast("int").as("n_windows")),
+          "doc_id")
+        .select(col("doc_id"), col("n_windows"), col("n_contam_windows"),
+          col("n_contam_spans"), col("n_cut_tokens"),
+          (col("n_contam_windows") / col("n_windows")).as("contam_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // FUZZY decontamination (r13) — the PaLM/GPT-4-style near-duplicate
+    // screen between train and eval (eval = doc_id % 10 == 0, tx30's
+    // slice): an eval doc whose shingle-set
+    // jaccard with a training doc is >= 0.7 is contaminated even when
+    // no K-gram matches verbatim (paraphrase, light edits). The dd10
+    // machinery pointed across the fold boundary: MinHash signatures
+    // over the WHOLE corpus in one scan, LSH banded candidate pairs
+    // restricted to CROSS-fold pairs (one side eval, one side train),
+    // exact-jaccard verification over the shingle-hash sidecars — LSH
+    // is a candidate PRUNER under an exact verify, the banded equi-join
+    // never goes all-pairs. Output is the contamination report a
+    // pipeline acts on: (corpus_id, eval_id, jaccard). Hash-exact under
+    // dd10's license: the gate-scale recall-1 spec is proven over ALL
+    // pairs, so it transfers to the cross-fold subset; jaccard divides
+    // two exact ints (distinct shingle hashes ≡ distinct shingles at
+    // gate scale, the dd03 contract) so the double is bit-stable.
+    "tx31_fuzzy_decontam" -> ((s, dir) => {
+      val Sk = graft.functions.SketchExprs
+      val d = Dedup.fuzzySigs(table(s, dir, "documents"))
+      Dedup.fuzzyCandidatePairs(d)
+        .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", Sk.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard",
+          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= 0.7)
+        .select(
+          when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("corpus_id"),
+          when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"),
+          col("jaccard"))
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -2018,6 +2108,78 @@ object TextAnalysis {
         |       WHEN sc.score > thr.t2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM sc, thr ORDER BY doc_id""".stripMargin,
+    // Mirrors tx30 from first principles (dd12's window SQL pointed
+    // across the fold boundary): eval (doc_id % 50 = 0) distinct window
+    // hashes, train occurrences matching them, islands merge on starts
+    // < 8 apart, per-span window counts summed in the same pass.
+    "tx30_substring_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |eh AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 = 0),
+        |occ AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN eh USING (h)
+        |  WHERE w.doc_id % 10 != 0),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM (SELECT doc_id, pos,
+        |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM occ)),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e,
+        |            COUNT(*) AS nw
+        |          FROM sp GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_contam_spans,
+        |    CAST(SUM(e - s + 8) AS INT) AS n_cut_tokens,
+        |    CAST(SUM(nw) AS INT) AS n_contam_windows
+        |  FROM spans GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(greatest(len(ws) - 7, 0) AS INT) AS n_windows
+        |  FROM t)
+        |SELECT agg.doc_id, base.n_windows, n_contam_windows, n_contam_spans,
+        |  n_cut_tokens,
+        |  CAST(n_contam_windows AS DOUBLE) / base.n_windows AS contam_ratio
+        |FROM agg JOIN base USING (doc_id)
+        |ORDER BY agg.doc_id""".stripMargin,
+    // Mirrors tx31 as the exact all-CROSS-pairs truth (dd10's oracle
+    // restricted to one-side-eval pairs), licensed by the gate-scale
+    // recall-1 spec over all pairs; jaccard is an int/int IEEE division
+    // on both engines. Stated in the dd06/tx10 inverted-index shape
+    // (equi-join on the shingle string, shared count per pair) rather
+    // than dd10's pairwise list_intersect — the SAME truth set (a
+    // j >= 0.7 pair shares at least one shingle, so no pair is lost),
+    // but the oracle itself then runs in minutes at sf0.1 instead of
+    // hours (the all-pairs form is quadratic in DuckDB; this one is
+    // bounded by the shingle-collision mass).
+    "tx31_fuzzy_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+        |  FROM documents),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE (a.doc_id % 10 = 0) != (b.doc_id % 10 = 0)
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b,
+        |    CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+        |  FROM shared
+        |  JOIN n na ON na.doc_id = id_a
+        |  JOIN n nb ON nb.doc_id = id_b)
+        |SELECT
+        |  CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS corpus_id,
+        |  CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS eval_id,
+        |  jaccard
+        |FROM p WHERE jaccard >= 0.7
+        |ORDER BY corpus_id, eval_id""".stripMargin,
     // Mirrors tx27: ceil(n/64) chunks per doc in integer division, final
     // partial chunk with its true token count, zero-token docs absent.
     "tx27_sequence_chunks" ->

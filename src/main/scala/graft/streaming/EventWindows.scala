@@ -158,6 +158,36 @@ object EventWindows {
         .orderBy("doc_id")
     }),
 
+    // Batch twin of the streaming DECONTAMINATION gate — tx30's serving
+    // form, through the SAME helper st08 runs ([[Stateful
+    // .ingestSubstringCut]]): each arriving training doc's 8-token
+    // window hashes probe the FROZEN eval window set (the doc_id % 10
+    // slice of the persisted window index — all even ids, so the read
+    // directory-prunes to the par=0 half like st08's), matching
+    // positions merge into maximal contaminated spans per doc, and the
+    // emitted span report is what an ingest pipeline cuts before a doc
+    // may enter the training corpus. Stateless stream-static probe —
+    // micro-batch-boundary invariant, per-trigger spec — and the stream
+    // side pays its own tokenize/md5 (the dd11/dd17 honesty contract).
+    // Emits only docs with something to cut; row-for-row it is tx30
+    // minus the ratio projection (the oracle restates tx30's), so the
+    // serving path is provably the batch analysis query. Hash-exact.
+    "st10_decontam_gate_ingest" -> ((s, dir) => {
+      val Dd = graft.operators.Dedup
+      val evalH = s.read.parquet(s"${Dd.ddWinIndexPath(s, dir)}/wins")
+        .filter(col("par") === 0) // eval ids are % 10 == 0 -> all even
+        .filter(col("doc_id") % 10 === 0)
+        .select("h").distinct()
+      Stateful.ingestSubstringCut(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+          .select("doc_id", "text"),
+        evalH, Dd.substringK)
+        .select(col("doc_id"), col("n_windows"),
+          col("n_corpus_windows").as("n_contam_windows"),
+          col("n_cut_spans"), col("n_cut_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -184,6 +214,42 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Mirrors st10 ≡ tx30 minus the ratio projection (the serving path
+    // IS the batch analysis query): eval (doc_id % 10 = 0) distinct
+    // window hashes, train occurrences matching them, islands merge.
+    "st10_decontam_gate_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |eh AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 = 0),
+        |occ AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN eh USING (h)
+        |  WHERE w.doc_id % 10 != 0),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM (SELECT doc_id, pos,
+        |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM occ)),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e,
+        |            COUNT(*) AS nw
+        |          FROM sp GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_cut_spans,
+        |    CAST(SUM(e - s + 8) AS INT) AS n_cut_tokens,
+        |    CAST(SUM(nw) AS INT) AS n_contam_windows
+        |  FROM spans GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(greatest(len(ws) - 7, 0) AS INT) AS n_windows
+        |  FROM t)
+        |SELECT agg.doc_id, base.n_windows, n_contam_windows, n_cut_spans,
+        |  n_cut_tokens
+        |FROM agg JOIN base USING (doc_id)
+        |ORDER BY agg.doc_id""".stripMargin,
     // Mirrors st08: corpus-known (even-doc) window occurrences of batch
     // (odd) docs, islands merge (dd17's machinery restricted to the
     // corpus-known branch), docs with zero such occurrences absent.

@@ -22,7 +22,9 @@ class PlanCensusSpec extends SparkSpec {
     "tx23_dsir_score", // two 1-row totals (target T, raw R) under the bucket ratios
     "ss12_sq8_ann", // 1-row quantization grid + the ss01-style broadcast query fanout
     "ss13_ivf_sq8_ann", // ss05's broadcast centroid assignment + the 1-row grid
-    "tx29_ppl_buckets") // 1-row broadcast tercile thresholds under the bucket CASE
+    "tx29_ppl_buckets", // 1-row broadcast tercile thresholds under the bucket CASE
+    "ss14_kmeans", // corpus x ONE broadcast row holding all k centroids (per Lloyd round)
+    "ss15_cluster_sample") // ss14's assignment inherited under the per-cluster rank
 
   // Queries whose count() plan legally collapses (Catalyst eliminates
   // cardinality-preserving windows / unique-key outer joins under a bare
@@ -66,7 +68,12 @@ class PlanCensusSpec extends SparkSpec {
     // siblings; the trailing tokensKept join prunes with it)
     "qp03_incremental_manifest",
     // dd19 shares dd16's unique-source LEFT-join final
-    "dd19_refreshed_stats")
+    "dd19_refreshed_stats",
+    // tx30 ends in the dd12-family shape (span aggregate joined to the
+    // unique-doc_id sidecar, ratio projection on top) — the projection
+    // prunes under a bare count and the plan collapses like dd12's; the
+    // bench times it with the materializing action
+    "tx30_substring_decontam")
 
   test("no cartesian products; nested-loop joins only where intended") {
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

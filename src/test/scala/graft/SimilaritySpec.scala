@@ -294,6 +294,40 @@ class SimilaritySpec extends SparkSpec {
     assert(t4.size > t1.size, "4 tables found nothing beyond 1 table")
   }
 
+  test("ss14 fixed-point k-means: hand-computed clusters, distance ties fall to the lower cell, empty cells keep their centroid") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Two obvious groups in 2-D plus a duplicate of the first seed:
+    // seeds are vec_ids 1, 2, 3 (cells 0, 1, 2), v3 == v1. Hand trace:
+    //  round 1: v1/v3 tie between cells 0 and 2 (both dist 0) -> the
+    //    tie rule sends both to the LOWER cell 0 (with v4), cell 2 goes
+    //    EMPTY and must keep its seed centroid; update moves c0 to the
+    //    integer mean (1003333, 1003333).
+    //  round 2: cell 2's kept centroid still sits exactly on the
+    //    duplicate pair, so v1/v3 switch to cell 2 (dist 0 beats
+    //    2*3333^2) while v4 stays on cell 0; update leaves c2 at the
+    //    pair, c0 at f(v4).
+    //  final assignment: {1,3}->2 at dist 0, {4}->0 at dist 0,
+    //    {2,5,6}->1. Exercises the tie-break, the empty-cell keep rule,
+    //    and a genuine centroid migration in one scenario.
+    val e = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.4, 0.4)), (3L, Seq(0.0, 0.0)),
+      (4L, Seq(0.01, 0.01)), (5L, Seq(0.41, 0.39)), (6L, Seq(0.39, 0.41)))
+      .toDF("vec_id", "v")
+    val out = Similarity.kmeansFixedPoint(e, k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    graft.Caches.releaseAll()
+    val byVec = out.map(t => t._1 -> t._2).toMap
+    assert(byVec == Map(1L -> 2, 3L -> 2, 4L -> 0, 2L -> 1, 5L -> 1, 6L -> 1))
+    assert(out.find(_._1 == 1L).get._3 == 0L)
+    assert(out.find(_._1 == 4L).get._3 == 0L)
+    // v5 to the cell-1 centroid (1400000, 1400000): 10000 off per dim
+    assert(out.find(_._1 == 5L).get._3 == 2L * 10000L * 10000L)
+    // every vector assigned exactly once, clusters within 0..k-1
+    assert(out.map(_._1).distinct.length == 6)
+    assert(out.forall(t => t._2 >= 0 && t._2 <= 2))
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")

@@ -328,6 +328,47 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
   }
 
+  test("st10 streaming decontam gate: one-file-at-a-time equals the batch twin") {
+    // Same invariance contract as st08 (each doc judged against the
+    // frozen eval window set alone), different static side: the eval
+    // slice of the persisted window index. The equality also pins
+    // st10 ≡ tx30-minus-ratio — the serving path IS the analysis query.
+    val Dd = graft.operators.Dedup
+    val evalH = spark.read
+      .parquet(s"${Dd.ddWinIndexPath(spark, sf001)}/wins")
+      .filter(col("par") === 0).filter(col("doc_id") % 10 === 0)
+      .select("h").distinct()
+    val trainDocs = Tables.table(spark, sf001, "documents")
+      .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val expected = graft.streaming.EventWindows
+      .queries("st10_decontam_gate_ingest")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(expected.nonEmpty, "gate corpus must contain cross-fold contamination")
+    val tx30 = graft.SparkEntry.queries("tx30_substring_decontam")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(tx30 == expected, "st10 must equal tx30 minus the ratio projection")
+    val tmp = java.nio.file.Files.createTempDirectory("st10").toString
+    trainDocs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestSubstringCut(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(trainDocs.schema).parquet(tmp),
+      evalH, Dd.substringK)
+    val q = stream.writeStream.format("memory").queryName("st10_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM st10_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(streamed == expected,
+      s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
+  }
+
   test("st09 streaming quality gate: one-file-at-a-time equals the batch twin") {
     // The gate is stateless per doc (score + broadcast threshold
     // compare), so batch-boundary invariance is by construction — this

@@ -366,6 +366,67 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 1000000L, "tail"), (5L, 3500000L, "middle")))
   }
 
+  test("tx30 substring decontam: hand-computed spans, overlaps merge, eval docs never flagged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx30").toString
+    // eval doc 10 is 10 tokens -> three 8-token windows W1..W3.
+    val ev = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val w1 = "alpha bravo charlie delta echo foxtrot golf hotel" // W1
+    val w3 = "charlie delta echo foxtrot golf hotel india juliet" // W3
+    val junk8 = "jone jtwo jthree jfour jfive jsix jseven jeight"
+    Seq(
+      // train 1: W1 verbatim + 4 fresh tokens -> 12 tokens, 5 windows,
+      // exactly one contaminated (pos 1): one span of 8 cut tokens.
+      (1L, w1 + " zulu yankee xray whiskey"),
+      // train 3: the WHOLE eval passage embedded -> contaminated windows
+      // at pos 2,3,4 overlap into ONE span of 4-2+8 = 10 cut tokens.
+      (3L, "zulu " + ev + " victor uniform"),
+      // train 5: W1, 8 junk tokens, W3 -> two spans 8 tokens each
+      // (starts 1 and 17, gap > K-1 so they do NOT merge).
+      (5L, w1 + " " + junk8 + " " + w3),
+      // train 7: clean -> absent from the output.
+      (7L, "nothing here resembles the held out evaluation passage at all"),
+      (10L, ev), // the eval doc
+      (20L, ev)) // eval-eval duplication must NOT surface (both held out)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx30_substring_decontam")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toList
+    assert(out == List(
+      (1L, 5, 1, 1, 8),
+      (3L, 6, 3, 1, 10),
+      (5L, 17, 2, 2, 16)))
+    assert(out.forall(_._1 % 10 != 0), "eval docs must never be flagged")
+    graft.Caches.releaseAll()
+  }
+
+  test("tx31 fuzzy decontam: cross-fold near-dups reported with exact jaccard, within-fold pairs excluded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx31").toString
+    // 12 distinct words -> 10 distinct 3-shingles.
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val u = "utterly unrelated content discussing spark physical plans and columnar execution engines here"
+    Seq(
+      (1L, a + " extra"), // 11 shingles, 10 shared with eval -> j = 10/11
+      (2L, a),            // exact copy -> j = 1
+      (3L, u),            // unrelated train
+      (4L, u),            // train-train exact pair: must NOT surface
+      (10L, a))           // the eval doc
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx31_fuzzy_decontam")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out == List((1L, 10L, 10.0 / 11.0), (2L, 10L, 1.0)))
+    graft.Caches.releaseAll()
+  }
+
   test("tx27 chunking arithmetic: ceil(n/64) chunks, true-length tail, zero-token docs absent") {
     val spark2 = spark
     import spark2.implicits._
