@@ -427,6 +427,69 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // The DECONTAMINATED manifest (r13) — qp01's composition with tx30's
+    // SURGICAL decontamination in place of tx10's doc-drop: a doc that
+    // merely QUOTES an eval passage keeps its clean remainder instead of
+    // being thrown away (the Lee et al. 2021 argument applied across the
+    // fold boundary), and the manifest carries each survivor's POST-CUT
+    // token count — the number a token-budgeted trainer actually
+    // ingests, qp03's convention. Stages: tx07-style quality gate +
+    // exact keep-first → dd10's fuzzy dedup on the gated survivors
+    // (recall-1 license transfers, qp01's argument) → tx30's span cut
+    // vs the frozen eval slice (doc_id % 10 = 0) of the persisted
+    // window index, survivors dropped ONLY when the clean remainder
+    // falls under 20 tokens (a doc that is mostly eval text cannot ride
+    // in on a 5-token stub; exact integer rule) → tx13's train fold →
+    // tx19's seeded shard + rank. Output: (doc_id, shard, pos,
+    // n_tokens_kept); rerun ⇒ byte-identical shards. Hash-exact under
+    // dd10's recall license; every other stage mirrors from first
+    // principles.
+    "qp04_decontaminated_manifest" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val K = Dedup.substringK
+      val docs = table(s, dir, "documents")
+      val scored = docs
+        .withColumn("n_words", size(split(col("text"), " ")))
+        .withColumn("en_hits", size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+        .withColumn("n_short", size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
+        .withColumn("quality",
+          (col("en_hits") * lit(2.0) / col("n_words"))
+            - (col("n_short").cast("double") / col("n_words")))
+        .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
+      val gated = scored
+        .filter(col("en_hits") >= 3 && col("n_words") >= 20 && col("quality") >= 0.15)
+        .withColumn("rn", row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text")
+      val surv = Dedup.fuzzyDedupSurvivors(gated).select("doc_id")
+        .filter(col("doc_id") % 10 =!= 0)
+      val idx = Dedup.ddWinIndexPath(s, dir)
+      val wins = s.read.parquet(s"$idx/wins")
+        .select(col("doc_id"), col("pos"), col("h"))
+      val evalH = wins.filter(col("doc_id") % 10 === 0).select("h").distinct()
+      val occ = wins.join(surv, Seq("doc_id"), "left_semi")
+        .join(evalH, Seq("h"), "left_semi")
+      val sized = surv
+        .join(s.read.parquet(s"$idx/docs").select("doc_id", "n_ws"), "doc_id")
+        .join(contamSpanStats(occ, K).select("doc_id", "n_cut_tokens"),
+          Seq("doc_id"), "left")
+        .na.fill(0, Seq("n_cut_tokens"))
+        .withColumn("n_tokens_kept", (col("n_ws") - col("n_cut_tokens")).cast("int"))
+        .filter(col("n_tokens_kept") >= 20)
+        .select("doc_id", "n_tokens_kept")
+      val train = sized.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(!substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
+          .isin("d", "e", "f"))
+        .select("doc_id", "n_tokens_kept")
+      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+      train.select(col("doc_id"), col("n_tokens_kept"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos",
+          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+        .select("doc_id", "shard", "pos", "n_tokens_kept")
+        .orderBy("doc_id")
+    }),
+
     // PROPORTIONAL quality gate — the pruning form production filters
     // actually use (keep the top q% by score, per language), beside
     // tx09's fixed-k quota: a fixed k misjudges corpora whose language
@@ -606,26 +669,13 @@ object TextAnalysis {
     // division.
     "tx30_substring_decontam" -> ((s, dir) => {
       val K = Dedup.substringK
-      val W = org.apache.spark.sql.expressions.Window
       val idx = Dedup.ddWinIndexPath(s, dir)
       val wins = s.read.parquet(s"$idx/wins")
         .select(col("doc_id"), col("pos"), col("h"))
       val evalH = wins.filter(col("doc_id") % 10 === 0).select("h").distinct()
       val occ = wins.filter(col("doc_id") % 10 =!= 0)
         .join(evalH, Seq("h"), "left_semi")
-      val wDoc = W.partitionBy("doc_id").orderBy("pos")
-      val stats = occ
-        .withColumn("prev", lag("pos", 1).over(wDoc))
-        .withColumn("ns", when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1)
-          .otherwise(0))
-        .withColumn("span_id", sum("ns").over(wDoc))
-        .groupBy("doc_id", "span_id")
-        .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("nw"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_contam_spans"),
-          sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"),
-          sum("nw").cast("int").as("n_contam_windows"))
-      stats
+      contamSpanStats(occ, K)
         .join(s.read.parquet(s"$idx/docs")
           .select(col("doc_id"),
             greatest(col("n_ws") - (K - 1), lit(0)).cast("int").as("n_windows")),
@@ -1464,6 +1514,27 @@ object TextAnalysis {
   /** tx02's composite quality over an arbitrary documents frame — pure
     * per-row arithmetic (stream-legal: [[graft.streaming.Stateful
     * .ingestQualityGate]] applies it per micro-batch). */
+  /** tx30/qp04's islands pass: merge flagged window positions (`occ`:
+    * doc_id, pos — windows overlap iff starts are < K apart) into
+    * maximal spans per doc, folding per-span window counts into one
+    * aggregation — (doc_id, n_contam_spans, n_cut_tokens,
+    * n_contam_windows). One doc-partitioned window, no other exchange. */
+  private def contamSpanStats(occ: DataFrame, K: Int): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    occ
+      .withColumn("prev", lag("pos", 1).over(wDoc))
+      .withColumn("ns", when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1)
+        .otherwise(0))
+      .withColumn("span_id", sum("ns").over(wDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("nw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_contam_spans"),
+        sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"),
+        sum("nw").cast("int").as("n_contam_windows"))
+  }
+
   private[graft] def qualityScored(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_words", size(split(col("text"), " ")))
@@ -1857,6 +1928,86 @@ object TextAnalysis {
          |SELECT doc_id, substring(h, 1, 1) AS shard,
          |  CAST(ROW_NUMBER() OVER (
          |    PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS INT) AS pos
+         |FROM keyed ORDER BY doc_id""".stripMargin,
+    // Mirrors qp04: qp01's gate + fuzzy-closure CTEs (same recall
+    // license), tx30's survivor-restricted span cut, the >= 20-token
+    // remainder rule, tx13's fold, tx19's shard/rank.
+    "qp04_decontaminated_manifest" ->
+      s"""WITH RECURSIVE scored AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(regexp_extract_all(lower(text), '$EnStop')) AS en_hits,
+         |    len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS n_short,
+         |    md5(lower(trim(text))) AS fp
+         |  FROM documents),
+         |gated AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM scored
+         |    WHERE en_hits >= 3 AND n_words >= 20
+         |      AND (en_hits * 2.0 / n_words)
+         |        - (CAST(n_short AS DOUBLE) / n_words) >= 0.15)
+         |  WHERE rn = 1),
+         |d AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+         |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+         |  FROM gated),
+         |fpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+         |edges AS (
+         |  SELECT id_a, id_b FROM fpairs UNION SELECT id_b, id_a FROM fpairs),
+         |reach(id, r) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id),
+         |drops AS (SELECT id FROM reach GROUP BY id HAVING id != MIN(r)),
+         |surv AS (
+         |  SELECT doc_id FROM gated
+         |  WHERE doc_id NOT IN (SELECT id FROM drops) AND doc_id % 10 <> 0),
+         |t2 AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t2)),
+         |eh AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 = 0),
+         |occ AS (
+         |  SELECT w.doc_id, w.pos FROM w JOIN eh USING (h)
+         |  JOIN surv ON surv.doc_id = w.doc_id),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |  FROM (SELECT doc_id, pos,
+         |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM occ)),
+         |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e
+         |          FROM sp GROUP BY 1, 2),
+         |cut AS (
+         |  SELECT doc_id, SUM(e - s + 8) AS n_cut FROM spans GROUP BY 1),
+         |sized AS (
+         |  SELECT surv.doc_id,
+         |    CAST(len(t2.ws) - COALESCE(cut.n_cut, 0) AS INT) AS n_tokens_kept
+         |  FROM surv
+         |  JOIN t2 ON t2.doc_id = surv.doc_id
+         |  LEFT JOIN cut ON cut.doc_id = surv.doc_id
+         |  WHERE len(t2.ws) - COALESCE(cut.n_cut, 0) >= 20),
+         |train AS (
+         |  SELECT z.doc_id, z.n_tokens_kept
+         |  FROM sized z JOIN documents dd ON dd.doc_id = z.doc_id
+         |  WHERE substring(md5(lower(trim(dd.text))), 1, 1) NOT IN ('d', 'e', 'f')),
+         |keyed AS (
+         |  SELECT doc_id, n_tokens_kept,
+         |    md5('s42:' || CAST(doc_id AS VARCHAR)) AS h FROM train)
+         |SELECT doc_id, substring(h, 1, 1) AS shard,
+         |  CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS INT) AS pos,
+         |  n_tokens_kept
          |FROM keyed ORDER BY doc_id""".stripMargin,
     "tx13_hash_split" ->
       """SELECT doc_id, substring(md5(lower(trim(text))), 1, 1) AS nibble,

@@ -64,9 +64,9 @@ class PlanCensusSpec extends SparkSpec {
     // dd17 ends in dd12's unique-doc_id LEFT-join pattern; dd18 in
     // dd16's unique-source one — both eliminated under a bare count
     "dd17_incremental_substring", "dd18_batch_novelty",
-    // qp03 ends in the qp01/tx19 shard-rank window (collapsed like its
-    // siblings; the trailing tokensKept join prunes with it)
-    "qp03_incremental_manifest",
+    // qp03/qp04 end in the qp01/tx19 shard-rank window (collapsed like
+    // their siblings; the trailing token-count joins prune with it)
+    "qp03_incremental_manifest", "qp04_decontaminated_manifest",
     // dd19 shares dd16's unique-source LEFT-join final
     "dd19_refreshed_stats",
     // tx30 ends in the dd12-family shape (span aggregate joined to the

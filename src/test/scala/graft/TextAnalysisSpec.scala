@@ -427,6 +427,44 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("qp04 surgical decontam manifest: quoting doc keeps its clean remainder, mostly-eval doc drops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("qp04").toString
+    // Hand-computed corpus (gate arithmetic + nibble folds verified
+    // offline): eval docs 10/20 hold passages E (12 tokens, windows
+    // W1..W5) and F (13 tokens, windows W1..W6); both fail the quality
+    // gate (n_words < 20) and are held out by % 10 anyway.
+    val e = "the quick brown fox jumps over the lazy dog near the river"
+    val f = "a tale of two cities and the best of times for all people"
+    Seq(
+      // doc 1 QUOTES E then continues clean: 33 tokens, gate passes
+      // (en_hits 15, quality 0.667), contaminated windows 1..5 merge to
+      // ONE span of 12 cut tokens (exactly E), remainder 21 >= 20 ->
+      // SURVIVES with n_tokens_kept = 21. tx10-style doc-drop would
+      // have thrown the whole doc away.
+      (1L, e + " a story of a man and a woman walking to the market in the morning with a basket of fresh fruit"),
+      // doc 3 is E + F + 3 clean tokens: gate passes (quality 0.536)
+      // but spans [1,5] and [13,18] cut 25 of 28 tokens -> remainder 3
+      // < 20 -> DROPPED (a doc that is mostly eval text cannot ride in
+      // on a stub).
+      (3L, e + " " + f + " plus something extra"),
+      // doc 7 is clean: 20 tokens, gate passes, kept whole (20).
+      (7L, "a long and clean story about the sea with many fine words to read on a calm morning here now"),
+      (10L, e), (20L, f))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("qp04_decontaminated_manifest")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .toList
+    // shards: md5("s42:1") starts '8', md5("s42:7") starts '6' -> each
+    // doc is alone in its shard, pos 1. Fold nibbles (5, 3) are train.
+    assert(out == List((1L, "8", 1, 21), (7L, "6", 1, 20)), s"got $out")
+    graft.Caches.releaseAll()
+  }
+
   test("tx27 chunking arithmetic: ceil(n/64) chunks, true-length tail, zero-token docs absent") {
     val spark2 = spark
     import spark2.implicits._
