@@ -14,12 +14,19 @@ import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** The whole-operator extension stack (SURVEY.md §2 preference order (c)):
   * a custom logical node + planner strategy + physical operator for the
-  * backward as-of join, registered through `SparkSessionExtensions`
+  * as-of join, registered through `SparkSessionExtensions`
   * (`injectPlannerStrategy` in [[graft.GraftExtensions]]).
   *
-  * Semantics: for each left row, the most recent right row with the same
-  * key and `rightTime <= leftTime` (ties visible), optionally within
-  * `toleranceUs` microseconds; unmatched left rows carry nulls (left-outer).
+  * Semantics, backward (`forward = false`): for each left row, the most
+  * recent right row with the same key and `rightTime <= leftTime` (ties
+  * visible), optionally within `toleranceUs` microseconds; unmatched left
+  * rows carry nulls (left-outer). Forward (`forward = true`): the EARLIEST
+  * right row with `rightTime >= leftTime` — the pandas `merge_asof
+  * direction='forward'` contract. Both directions run the same single
+  * forward merge over the two (key, time)-sorted streams; forward needs
+  * even less state than backward (the match is simply the first same-key
+  * row not yet behind the left time, so the candidate and the read-ahead
+  * row are one and the same).
   *
   * Physical shape — the plan you want at 100 TB:
   *  - `requiredChildDistribution` clusters BOTH sides on the key, so
@@ -47,7 +54,8 @@ case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightValues: Seq[Attribute], toleranceUs: Option[Long]) extends BinaryNode {
+    rightValues: Seq[Attribute], toleranceUs: Option[Long],
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,8 +65,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, rv, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, rv, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -67,6 +75,7 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightValues: Seq[Attribute], toleranceUs: Option[Long],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan)
   extends SparkPlan with BinaryExecNode with CodegenSupport {
 
@@ -90,6 +99,7 @@ case class AsOfJoinExec(
     val rightOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
     val tolUs = toleranceUs
+    val fwd = forward
     val rightVals = rightValues
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // Per-partition single forward merge over the two (key, time)-sorted
@@ -139,19 +149,32 @@ case class AsOfJoinExec(
             else {
               val rt = rTimeProj(r)
               if (rt.isNullAt(0)) () // null time never matches
-              else if (rt.getLong(0) <= lTimeVal) {
+              else if (fwd) {
+                // forward: first same-key row at/after the left time is the
+                // match; keep it pending too — the next (later) left row
+                // either reuses it or walks past it.
+                if (rt.getLong(0) < lTimeVal) () // behind the left time: discard
+                else {
+                  candRow = r; candKey = rKey.copy(); candTime = rt.getLong(0)
+                  pending = r; advance = false
+                }
+              } else if (rt.getLong(0) <= lTimeVal) {
                 candRow = r; candKey = rKey.copy(); candTime = rt.getLong(0)
               } else { pending = r; advance = false }
             }
           }
         }
-        // Tolerance via the non-negative difference (candTime <= lTimeVal by
-        // construction): `candTime >= lTimeVal - t` overflows when lTimeVal
-        // is within t of Long.MinValue, and a wrapped huge-positive spread
-        // would read as negative — the diff >= 0 guard rejects exactly that.
+        // Tolerance via the non-negative difference: `candTime >= lTimeVal
+        // - t` overflows when lTimeVal is within t of Long.MinValue, and a
+        // wrapped huge-positive spread would read as negative — the diff
+        // >= 0 guard rejects exactly that. In the forward direction the
+        // guard also invalidates a stale candidate (set for an earlier
+        // same-key left row, now behind this one's time).
         val matched = candRow != null && !lTimeNull && !lKey.anyNull &&
-          keyOrd.compare(candKey, lKey) == 0 &&
-          tolUs.forall { t => val diff = lTimeVal - candTime; diff >= 0 && diff <= t }
+          keyOrd.compare(candKey, lKey) == 0 && {
+            val diff = if (fwd) candTime - lTimeVal else lTimeVal - candTime
+            diff >= 0 && tolUs.forall(diff <= _)
+          }
         outProj(joined(lRow, if (matched) valProj(candRow) else nullVals))
       }
     }
@@ -230,9 +253,31 @@ case class AsOfJoinExec(
          |${dst.value} = ${src.value};""".stripMargin
     }.mkString("\n")
 
-    // same overflow-safe non-negative-difference form as the interpreted path
-    val tolClause = toleranceUs.map(t =>
-      s" && ($ltVal - $candTime) >= 0L && ($ltVal - $candTime) <= ${t}L").getOrElse("")
+    // same overflow-safe non-negative-difference form as the interpreted
+    // path; in the forward direction the diff >= 0 guard doubles as the
+    // stale-candidate invalidation
+    val diffExpr = if (forward) s"($candTime - $ltVal)" else s"($ltVal - $candTime)"
+    val tolClause = s" && $diffExpr >= 0L" +
+      toleranceUs.map(t => s" && $diffExpr <= ${t}L").getOrElse("")
+    // generated body of the same-key branch of the advance loop
+    val sameKeyBody =
+      if (forward)
+        s"""if (${rTimeVar.isNull}) {
+           |  // null time never matches: discard
+           |} else if (${rTimeVar.value} < $ltVal) {
+           |  // behind the left time: discard
+           |} else {
+           |  $cand = $rightRow.copy(); $candTime = ${rTimeVar.value};
+           |  $pending = $cand; $advance = false;
+           |}""".stripMargin
+      else
+        s"""if (${rTimeVar.isNull}) {
+           |  // null time never matches: discard
+           |} else if (${rTimeVar.value} <= $ltVal) {
+           |  $cand = $rightRow.copy(); $candTime = ${rTimeVar.value};
+           |} else {
+           |  $pending = $rightRow.copy(); $advance = false;
+           |}""".stripMargin
 
     s"""
        |while ($leftInput.hasNext()) {
@@ -263,13 +308,7 @@ case class AsOfJoinExec(
        |          $pending = $rightRow.copy(); $advance = false;
        |        } else {
        |          ${rTimeVar.code}
-       |          if (${rTimeVar.isNull}) {
-       |            // null time never matches: discard
-       |          } else if (${rTimeVar.value} <= $ltVal) {
-       |            $cand = $rightRow.copy(); $candTime = ${rTimeVar.value};
-       |          } else {
-       |            $pending = $rightRow.copy(); $advance = false;
-       |          }
+       |          $sameKeyBody
        |        }
        |      }
        |    }
@@ -302,7 +341,7 @@ case class AsOfJoinExec(
 object AsOfJoinPlan {
   def asofExec(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTimeCol: String, rightTimeCol: String, valueCols: Seq[String],
-      toleranceUs: Option[Long] = None): DataFrame = {
+      toleranceUs: Option[Long] = None, forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val lp = left.queryExecution.analyzed
@@ -334,6 +373,6 @@ object AsOfJoinPlan {
       AsOfJoinNode(lp, rp,
         keys.map(attr(lp, _)), keys.map(attr(rp, _)),
         attr(lp, leftTimeCol), attr(rp, rightTimeCol),
-        valueCols.map(attr(rp, _)), toleranceUs))
+        valueCols.map(attr(rp, _)), toleranceUs, forward))
   }
 }

@@ -105,6 +105,88 @@ class AsOfExecSpec extends SparkSpec {
     assert(viaExec.count() == purchases.count()) // left-outer: every purchase kept
   }
 
+  test("forward semantics: earliest right row at/after, ties visible, outer nulls") {
+    val got = AsOfJoinPlan.asofExec(lefts, rights, Seq("k"), "lt", "rt", Seq("rt"),
+        forward = true)
+      .select("lid", "rt").collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got(10L).contains(ts("2026-01-01 10:00:00"))) // tie counts (>=)
+    assert(got(11L).isEmpty) // every key-1 right row is earlier than 12:00
+    assert(got(20L).isEmpty) // no right rows for key
+    assert(got(30L).contains(ts("2026-01-01 09:00:00"))) // first later row
+  }
+
+  test("forward tolerance bounds the lookahead") {
+    val l = Seq((1L, 1L, ts("2026-01-01 09:00:00")), (1L, 2L, ts("2026-01-01 09:58:30")))
+      .toDF("k", "lid", "lt")
+    val got = AsOfJoinPlan.asofExec(l, rights, Seq("k"), "lt", "rt", Seq("rt"),
+        toleranceUs = Some(60L * 1000 * 1000), forward = true) // 1 minute
+      .select("lid", "rt").collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got(1L).isEmpty) // 09:59 is 59m ahead > 1m tolerance
+    assert(got(2L).contains(ts("2026-01-01 09:59:00"))) // 30s ahead
+  }
+
+  test("forward: stale candidate from an earlier left row never matches") {
+    // one right row at t=5; left rows at t=3 (matches) then t=10 (must NOT
+    // reuse the t=5 candidate sitting in the merge state)
+    val l = Seq((1L, 1L, 3L), (1L, 2L, 10L)).toDF("k", "lid", "lt")
+    val r = Seq((1L, 5L)).toDF("k", "rt")
+    val got = AsOfJoinPlan.asofExec(l, r, Seq("k"), "lt", "rt", Seq("rt"),
+        forward = true)
+      .select("lid", "rt").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(got(1L).contains(5L))
+    assert(got(2L).isEmpty)
+  }
+
+  test("forward codegen path equals the interpreted path on real event data") {
+    val ev = Tables.events(spark, sf001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    def run(): Map[Long, Option[Timestamp]] =
+      AsOfJoinPlan.asofExec(purchases, clicks, Seq("user_id"), "p_ts", "click_ts",
+          Seq("click_ts"), forward = true)
+        .select("purchase_id", "click_ts").collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    val savedFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val savedWholeStage = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val viaCodegen = try run() finally
+      spark.conf.set("spark.sql.codegen.fallback", savedFallback)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val viaInterpreted = try run() finally
+      spark.conf.set("spark.sql.codegen.wholeStage", savedWholeStage)
+    assert(viaCodegen == viaInterpreted)
+    // and equals the union+window forward form
+    val viaWindow = AsOfJoin.asofForward(
+        purchases.withColumn("ts", col("p_ts")),
+        clicks.withColumn("ts", col("click_ts")).select("user_id", "ts", "click_ts"),
+        "user_id", "ts", Seq("click_ts"))
+      .select("purchase_id", "click_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(viaWindow == viaCodegen, "union+window forward and exec forward disagree")
+  }
+
+  test("aj04 composition: second exec adds no exchange or sort over the first") {
+    val ev = Tables.events(spark, sf001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    def clicks(as: String) = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as(as))
+    val back = AsOfJoinPlan.asofExec(purchases, clicks("b_ts"),
+      Seq("user_id"), "p_ts", "b_ts", Seq("b_ts"))
+    val both = AsOfJoinPlan.asofExec(back, clicks("f_ts"),
+      Seq("user_id"), "p_ts", "f_ts", Seq("f_ts"), forward = true)
+    val plan = both.queryExecution.executedPlan.toString
+    // one exchange+sort pair per exec input side = 3 total (left side of
+    // exec #2 is exec #1's output: already clustered and sorted)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n$plan")
+    assert(sorts == 3, s"expected 3 sorts, got $sorts:\n$plan")
+  }
+
   test("null keys never match (SQL equi-key semantics, not sort-order equality)") {
     val l = Seq((Option(1L), 1L, ts("2026-01-01 10:00:00")),
         (Option.empty[Long], 2L, ts("2026-01-01 10:00:00")))
