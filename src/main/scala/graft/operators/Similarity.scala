@@ -120,6 +120,47 @@ object Similarity {
       .select(col("vec_id"), col("cell").as("cluster"), col("dist"))
   }
 
+  /** Deterministic Gonzalez farthest-point (k-center) seeding (see the
+    * ss16 scaladoc): seed 1 is the smallest vec_id; each later seed is the
+    * vector MAXIMIZING its min squared-L2 distance to the seeds chosen so
+    * far (ties to the lower vec_id), on ss14's integer feature grid so
+    * every distance, comparison, and the reported separation are exact
+    * integers. Returns one row per seed: (seed_rank, vec_id, sep) where
+    * sep is the min-distance at selection time (null for seed 1) — the
+    * classic 2-approximation certificate for the k-center radius. */
+  private[graft] def kcenterSeeds(e: DataFrame, k: Int): DataFrame = {
+    val feats = e.select(col("vec_id"),
+      expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
+    val distExpr = // exact integer squared L2 between f and sc.c
+      "aggregate(zip_with(f, sc.c, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    val seed0 = feats.orderBy("vec_id").limit(1)
+      .select(lit(1).as("seed_rank"), col("vec_id"),
+        lit(null).cast("long").as("sep"), col("f").as("c"))
+    val seeds = (2 to k).foldLeft(seed0) { (sds, r) =>
+      // min distance to the chosen set, map-side vs ONE broadcast row of
+      // all seeds; the argmax is a single global max over a struct whose
+      // (md, -vec_id) prefix encodes "farthest, ties to lower id" —
+      // partial maxes reduce each task to one row before the exchange
+      val packed = sds.agg(collect_list(struct(col("c"))).as("cs"),
+        collect_list(col("vec_id")).as("ids"))
+      val next = feats.crossJoin(broadcast(packed))
+        // chosen ids never re-enter the argmax — without this, a corpus
+        // whose every remaining vector duplicates a seed (md 0 all round)
+        // would re-pick seed 1 on the id tie-break and emit a duplicate
+        .filter(!array_contains(col("ids"), col("vec_id")))
+        .withColumn("md", expr(s"array_min(transform(cs, sc -> $distExpr))"))
+        .agg(max(struct(col("md"), (-col("vec_id")).as("nv"), col("f"))).as("m"))
+        .select(lit(r).as("seed_rank"), (-col("m.nv")).as("vec_id"),
+          col("m.md").as("sep"), col("m.f").as("c"))
+      // each round's seed frame is r rows consumed twice (the broadcast
+      // pack + the union) with a corpus scan in its lineage — tracked
+      // cache bounds the plan exactly as in kmeansFixedPoint
+      graft.Caches.track(sds.unionByName(next))
+    }
+    seeds.select(col("seed_rank"), col("vec_id"), col("sep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k for a small query set (vec_id < 5).
     "ss01_cosine_topk" -> ((s, dir) => {
@@ -375,6 +416,29 @@ object Similarity {
         .select("vec_id", "cluster", "dist", "rk")
         .orderBy("cluster", "rk")
     }),
+
+    // FARTHEST-POINT k-center seeding (r13) — the initialization a
+    // production clustering/IVF trainer runs instead of ss14's first-k
+    // rule (Gonzalez 1985; kmeans++ is its randomized softening): seed 1
+    // = smallest vec_id, then greedily the vector farthest (min squared
+    // L2 to the chosen set, integer grid, ties to the lower vec_id) k-1
+    // times. The reported separation at each pick is the classic k-center
+    // 2-approximation certificate — seeds spread across the corpus's
+    // modes instead of huddling in whatever slice the first k ids sample,
+    // which is what makes the downstream Lloyd rounds converge in few
+    // iterations. Shape at 100 TB: per pick ONE map-side corpus scan
+    // against the broadcast seed row (array_min over the seed structs)
+    // reduced by a global max whose partial aggregates leave one row per
+    // task — no join, no corpus shuffle, no window; k-1 scans total. The
+    // scan-per-pick is inherent to EXACT greedy k-center — the scalable
+    // softening is k-means|| oversampling (Bahmani et al., VLDB 2012),
+    // which trades picks for a constant number of passes but samples
+    // probabilistically and so cannot be hash-exact; this is the
+    // deterministic form, and at realistic k (≤ 256 for IVF coarse
+    // quantizers trained on a SAMPLE, not the full corpus) the passes
+    // stay bounded. All-integer end to end — hash-exact.
+    "ss16_kcenter_seeds" -> ((s, dir) =>
+      kcenterSeeds(emb(s, dir), k = 8).orderBy("seed_rank")),
 
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
     // subspaces × 16 centroids, trained with two deterministic Lloyd
@@ -768,6 +832,50 @@ object Similarity {
     // shifted features; HUGEINT sums cast back to BIGINT.
     "ss14_kmeans" ->
       (kmeansOracleCtes + "\nSELECT vec_id, cluster, dist FROM fin ORDER BY vec_id"),
+    // Mirrors ss16 term-for-term: the greedy farthest-point chain
+    // unrolled as CTEs over the flattened integer features — per pick a
+    // min-dist update (LEAST against the new seed's distance column) and
+    // an ORDER BY md DESC, vec_id LIMIT 1 argmax. All-integer, so the
+    // chain is engine-exact like ss14's.
+    "ss16_kcenter_seeds" -> {
+      val f =
+        """WITH f AS (
+          |  SELECT vec_id, i AS dim,
+          |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+          |      + 1000000 AS fv
+          |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+          |        FROM embeddings)),
+          |s1 AS (SELECT min(vec_id) AS vec_id FROM f),
+          |m1 AS (
+          |  SELECT f.vec_id, SUM((f.fv - g.fv) * (f.fv - g.fv)) AS md
+          |  FROM f JOIN f g ON f.dim = g.dim
+          |    AND g.vec_id = (SELECT vec_id FROM s1)
+          |  WHERE f.vec_id <> (SELECT vec_id FROM s1)
+          |  GROUP BY 1)""".stripMargin
+      val picks = (2 to 8).map { i =>
+        val upd = if (i == 8) "" else s""",
+          |m$i AS (
+          |  SELECT m.vec_id, LEAST(m.md, d.md) AS md
+          |  FROM m${i - 1} m JOIN (
+          |    SELECT f.vec_id, SUM((f.fv - g.fv) * (f.fv - g.fv)) AS md
+          |    FROM f JOIN f g ON f.dim = g.dim
+          |      AND g.vec_id = (SELECT vec_id FROM p$i)
+          |    GROUP BY 1) d USING (vec_id)
+          |  WHERE m.vec_id <> (SELECT vec_id FROM p$i))""".stripMargin
+        s""",
+          |p$i AS (SELECT vec_id, md FROM m${i - 1}
+          |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin + upd
+      }.mkString
+      val out = (2 to 8).map(i =>
+        s"UNION ALL SELECT CAST($i AS INT), vec_id, CAST(md AS BIGINT) FROM p$i")
+        .mkString("\n")
+      f + picks +
+        s"""
+          |SELECT CAST(1 AS INT) AS seed_rank, (SELECT vec_id FROM s1) AS vec_id,
+          |  CAST(NULL AS BIGINT) AS sep
+          |$out
+          |ORDER BY seed_rank""".stripMargin
+    },
     // Mirrors ss15: ss14's chain + the per-cluster (dist, vec_id) rank.
     "ss15_cluster_sample" ->
       (kmeansOracleCtes + """

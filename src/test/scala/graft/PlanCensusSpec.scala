@@ -24,7 +24,8 @@ class PlanCensusSpec extends SparkSpec {
     "ss13_ivf_sq8_ann", // ss05's broadcast centroid assignment + the 1-row grid
     "tx29_ppl_buckets", // 1-row broadcast tercile thresholds under the bucket CASE
     "ss14_kmeans", // corpus x ONE broadcast row holding all k centroids (per Lloyd round)
-    "ss15_cluster_sample") // ss14's assignment inherited under the per-cluster rank
+    "ss15_cluster_sample", // ss14's assignment inherited under the per-cluster rank
+    "ss16_kcenter_seeds") // corpus x ONE broadcast row holding the chosen seeds (per pick)
 
   // Queries whose count() plan legally collapses (Catalyst eliminates
   // cardinality-preserving windows / unique-key outer joins under a bare

@@ -328,6 +328,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(t => t._2 >= 0 && t._2 <= 2))
   }
 
+  test("ss16 farthest-point seeding: hand-computed picks, ties to the lower vec_id, duplicate never re-picked") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1-D line with a duplicate: ids 1..5 at 0.0, 0.0, 0.1, 0.5, 0.4.
+    // Integer grid: 1000000, 1000000, 1100000, 1500000, 1400000. Trace:
+    //  seed 1 = vec 1 (smallest id), sep null.
+    //  pick 2: min-dists (0, 0, 1e10, 25e10, 16e10) -> vec 4, sep 25e10.
+    //  pick 3: min-dists to {1,4}: v2 0, v3 1e10, v5 min(16e10, 1e10)=1e10
+    //    -> TIE between 3 and 5 at 1e10 -> lower id, vec 3.
+    //  pick 4: v5 min(16e10, 1e10, 9e10)=1e10 -> vec 5, sep 1e10.
+    //  pick 5: only v2 (dup of seed 1) left at md 0 -> vec 2, sep 0.
+    val e = Seq((1L, Seq(0.0)), (2L, Seq(0.0)), (3L, Seq(0.1)),
+        (4L, Seq(0.5)), (5L, Seq(0.4)))
+      .toDF("vec_id", "v")
+    val out = Similarity.kcenterSeeds(e, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toList.sortBy(_._1)
+    graft.Caches.releaseAll()
+    val e10 = 100000L * 100000L
+    assert(out == List((1, 1L, -1L), (2, 4L, 25 * e10), (3, 3L, e10),
+      (4, 5L, e10), (5, 2L, 0L)))
+  }
+
+  test("ss16 separations are non-increasing (greedy max-min invariant)") {
+    val seps = Similarity.queries("ss16_kcenter_seeds")(spark, sf001)
+      .collect().flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toList
+    graft.Caches.releaseAll()
+    assert(seps.size == 7)
+    assert(seps.zip(seps.tail).forall { case (a, b) => a >= b },
+      s"separations increased along the greedy chain: $seps")
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")
