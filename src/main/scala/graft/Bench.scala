@@ -46,9 +46,16 @@ private[graft] object SoloScheduler {
     * post-suite decay window); `childCapSec` — per-child wall cap (the
     * effective cap is min(childCapSec, remaining)); `floorSec` — don't
     * spawn a child with less than this left (a child needs JVM boot +
-    * warmup before it can produce a figure at all). */
+    * warmup before it can produce a figure at all); `suspects` — pinned
+    * priority list of queries whose in-suite figures are KNOWN to carry
+    * multi-x suite-contention distortion (three rounds running: dd14
+    * 5-10x, dd12 3-6x) — these run FIRST, in list order, so budget
+    * exhaustion sacrifices the least-distorted targets, never the ones
+    * the solo pass exists for (r13 verdict #4: cheapest-first made the
+    * most-distorted target the first casualty of the budget). */
   final case class Config(
-      budgetSec: Double, settleSec: Double, childCapSec: Double, floorSec: Double)
+      budgetSec: Double, settleSec: Double, childCapSec: Double, floorSec: Double,
+      suspects: Seq[String] = Nil)
   /** `figs` — per-query solo walls (min over the runs that landed);
     * `skipped` — targets never attempted because the budget ran out;
     * `anomalous` — first-run figure read above 1.25× its in-suite
@@ -60,13 +67,19 @@ private[graft] object SoloScheduler {
       figs: Seq[(String, Double)], skipped: Seq[String],
       anomalous: Seq[String], spentSec: Double)
 
-  /** Children run CHEAPEST-first (by in-suite figure) so the heaviest
-    * queries — where absolute error matters most — land latest on the
-    * post-suite decay curve; the single heaviest target then gets one
-    * time-spaced resample at the tail (min kept) if budget remains —
-    * r12's bounded answer to multi-minute contention eras no load gate
-    * sees, cut from "every anomalous child reruns" to ONE child (r12
-    * verdict #1: the second loop was half the wall overrun). */
+  /** Children run MOST-SUSPECT-first: pinned `suspects` in list order,
+    * then the rest cheapest-first (for non-suspects the distortion ratio
+    * is unknown ≈ 1, so cheapest-first survives only as the tie-break).
+    * r13 verdict #4 inverted the old cheapest-first policy: ordering by
+    * cost guaranteed that budget exhaustion dropped exactly the target
+    * whose in-suite figure is most distorted (dd14: skipped in r13 while
+    * carrying a 9.5x-inflated 30.30 s in-suite figure). The settle pause
+    * already absorbs the post-suite decay the old ordering hedged
+    * against, and the most-suspect target additionally gets one
+    * time-spaced tail resample (min kept) so it holds one early and one
+    * late sample — r12's bounded answer to multi-minute contention eras
+    * no load gate sees, cut from "every anomalous child reruns" to ONE
+    * child (r12 verdict #1: the second loop was half the wall overrun). */
   def run(targets: Seq[String], inSuite: Map[String, Double], cfg: Config,
       runChild: (String, Double) => Option[Double],
       sleep: Double => Unit, now: () => Double): Result = {
@@ -74,7 +87,9 @@ private[graft] object SoloScheduler {
     def remaining: Double = cfg.budgetSec - (now() - t0)
     if (targets.isEmpty) return Result(Nil, Nil, Nil, now() - t0)
     sleep(math.max(0.0, math.min(cfg.settleSec, remaining)))
-    val order = targets.sortBy(n => inSuite.getOrElse(n, 0.0))
+    val suspectRank = cfg.suspects.zipWithIndex.toMap
+    val order = targets.sortBy(n =>
+      (suspectRank.getOrElse(n, Int.MaxValue), inSuite.getOrElse(n, 0.0)))
     val first = Seq.newBuilder[(String, Double)]
     val skipped = Seq.newBuilder[String]
     order.foreach { name =>
@@ -86,11 +101,16 @@ private[graft] object SoloScheduler {
     val anomalous = firstFigs.collect {
       case (n, v) if v > inSuite.getOrElse(n, Double.MaxValue) * 1.25 => n
     }
-    val heaviest = order.last
+    // Tail resample target: the most-suspect child (it ran first, right
+    // at the settle boundary — the riskiest slot); with no suspects in
+    // the target set, the heaviest by in-suite figure (prior behavior).
+    val resample =
+      if (suspectRank.contains(order.head)) order.head
+      else order.maxBy(n => inSuite.getOrElse(n, 0.0))
     val second: Map[String, Double] =
-      if (!firstFigs.exists(_._1 == heaviest) || remaining < cfg.floorSec) Map.empty
-      else runChild(heaviest, math.min(cfg.childCapSec, remaining))
-        .map(heaviest -> _).toMap
+      if (!firstFigs.exists(_._1 == resample) || remaining < cfg.floorSec) Map.empty
+      else runChild(resample, math.min(cfg.childCapSec, remaining))
+        .map(resample -> _).toMap
     val figs = firstFigs.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }
     Result(figs, skipped.result(), anomalous, now() - t0)
   }
@@ -485,7 +505,14 @@ object Bench {
       budgetSec = sys.env.get("SPARK_GRAFT_SOLO_BUDGET_SEC").map(_.toDouble).getOrElse(600.0),
       settleSec = soloSettle.toDouble,
       childCapSec = sys.env.get("SPARK_GRAFT_SOLO_CHILD_CAP_SEC").map(_.toDouble).getOrElse(300.0),
-      floorSec = 60.0)
+      floorSec = 60.0,
+      // Pinned distortion suspects (r13 verdict #4): three straight rounds
+      // of judge quiet-box measurements put dd14 at 5-10x and dd12 at 3-6x
+      // their in-suite figures — the solo pass exists FOR these two, so
+      // they spend the budget first.
+      suspects = sys.env.get("SPARK_GRAFT_SOLO_SUSPECTS")
+        .map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq("dd14_policy_cut", "dd12_substring_dedup")))
     val inSuiteOf = results.toMap
     // SPARK_GRAFT_SOLO_DRYRUN=1 swaps the child for a stub (short sleep +
     // a figure derived from the in-suite wall) so a full end-to-end bench
@@ -581,6 +608,10 @@ object Bench {
       if (!p.waitFor(math.max(1000L, (capSec * 1000).toLong),
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
         p.destroyForcibly()
+        // Bounded wait for actual exit: without it the next child JVM can
+        // start while this one is still tearing down, briefly co-resident
+        // and contaminating the next figure (ADVICE r13).
+        p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
         System.err.println("[bench] solo child timed out")
         None
       } else if (p.exitValue() != 0) {

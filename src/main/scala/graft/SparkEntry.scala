@@ -30,6 +30,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _)
 
+  /** Assembled oracle SQL, passed through [[OracleSql.materializeReusedCtes]]
+    * so no multiply-referenced CTE ships un-MATERIALIZED (DuckDB's CTE
+    * inlining re-executes per reference — the failure that emptied
+    * CORRECTNESS_r13 via ss16's chain oracle).
+    */
   def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _)
+    modules.map(_._2).reduce(_ ++ _).map { case (k, v) =>
+      k -> OracleSql.materializeReusedCtes(v)
+    }
 }

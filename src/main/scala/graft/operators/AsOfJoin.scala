@@ -21,7 +21,16 @@ object AsOfJoin {
   /** Generic backward as-of join on a single key and timestamp column.
     * `left`/`right` must share `keyCol` and `tsCol`; right columns named in
     * `carry` are propagated to matching left rows (null if no prior right
-    * row). Ties (equal ts) count the right row as visible to the left row. */
+    * row). Ties (equal ts) count the right row as visible to the left row.
+    *
+    * The carry travels as ONE struct of all value columns (ADVICE r13):
+    * per-column `last(when(...), ignoreNulls)` would skip a matched right
+    * row's null column and stitch values from DIFFERENT right rows —
+    * diverging from [[graft.plans.AsOfJoinExec]]'s contract (carry the
+    * matched row's values, nulls included). A null KEY never matches
+    * (SQL equi-key semantics, same as the exec): null-key left rows get
+    * null carries rather than matching null-key right rows that
+    * `partitionBy` groups together. */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       carry: Seq[String]): DataFrame = {
     val lTag = left.withColumn("__side", lit(1))
@@ -30,10 +39,14 @@ object AsOfJoin {
     // right rows sort before left rows at equal ts => "<=" semantics
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    val packed = unioned.withColumn("__carry",
+      last(when(col("__side") === 0, struct(carry.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val unpacked = carry.foldLeft(packed) { (df, c) =>
+      df.withColumn(c,
+        when(col(keyCol).isNotNull, col("__carry").getField(c)))
     }
-    carried.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__carry")
   }
 
   /** Generic forward as-of join: for each left row, the EARLIEST right row
@@ -41,7 +54,8 @@ object AsOfJoin {
     * pandas `merge_asof direction='forward'` contract as the union+window
     * mirror of [[graft.plans.AsOfJoinExec]]'s forward mode. Left rows sort
     * BEFORE right rows at equal ts so the tie stays inside the
-    * current-row→following frame. Same single shuffle on the key. */
+    * current-row→following frame. Same single shuffle on the key.
+    * Same struct-packed carry + null-key contract as [[asofBackward]]. */
   def asofForward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       carry: Seq[String]): DataFrame = {
     val lTag = left.withColumn("__side", lit(0))
@@ -50,10 +64,14 @@ object AsOfJoin {
     // left rows sort before right rows at equal ts => ">=" semantics
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = carry.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, first(when(col("__side") === 1, col(c)), ignoreNulls = true).over(w))
+    val packed = unioned.withColumn("__carry",
+      first(when(col("__side") === 1, struct(carry.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val unpacked = carry.foldLeft(packed) { (df, c) =>
+      df.withColumn(c,
+        when(col(keyCol).isNotNull, col("__carry").getField(c)))
     }
-    carried.filter(col("__side") === 0).drop("__side")
+    unpacked.filter(col("__side") === 0).drop("__side", "__carry")
   }
 
   /** Range join: equi key + time-band residual. The equi key (user_id)

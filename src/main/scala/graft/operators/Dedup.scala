@@ -504,11 +504,6 @@ object Dedup {
         // replaced a populated index with an empty one on a transient
         // read failure (r12 advice); a failure with part files present
         // now surfaces at the consumer instead of being masked here.
-        def hasPartFile(x: java.io.File): Boolean = {
-          val fs = Option(x.listFiles()).getOrElse(Array.empty[java.io.File])
-          fs.exists(c => c.isFile && c.getName.startsWith("part-")) ||
-            fs.exists(c => c.isDirectory && hasPartFile(c))
-        }
         if (!hasPartFile(new java.io.File(s"$path/wins")))
           winsDf.limit(0).write.mode("overwrite").parquet(s"$path/wins")
         t.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"),
@@ -525,6 +520,28 @@ object Dedup {
       }
       () => built
     })()
+  }
+
+  /** Emptiness probe for the just-written window index. The ONLY state
+    * that may read as "empty" is a verified absence: the directory does
+    * not exist, or it lists cleanly and holds no part file anywhere. A
+    * directory that EXISTS but cannot be listed (`listFiles()` null —
+    * transient FS failure, permission loss) THROWS instead — under the
+    * old `Option(listFiles).getOrElse(empty)` form that state read as
+    * "no part files" and the caller then OVERWROTE a possibly-populated
+    * index with `limit(0)`, silently emptying dd12-dd19/st08/qp03 results
+    * (r13 verdict #5 / ADVICE). Failure must propagate, never mask. */
+  private[graft] def hasPartFile(x: java.io.File): Boolean = {
+    val fs = x.listFiles()
+    if (fs == null) {
+      if (x.exists())
+        throw new java.io.IOException(
+          s"index probe: directory exists but cannot be listed " +
+            s"(transient read failure? permissions?): $x")
+      false
+    } else
+      fs.exists(c => c.isFile && c.getName.startsWith("part-")) ||
+        fs.exists(c => c.isDirectory && hasPartFile(c))
   }
 
   /** The BATCH side of the incremental substring family (dd17/dd18): the

@@ -774,8 +774,13 @@ object Similarity {
   // The shared k-means CTE chain (two Lloyd rounds unrolled over the
   // flattened integer features) through the final assignment `fin` —
   // ss14 selects it directly, ss15 wraps it in the per-cluster rank.
+  // Multiply-referenced CTEs (f ×6, c0/c1 ×2) are AS MATERIALIZED:
+  // DuckDB inlines plain CTEs, re-executing the subtree once per
+  // reference — harmless here, but the same disease un-ran the ss16
+  // oracle in r13, so every reused CTE in a chain oracle is now
+  // materialized by policy (enforced by OracleDisciplineSpec).
   private val kmeansOracleCtes =
-    """WITH f AS (
+    """WITH f AS MATERIALIZED (
         |  SELECT vec_id, i AS dim,
         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
         |      + 1000000 AS fv
@@ -784,7 +789,7 @@ object Similarity {
         |seed AS (
         |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
         |  FROM (SELECT DISTINCT vec_id FROM f ORDER BY vec_id LIMIT 8)),
-        |c0 AS (SELECT seed.cell, f.dim, f.fv AS cv FROM seed JOIN f USING (vec_id)),
+        |c0 AS MATERIALIZED (SELECT seed.cell, f.dim, f.fv AS cv FROM seed JOIN f USING (vec_id)),
         |d1 AS (
         |  SELECT f.vec_id, c.cell, SUM((f.fv - c.cv) * (f.fv - c.cv)) AS dist
         |  FROM f JOIN c0 c USING (dim) GROUP BY 1, 2),
@@ -796,7 +801,7 @@ object Similarity {
         |u1 AS (
         |  SELECT a1.cell, f.dim, SUM(f.fv) // COUNT(*) AS cv
         |  FROM a1 JOIN f USING (vec_id) GROUP BY 1, 2),
-        |c1 AS (
+        |c1 AS MATERIALIZED (
         |  SELECT c.cell, c.dim, CAST(COALESCE(u1.cv, c.cv) AS BIGINT) AS cv
         |  FROM c0 c LEFT JOIN u1 ON u1.cell = c.cell AND u1.dim = c.dim),
         |d2 AS (
@@ -837,16 +842,21 @@ object Similarity {
     // min-dist update (LEAST against the new seed's distance column) and
     // an ORDER BY md DESC, vec_id LIMIT 1 argmax. All-integer, so the
     // chain is engine-exact like ss14's.
+    // EVERY chain CTE is AS MATERIALIZED: each mN/pN is referenced 2-3
+    // times, and DuckDB's CTE inlining re-executes each reference, so the
+    // plain form compounds ~3^6 re-runs of the f-self-join down the chain
+    // (>20 min CPU at sf0.01 — this zeroed CORRECTNESS_r13). The
+    // materialized form completes in ~2 s and is row-for-row identical.
     "ss16_kcenter_seeds" -> {
       val f =
-        """WITH f AS (
+        """WITH f AS MATERIALIZED (
           |  SELECT vec_id, i AS dim,
           |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
           |      + 1000000 AS fv
           |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
           |        FROM embeddings)),
-          |s1 AS (SELECT min(vec_id) AS vec_id FROM f),
-          |m1 AS (
+          |s1 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM f),
+          |m1 AS MATERIALIZED (
           |  SELECT f.vec_id, SUM((f.fv - g.fv) * (f.fv - g.fv)) AS md
           |  FROM f JOIN f g ON f.dim = g.dim
           |    AND g.vec_id = (SELECT vec_id FROM s1)
@@ -854,7 +864,7 @@ object Similarity {
           |  GROUP BY 1)""".stripMargin
       val picks = (2 to 8).map { i =>
         val upd = if (i == 8) "" else s""",
-          |m$i AS (
+          |m$i AS MATERIALIZED (
           |  SELECT m.vec_id, LEAST(m.md, d.md) AS md
           |  FROM m${i - 1} m JOIN (
           |    SELECT f.vec_id, SUM((f.fv - g.fv) * (f.fv - g.fv)) AS md
@@ -863,7 +873,7 @@ object Similarity {
           |    GROUP BY 1) d USING (vec_id)
           |  WHERE m.vec_id <> (SELECT vec_id FROM p$i))""".stripMargin
         s""",
-          |p$i AS (SELECT vec_id, md FROM m${i - 1}
+          |p$i AS MATERIALIZED (SELECT vec_id, md FROM m${i - 1}
           |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin + upd
       }.mkString
       val out = (2 to 8).map(i =>

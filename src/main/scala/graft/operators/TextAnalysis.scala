@@ -1511,9 +1511,6 @@ object TextAnalysis {
       |  LEFT JOIN wtok t ON o.w = t.w
       |  GROUP BY d.doc_id, d.source)""".stripMargin
 
-  /** tx02's composite quality over an arbitrary documents frame — pure
-    * per-row arithmetic (stream-legal: [[graft.streaming.Stateful
-    * .ingestQualityGate]] applies it per micro-batch). */
   /** tx30/qp04's islands pass: merge flagged window positions (`occ`:
     * doc_id, pos — windows overlap iff starts are < K apart) into
     * maximal spans per doc, folding per-span window counts into one
@@ -1535,6 +1532,9 @@ object TextAnalysis {
         sum("nw").cast("int").as("n_contam_windows"))
   }
 
+  /** tx02's composite quality over an arbitrary documents frame — pure
+    * per-row arithmetic (stream-legal: [[graft.streaming.Stateful
+    * .ingestQualityGate]] applies it per micro-batch). */
   private[graft] def qualityScored(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_words", size(split(col("text"), " ")))
@@ -2260,7 +2260,7 @@ object TextAnalysis {
         |       ELSE 'tail' END AS bucket
         |FROM sc, thr ORDER BY doc_id""".stripMargin,
     // Mirrors tx30 from first principles (dd12's window SQL pointed
-    // across the fold boundary): eval (doc_id % 50 = 0) distinct window
+    // across the fold boundary): eval (doc_id % 10 = 0) distinct window
     // hashes, train occurrences matching them, islands merge on starts
     // < 8 apart, per-span window counts summed in the same pass.
     "tx30_substring_decontam" ->

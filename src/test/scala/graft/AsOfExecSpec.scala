@@ -168,6 +168,48 @@ class AsOfExecSpec extends SparkSpec {
     assert(viaWindow == viaCodegen, "union+window forward and exec forward disagree")
   }
 
+  test("union+window forms carry the matched ROW (nulls included) and never match null keys (ADVICE r13)") {
+    // right@15 has v1=7,v2=null; right@5 has v1=null,v2="a". The old
+    // per-column last(when(...), ignoreNulls) carry skipped the matched
+    // row's null column and stitched v2="a" onto lid2's v1=7 — values
+    // from two DIFFERENT right rows. The struct carry keeps the row
+    // coherent. Null-key rows (lid3 / the null-key right row) must not
+    // match each other: SQL equi-key semantics, same as the exec.
+    val l = Seq((Option(1L), 1L, 10L), (Option(1L), 2L, 20L), (Option.empty[Long], 3L, 10L))
+      .toDF("k", "lid", "t")
+    val r = Seq(
+      (Option(1L), 5L, Option.empty[Long], Option("a")),
+      (Option(1L), 15L, Option(7L), Option.empty[String]),
+      (Option.empty[Long], 5L, Option(9L), Option("z")))
+      .toDF("k", "t", "v1", "v2")
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Option[Long], Option[String])] =
+      df.select("lid", "v1", "v2").collect().map(row =>
+        row.getLong(0) -> ((if (row.isNullAt(1)) None else Some(row.getLong(1)),
+          Option(row.getString(2))))).toMap
+    val expect = Map(
+      1L -> ((None, Some("a"))),       // matched right@5 row-for-row
+      2L -> ((Some(7L), None)),        // matched right@15: its null STAYS null
+      3L -> ((None, None)))            // null key: no match
+    val gotB = asMap(AsOfJoin.asofBackward(l, r, "k", "t", Seq("v1", "v2")))
+    assert(gotB == expect, s"backward: $gotB")
+    // Forward mirror: lid1@10 -> right@15 (earliest at/after), lid2@20 ->
+    // none, null key -> none.
+    val gotF = asMap(AsOfJoin.asofForward(l, r, "k", "t", Seq("v1", "v2")))
+    assert(gotF == Map(
+      1L -> ((Some(7L), None)),
+      2L -> ((None, None)),
+      3L -> ((None, None))), s"forward: $gotF")
+    // And both agree with the exec on the same frame.
+    val execB = asMap(AsOfJoinPlan.asofExec(
+      l.withColumnRenamed("t", "lt"), r.withColumnRenamed("t", "rt"),
+      Seq("k"), "lt", "rt", Seq("v1", "v2")))
+    val execF = asMap(AsOfJoinPlan.asofExec(
+      l.withColumnRenamed("t", "lt"), r.withColumnRenamed("t", "rt"),
+      Seq("k"), "lt", "rt", Seq("v1", "v2"), forward = true))
+    assert(execB == gotB, s"exec backward $execB != window $gotB")
+    assert(execF == gotF, s"exec forward $execF != window $gotF")
+  }
+
   test("aj04 composition: second exec adds no exchange or sort over the first") {
     val ev = Tables.events(spark, sf001)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -624,4 +624,34 @@ class DedupSpec extends SparkSpec {
       s"diff: ${(got.toSet diff expect.toSet).toSeq.sortBy(_._1)} vs expected " +
         s"${(expect.toSet diff got.toSet).toSeq.sortBy(_._1)}")
   }
+
+  test("index emptiness probe: a listing failure PROPAGATES instead of reading as empty (r13 #5)") {
+    // Genuine absence / emptiness → false (the only states allowed to
+    // trigger the empty-schema fallback write).
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_").toFile
+    assert(!Dedup.hasPartFile(new java.io.File(dir, "missing")))
+    assert(!Dedup.hasPartFile(dir))
+    val sub = new java.io.File(dir, "par=0"); sub.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(sub, "part-00000.parquet").toPath, "x")
+    assert(Dedup.hasPartFile(dir))
+    // Injected transient read failure: the directory EXISTS but cannot be
+    // listed. Under the old Option(listFiles).getOrElse(empty) form this
+    // read as "no part files" and the caller overwrote the index with
+    // limit(0) — silently emptying eight downstream queries. It must throw.
+    val unlistable = new java.io.File(dir.getAbsolutePath) {
+      override def listFiles(): Array[java.io.File] = null
+      override def exists(): Boolean = true
+    }
+    intercept[java.io.IOException](Dedup.hasPartFile(unlistable))
+    // ... including when the failure is on a NESTED directory mid-walk.
+    val evilChild = new java.io.File(sub.getAbsolutePath) {
+      override def listFiles(): Array[java.io.File] = null
+      override def exists(): Boolean = true
+    }
+    val parentWithEvilChild = new java.io.File(dir.getAbsolutePath) {
+      override def listFiles(): Array[java.io.File] = Array(evilChild)
+    }
+    intercept[java.io.IOException](Dedup.hasPartFile(parentWithEvilChild))
+  }
 }

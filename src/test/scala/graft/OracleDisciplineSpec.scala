@@ -40,6 +40,66 @@ class OracleDisciplineSpec extends AnyFunSuite {
         s"see CORRECTNESS_r09 tx18/tx20/tx21/tx22):\n  ${offenders.mkString("\n  ")}")
   }
 
+  /** Pins the r13 lesson: oracle SQL is shipped code and must be RUNNABLE,
+    * not just semantically right. DuckDB 1.0 inlines plain CTEs — every
+    * reference re-executes the subtree — so a chain whose CTEs are each
+    * referenced 2-3 times compounds exponentially: ss16's 8-pick greedy
+    * chain hit ~3^6 re-runs of a feature self-join and wedged the driver's
+    * compare for >20 min, shipping CORRECTNESS_r13.json as `{}` and zeroing
+    * the official green for all 154 queries. The identical SQL with
+    * `AS MATERIALIZED` completes in ~2 s. House rule: any non-recursive CTE
+    * referenced more than once must be declared `AS MATERIALIZED`.
+    * (Singly-referenced CTEs stay plain — inlining them preserves filter
+    * pushdown and costs nothing.)
+    */
+  test("every multiply-referenced non-recursive CTE in an oracle is AS MATERIALIZED") {
+    val declRe =
+      """(?i)\b(\w+)\s*(?:\([^()]*\))?\s+AS\s+(MATERIALIZED\s+)?\(""".r
+
+    // End index (exclusive) of the parenthesized body starting at `open`
+    // (the position of the '('), skipping single-quoted literals.
+    def bodyEnd(sql: String, open: Int): Int = {
+      var depth = 0; var i = open; var inStr = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      sql.length
+    }
+
+    val windowDecl = """(?is).*\bWINDOW\s*$""".r
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (qname, sql) =>
+      declRe.findAllMatchIn(sql).flatMap { m =>
+        val cte = m.group(1)
+        val materialized = m.group(2) != null
+        // `WINDOW w AS (...)` is a named-window declaration, not a CTE.
+        val isWindow = windowDecl.matches(sql.substring(0, m.start))
+        val bStart = m.end - 1          // the '(' opening the body
+        val bEnd = bodyEnd(sql, bStart)
+        val refRe = ("(?i)\\b" + java.util.regex.Pattern.quote(cte) + "\\b").r
+        val refStarts = refRe.findAllMatchIn(sql).map(_.start).toList
+          .filter(p => p < m.start || p >= m.end) // not the declaration itself
+        val selfRefs = refStarts.count(p => p >= bStart && p < bEnd)
+        val outsideRefs = refStarts.length - selfRefs
+        if (isWindow || selfRefs > 0) None // window decl / recursive CTE
+        else if (outsideRefs > 1 && !materialized)
+          Some(s"$qname: CTE `$cte` referenced $outsideRefs times but not MATERIALIZED")
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"DuckDB inlines plain CTEs (re-executes per reference — the exact " +
+        s"failure that emptied CORRECTNESS_r13, see ss16):\n  " +
+        offenders.mkString("\n  "))
+  }
+
   test("the five LM/importance score queries stay rows-only (no oracle) with evidence twins hashed") {
     val scoreQueries = Seq("tx18_unigram_logprob", "tx20_bigram_logprob",
       "tx21_backoff_heldout", "tx22_nb_source_score", "tx23_dsir_score")

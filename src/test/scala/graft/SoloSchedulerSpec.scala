@@ -50,6 +50,28 @@ class SoloSchedulerSpec extends AnyFunSuite {
     assert(r.spentSec == 120.0 + 4 * 30.0)
   }
 
+  test("pinned suspects run first in list order; budget exhaustion skips non-suspects (r13 #4)") {
+    val b = new Box
+    val cfg = Config(600, 120, 300, 60,
+      suspects = Seq("heavy", "mid")) // heavy=dd14-analogue, mid=dd12-analogue
+    val r = SoloScheduler.run(targets, inSuite, cfg,
+      b.child(Map.empty.withDefaultValue(30.0), n => Some(inSuite(n) * 0.8)),
+      b.sleep, b.now)
+    // suspects in pinned order, then the rest cheapest-first; the MOST
+    // SUSPECT (not the heaviest) gets the tail resample
+    assert(b.calls.map(_._1).toList == List("heavy", "mid", "cheap", "heavy"))
+    assert(r.figs.toMap == inSuite.map { case (k, v) => k -> v * 0.8 })
+    // budget fits settle + two children only: the skipped target must be
+    // the non-suspect, never the distortion suspects
+    val b2 = new Box
+    val r2 = SoloScheduler.run(targets, inSuite,
+      Config(260, 120, 300, 60, suspects = Seq("heavy", "mid")),
+      b2.child(Map.empty.withDefaultValue(60.0), n => Some(inSuite(n))),
+      b2.sleep, b2.now)
+    assert(b2.calls.map(_._1).toList == List("heavy", "mid"))
+    assert(r2.skipped == Seq("cheap"))
+  }
+
   test("hard budget: spawning stops at the floor, skipped is reported, spent <= budget") {
     val b = new Box
     // each child eats its full cap; budget fits settle + barely one child
