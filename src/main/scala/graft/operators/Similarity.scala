@@ -161,6 +161,95 @@ object Similarity {
     seeds.select(col("seed_rank"), col("vec_id"), col("sep"))
   }
 
+  /** k-means|| oversampling seeder (Bahmani et al., VLDB 2012) — the
+    * SCALABLE softening of [[kcenterSeeds]]'s exact greedy (whose k-1
+    * corpus scans are inherent): a CONSTANT number of passes, each
+    * sampling ~`overs` new candidates in parallel, then a weighted
+    * reduction of the tiny candidate set to the final k.
+    *
+    * Deterministic derandomization (ss14's integer license, extended to
+    * sampling): the per-point "random" u is a 6-hex-nibble fold of
+    * md5("ss17:round:vec_id") in [0, 16^6), and x is selected iff
+    * u·φ < overs·d(x)·16^6 — the integer-exact form of the paper's
+    * "with probability overs·d(x)/φ", so two runs (or two engines)
+    * agree bit-for-bit. All products ride DECIMAL(38,0): u < 2^24 and
+    * φ = Σ min-dists ≤ n·(64·(2·10^6)²) ≈ n·2.6e14, so u·φ stays inside
+    * 38 digits for any corpus below ~10^16 vectors.
+    *
+    * Shape at 100 TB: per round ONE map-side corpus scan against the
+    * broadcast candidate row (array_min over candidate structs), one
+    * 1-row φ aggregate broadcast back, and a filter — no join, no
+    * corpus shuffle; `rounds` scans total versus ss16's k-1. The
+    * candidate set (1 + ~rounds·overs w.h.p. — O(k log n) by the
+    * paper's Theorem 1) is KB-scale: its weighted reduction to k runs
+    * on the collected candidates (the PQ-codebook precedent), picking
+    * greedily by weighted squared-distance mass w(c)·d(c) — the mode of
+    * the k-means++ sampling distribution at each step, ties to the
+    * lower vec_id. Returns (seed_rank, vec_id, weight); rows-only-det
+    * (the sampling has no SQL-expressible DuckDB mirror via conv()),
+    * pinned by SimilaritySpec's JVM reference + the radius-vs-ss16
+    * comparison. */
+  private[graft] def kmeansParSeeds(
+      e: DataFrame, k: Int, rounds: Int, overs: Int): DataFrame = {
+    val spark = e.sparkSession
+    val feats = e.select(col("vec_id"),
+      expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
+    val distExpr = // exact integer squared L2 between f and sc.c
+      "aggregate(zip_with(f, sc.c, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    val cand0 = feats.orderBy("vec_id").limit(1).select(col("vec_id"), col("f"))
+    val cands = (1 to rounds).foldLeft(cand0) { (cs, r) =>
+      val packed = cs.agg(collect_list(struct(col("f").as("c"))).as("cs"))
+      val withMd = feats.crossJoin(broadcast(packed))
+        .withColumn("md", expr(s"array_min(transform(cs, sc -> $distExpr))"))
+      val phi = withMd.agg(sum(expr("cast(md as decimal(38,0))")).as("phi"))
+      val picks = withMd.crossJoin(broadcast(phi))
+        .filter(col("md") > 0) // candidates (d=0) never re-selected
+        .withColumn("u", expr(
+          s"cast(conv(substring(md5(concat('ss17:$r:', cast(vec_id as string))), 1, 6), 16, 10) as decimal(38,0))"))
+        .filter(col("u") * col("phi") <
+          expr(s"cast($overs as decimal(38,0)) * cast(md as decimal(38,0)) * cast(16777216 as decimal(38,0))"))
+        .select(col("vec_id"), col("f"))
+      // each round's candidate frame is consumed twice next round (the
+      // broadcast pack + the union) with a corpus scan in its lineage —
+      // tracked cache bounds the plan exactly as in kcenterSeeds
+      graft.Caches.track(cs.unionByName(picks))
+    }
+    // weights: every corpus vector votes for its nearest candidate
+    // (ties to the lower candidate vec_id) — one map-side scan + one
+    // candidate-sized aggregation
+    val packedAll = cands.agg(sort_array(
+      collect_list(struct(col("vec_id").as("cid"), col("f").as("c")))).as("cs"))
+    val weights = feats.crossJoin(broadcast(packedAll))
+      .withColumn("m", expr(
+        s"array_min(transform(cs, sc -> struct($distExpr AS dist, sc.cid AS cid)))"))
+      .groupBy(col("m.cid").as("vec_id"))
+      .agg(count(lit(1)).as("weight"))
+    val weighted = cands.join(weights, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("weight"), lit(0L)).as("weight"), col("f"))
+      .collect() // KB-scale candidate set — the PQ-codebook precedent
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toVector))
+    // derandomized weighted k-means++ over the candidates: first pick =
+    // heaviest (ties lower id); each later pick maximizes w(c)·dmin(c)
+    def sqd(a: Vector[Long], b: Vector[Long]): BigInt =
+      a.iterator.zip(b.iterator).map { case (x, y) =>
+        val d = BigInt(x - y); d * d }.sum
+    val first = weighted.maxBy { case (id, w, _) => (w, -id) }
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.size < math.min(k, weighted.length)) {
+      val next = weighted
+        .filter(c => !chosen.exists(_._1 == c._1))
+        .maxBy { case (id, w, f) =>
+          (BigInt(w) * chosen.iterator.map(s => sqd(f, s._3)).min, -id)
+        }
+      chosen += next
+    }
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, w, _), i) => (i + 1, id, w) }.toSeq
+      .toDF("seed_rank", "vec_id", "weight")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k for a small query set (vec_id < 5).
     "ss01_cosine_topk" -> ((s, dir) => {
@@ -439,6 +528,23 @@ object Similarity {
     // stay bounded. All-integer end to end — hash-exact.
     "ss16_kcenter_seeds" -> ((s, dir) =>
       kcenterSeeds(emb(s, dir), k = 8).orderBy("seed_rank")),
+
+    // k-means|| OVERSAMPLING seeding (r14) — the scalable softening
+    // ss16's scaladoc names (Bahmani et al., VLDB 2012): a constant
+    // number of passes (3), each independently sampling ~2k new
+    // candidates with probability ∝ their min squared distance to the
+    // candidates so far, then a weighted reduction of the tiny candidate
+    // set to the final k. Sampling is DERANDOMIZED on ss14's integer
+    // license (md5-nibble u, integer cross-multiplied acceptance test)
+    // so the result is bit-deterministic — but conv()-based hex folding
+    // has no DuckDB mirror, so the query is rows-only-det, pinned by a
+    // JVM reference spec and the radius-vs-ss16 constant-factor spec.
+    // Shape at 100 TB: 3 corpus scans + 1 weighting scan, each map-side
+    // vs a broadcast candidate row — versus ss16's k-1 scans; this is
+    // the form that survives k=256 coarse-quantizer training.
+    "ss17_kmeanspar_seeds" -> ((s, dir) =>
+      kmeansParSeeds(emb(s, dir), k = 8, rounds = 3, overs = 16)
+        .orderBy("seed_rank")),
 
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
     // subspaces × 16 centroids, trained with two deterministic Lloyd

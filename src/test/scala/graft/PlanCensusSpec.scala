@@ -26,6 +26,11 @@ class PlanCensusSpec extends SparkSpec {
     "ss14_kmeans", // corpus x ONE broadcast row holding all k centroids (per Lloyd round)
     "ss15_cluster_sample", // ss14's assignment inherited under the per-cluster rank
     "ss16_kcenter_seeds") // corpus x ONE broadcast row holding the chosen seeds (per pick)
+  // ss17_kmeanspar_seeds runs its corpus-x-broadcast-candidate-row passes
+  // EAGERLY inside the builder (the weighted reduction collects the
+  // KB-scale candidate set, PQ-codebook precedent), so its returned frame
+  // is a local relation and the census sees no BNLJ — its scan shape is
+  // pinned by the ss17 scaladoc + SimilaritySpec instead.
 
   // Queries whose count() plan legally collapses (Catalyst eliminates
   // cardinality-preserving windows / unique-key outer joins under a bare
