@@ -444,51 +444,8 @@ object TextAnalysis {
     // n_tokens_kept); rerun ⇒ byte-identical shards. Hash-exact under
     // dd10's recall license; every other stage mirrors from first
     // principles.
-    "qp04_decontaminated_manifest" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val K = Dedup.substringK
-      val docs = table(s, dir, "documents")
-      val scored = docs
-        .withColumn("n_words", size(split(col("text"), " ")))
-        .withColumn("en_hits", size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
-        .withColumn("n_short", size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
-        .withColumn("quality",
-          (col("en_hits") * lit(2.0) / col("n_words"))
-            - (col("n_short").cast("double") / col("n_words")))
-        .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
-      val gated = scored
-        .filter(col("en_hits") >= 3 && col("n_words") >= 20 && col("quality") >= 0.15)
-        .withColumn("rn", row_number().over(W.partitionBy("fp").orderBy("doc_id")))
-        .filter(col("rn") === 1)
-        .select("doc_id", "text")
-      val surv = Dedup.fuzzyDedupSurvivors(gated).select("doc_id")
-        .filter(col("doc_id") % 10 =!= 0)
-      val idx = Dedup.ddWinIndexPath(s, dir)
-      val wins = s.read.parquet(s"$idx/wins")
-        .select(col("doc_id"), col("pos"), col("h"))
-      val evalH = wins.filter(col("doc_id") % 10 === 0).select("h").distinct()
-      val occ = wins.join(surv, Seq("doc_id"), "left_semi")
-        .join(evalH, Seq("h"), "left_semi")
-      val sized = surv
-        .join(s.read.parquet(s"$idx/docs").select("doc_id", "n_ws"), "doc_id")
-        .join(contamSpanStats(occ, K).select("doc_id", "n_cut_tokens"),
-          Seq("doc_id"), "left")
-        .na.fill(0, Seq("n_cut_tokens"))
-        .withColumn("n_tokens_kept", (col("n_ws") - col("n_cut_tokens")).cast("int"))
-        .filter(col("n_tokens_kept") >= 20)
-        .select("doc_id", "n_tokens_kept")
-      val train = sized.join(docs.select("doc_id", "text"), "doc_id")
-        .filter(!substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
-          .isin("d", "e", "f"))
-        .select("doc_id", "n_tokens_kept")
-      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
-      train.select(col("doc_id"), col("n_tokens_kept"), h.as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos",
-          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
-        .select("doc_id", "shard", "pos", "n_tokens_kept")
-        .orderBy("doc_id")
-    }),
+    "qp04_decontaminated_manifest" -> ((s, dir) =>
+      decontaminatedManifest(s, dir, evalMod = 10)),
 
     // PROPORTIONAL quality gate — the pruning form production filters
     // actually use (keep the top q% by score, per language), beside
@@ -1530,6 +1487,79 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("int").as("n_contam_spans"),
         sum(col("e") - col("s") + K).cast("int").as("n_cut_tokens"),
         sum("nw").cast("int").as("n_contam_windows"))
+  }
+
+  /** qp04's full pipeline with the eval fold boundary as a parameter
+    * (`evalMod`: eval = doc_id % evalMod == 0). The declared query runs
+    * evalMod=10 — the 10% held-out slice every tx30-family query
+    * freezes; [[graft.SoakQp04]] runs evalMod=2 so HALF the corpus is
+    * eval and the decontamination stage dominates the composed cost
+    * (the r13 verdict's hot-eval soak ask). Everything else is
+    * byte-identical to the declared query — the soak prices the real
+    * plan, not a variant. */
+  private[graft] def decontaminatedManifest(
+      s: SparkSession, dir: String, evalMod: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val K = Dedup.substringK
+    val docs = table(s, dir, "documents")
+    val scored = docs
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("en_hits", size(expr(s"regexp_extract_all(lower(text), '$EnStopSpark', 0)")))
+      .withColumn("n_short", size(expr("filter(split(text, ' '), w -> length(w) <= 2)")))
+      .withColumn("quality",
+        (col("en_hits") * lit(2.0) / col("n_words"))
+          - (col("n_short").cast("double") / col("n_words")))
+      .withColumn("fp", md5(lower(trim(col("text"))).cast("binary")))
+    val gated = scored
+      .filter(col("en_hits") >= 3 && col("n_words") >= 20 && col("quality") >= 0.15)
+      .withColumn("rn", row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+    val surv = Dedup.fuzzyDedupSurvivors(gated).select("doc_id")
+      .filter(col("doc_id") % evalMod =!= 0)
+    val idx = Dedup.ddWinIndexPath(s, dir)
+    val wins = s.read.parquet(s"$idx/wins")
+      .select(col("doc_id"), col("pos"), col("h"))
+    val evalH = wins.filter(col("doc_id") % evalMod === 0).select("h").distinct()
+    val occ = wins.join(surv, Seq("doc_id"), "left_semi")
+      .join(evalH, Seq("h"), "left_semi")
+    val sized = surv
+      .join(s.read.parquet(s"$idx/docs").select("doc_id", "n_ws"), "doc_id")
+      .join(contamSpanStats(occ, K).select("doc_id", "n_cut_tokens"),
+        Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_cut_tokens"))
+      .withColumn("n_tokens_kept", (col("n_ws") - col("n_cut_tokens")).cast("int"))
+      .filter(col("n_tokens_kept") >= 20)
+      .select("doc_id", "n_tokens_kept")
+    val train = sized.join(docs.select("doc_id", "text"), "doc_id")
+      .filter(!substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
+        .isin("d", "e", "f"))
+      .select("doc_id", "n_tokens_kept")
+    val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+    train.select(col("doc_id"), col("n_tokens_kept"), h.as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("pos",
+        row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+      .select("doc_id", "shard", "pos", "n_tokens_kept")
+      .orderBy("doc_id")
+  }
+
+  /** The hot-eval soak's shape diagnostic: per-train-doc flagged-window
+    * mass under an `evalMod` fold — the row count entering
+    * [[contamSpanStats]]'s doc-partitioned window per doc_id. The
+    * span-merge window "holds" at a hot eval slice iff this stays
+    * bounded by each doc's own window count (≤ n_ws − K + 1): the
+    * partition key is doc_id, so the worst partition is one doc's own
+    * windows regardless of how hot the eval side gets. */
+  private[graft] def contamOccPerDoc(
+      s: SparkSession, dir: String, evalMod: Int): DataFrame = {
+    val idx = Dedup.ddWinIndexPath(s, dir)
+    val wins = s.read.parquet(s"$idx/wins")
+      .select(col("doc_id"), col("pos"), col("h"))
+    val evalH = wins.filter(col("doc_id") % evalMod === 0).select("h").distinct()
+    wins.filter(col("doc_id") % evalMod =!= 0)
+      .join(evalH, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
   }
 
   /** tx02's composite quality over an arbitrary documents frame — pure
