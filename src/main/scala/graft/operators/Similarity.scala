@@ -81,20 +81,35 @@ object Similarity {
     * cell) — lexicographic struct ordering is the tie-break to the lower
     * cell), centroid update one (cell, dim) aggregation with integer-mean
     * `div`. Returns (vec_id, cluster, dist) for the final assignment. */
-  private[graft] def kmeansFixedPoint(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val feats = e.select(col("vec_id"),
+  /** ss14/ss16/ss17/ss18's shared integer feature grid:
+    * floor(v·1e6)+1e6 per dimension. */
+  private def intFeatures(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
       expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
-    val distExpr = // exact integer squared L2 between f and cc.c
-      "aggregate(zip_with(f, cc.c, (a, b) -> (a - b) * (a - b)), " +
-        "cast(0 as bigint), (acc, x) -> acc + x)"
-    def assign(cents: DataFrame): DataFrame =
-      feats.crossJoin(broadcast(
-          cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))))
-        .withColumn("m", expr(
-          s"array_min(transform(cs, cc -> struct($distExpr AS dist, cc.cell AS cell)))"))
-        .select(col("vec_id"), col("f"),
-          col("m.cell").as("cell"), col("m.dist").as("dist"))
+
+  private val centDistExpr = // exact integer squared L2 between f and cc.c
+    "aggregate(zip_with(f, cc.c, (a, b) -> (a - b) * (a - b)), " +
+      "cast(0 as bigint), (acc, x) -> acc + x)"
+
+  /** Map-side argmin assignment of every `feats` row to its nearest
+    * centroid (ties to the lower cell): corpus × ONE broadcast row
+    * holding all k (cell, c) centroids. Returns (vec_id, f, cell, dist). */
+  private def assignToCells(feats: DataFrame, cents: DataFrame): DataFrame =
+    feats.crossJoin(broadcast(
+        cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))))
+      .withColumn("m", expr(
+        s"array_min(transform(cs, cc -> struct($centDistExpr AS dist, cc.cell AS cell)))"))
+      .select(col("vec_id"), col("f"),
+        col("m.cell").as("cell"), col("m.dist").as("dist"))
+
+  /** The Lloyd training loop of [[kmeansFixedPoint]], exposed so ss18 can
+    * build an IVF index on the TRAINED centroids: `iters` rounds of
+    * assign + integer-mean update from the first-k seeds. Returns the
+    * final (cell, c) frame (tracked-cached — its lineage holds a corpus
+    * scan per round and every consumer re-reads it). */
+  private[graft] def fixedPointCentroids(
+      feats: DataFrame, k: Int, iters: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val upd = assigned
         .select(col("cell"), posexplode(col("f")).as(Seq("dim", "fv")))
@@ -115,8 +130,12 @@ object Similarity {
     val init = feats.orderBy("vec_id").limit(k)
       .withColumn("cell", (row_number().over(W.orderBy("vec_id")) - 1).cast("int"))
       .select(col("cell"), col("f").as("c"))
-    val finalCents = (1 to iters).foldLeft(init)((c, _) => update(assign(c), c))
-    assign(finalCents)
+    (1 to iters).foldLeft(init)((c, _) => update(assignToCells(feats, c), c))
+  }
+
+  private[graft] def kmeansFixedPoint(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val feats = intFeatures(e)
+    assignToCells(feats, fixedPointCentroids(feats, k, iters))
       .select(col("vec_id"), col("cell").as("cluster"), col("dist"))
   }
 
@@ -546,6 +565,55 @@ object Similarity {
       kmeansParSeeds(emb(s, dir), k = 8, rounds = 3, overs = 16)
         .orderBy("seed_rank")),
 
+    // TRAINED-centroid IVF ANN (r14) — the real FAISS train→index→search
+    // path closed over the family's own pieces: ss14's fixed-point Lloyd
+    // (2 rounds from first-k seeds) trains the coarse quantizer, the
+    // corpus is assigned cell-local by the SAME integer argmin the
+    // trainer used, queries rank ALL k centroids by exact integer
+    // distance and probe the nprobe=3 nearest cells, and the scan inside
+    // the probed cells is exact integer squared-L2 top-10 (ties to the
+    // lower vec_id). vs ss05 (label-mean centroids): the index needs no
+    // labels and the cells track the corpus's actual modes. Everything
+    // rides ss14's integer license end-to-end, so unlike float-cosine
+    // IVF the whole composition is hash-exact — oracle = ss14's CTE
+    // chain + probe rank + in-cell rank. Shape at 100 TB: training is
+    // ss14's (one map-side scan + one k×dims agg per round), assignment
+    // one map-side scan, the probe join is a BROADCAST of the
+    // (queries × nprobe) rows against the cell-assigned corpus — the
+    // corpus never shuffles; per-query scan cost is nprobe/k of the
+    // corpus, cut further by SQ8 exactly as ss13 does to ss05.
+    "ss18_ivf_trained_ann" -> ((s, dir) => {
+      val nprobe = 3
+      val feats = intFeatures(emb(s, dir))
+      val cents = fixedPointCentroids(feats, k = 8, iters = 2)
+      val assigned = assignToCells(feats, cents)
+        .select(col("vec_id"), col("f"), col("cell"))
+      val wProbe = Window.partitionBy("query_id").orderBy("dist", "cell")
+      val probes = feats.filter(col("vec_id") < 5)
+        .crossJoin(broadcast(
+          cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))))
+        .select(col("vec_id").as("query_id"), col("f").as("qf"),
+          explode(expr(
+            s"transform(cs, cc -> struct($centDistExpr AS dist, cc.cell AS cell))"))
+            .as("pc"))
+        .select(col("query_id"), col("qf"),
+          col("pc.dist").as("dist"), col("pc.cell").as("cell"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= nprobe)
+        .select("query_id", "qf", "cell")
+      val wTop = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rk").cast("int").as("rk"), col("dist"))
+        .orderBy("query_id", "rk")
+    }),
+
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
     // subspaces × 16 centroids, trained with two deterministic Lloyd
     // iterations seeded from the first K vectors. Each corpus vector is then
@@ -943,6 +1011,37 @@ object Similarity {
     // shifted features; HUGEINT sums cast back to BIGINT.
     "ss14_kmeans" ->
       (kmeansOracleCtes + "\nSELECT vec_id, cluster, dist FROM fin ORDER BY vec_id"),
+    // Mirrors ss18: ss14's trained-centroid chain, then per query
+    // (vec_id < 5) rank ALL cells by the final-round distance d3 and
+    // probe the 3 nearest, candidates = corpus rows fin assigned to a
+    // probed cell, exact integer squared-L2 re-ranked to top-10. The
+    // assembly pass MATERIALIZEs every multiply-referenced CTE.
+    "ss18_ivf_trained_ann" ->
+      (kmeansOracleCtes + """,
+        |q AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+        |    FROM d3 WHERE vec_id < 5) WHERE pr <= 3),
+        |cand AS (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id
+        |  FROM q JOIN fin a ON a.cluster = q.cell
+        |  WHERE a.vec_id <> q.query_id),
+        |dd AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    SUM((a.fv - b.fv) * (a.fv - b.fv)) AS dist
+        |  FROM cand c
+        |  JOIN f a ON a.vec_id = c.query_id
+        |  JOIN f b ON b.vec_id = c.neighbor_id AND b.dim = a.dim
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM (
+        |  SELECT query_id, neighbor_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+        |  FROM dd)
+        |WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin),
     // Mirrors ss16 term-for-term: the greedy farthest-point chain
     // unrolled as CTEs over the flattened integer features — per pick a
     // min-dist update (LEAST against the new seed's distance column) and

@@ -677,6 +677,36 @@ object TextAnalysis {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // Contamination ATTRIBUTION (r14) — tx30 answers "which train spans
+    // must be cut"; tx32 answers the question a benchmark owner asks
+    // from the OTHER side of the fold: for each eval doc, WHICH training
+    // sources contain its text, over how many distinct 8-grams, how many
+    // times — the report that turns a contamination number into a
+    // data-sourcing decision (drop the feed, not the doc). Probes the
+    // same persisted window index. The structural guard is dd13's
+    // aggregate-before-join discipline: the train side reduces to
+    // (h, source) counts BEFORE meeting the eval side, so a corpus-hot
+    // window fans out by ≤ |sources| per eval window — never by its
+    // train occurrence count, and never an eval-doc × train-doc pair
+    // expansion (the tx10 hazard, structurally absent like tx30's).
+    // Shape at 100 TB: one h-exchange for the train aggregate, one for
+    // the eval distinct, a sources-bounded join, one (eval_doc, source)
+    // aggregate. All exact integers — hash-exact.
+    "tx32_contam_attribution" -> ((s, dir) => {
+      val idx = Dedup.ddWinIndexPath(s, dir)
+      val wins = s.read.parquet(s"$idx/wins").select("doc_id", "source", "h")
+      val trainAgg = wins.filter(col("doc_id") % 10 =!= 0)
+        .groupBy("h", "source")
+        .agg(count(lit(1)).as("n_occ"))
+      val evalW = wins.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc_id"), col("h")).distinct()
+      evalW.join(trainAgg, "h")
+        .groupBy("eval_doc_id", "source")
+        .agg(countDistinct("h").as("n_shared_windows"),
+          sum("n_occ").as("n_train_occurrences"))
+        .orderBy("eval_doc_id", "source")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -2361,6 +2391,32 @@ object TextAnalysis {
         |  jaccard
         |FROM p WHERE jaccard >= 0.7
         |ORDER BY corpus_id, eval_id""".stripMargin,
+    // Mirrors tx32 from first principles (tx30's window SQL with source
+    // carried through): train (h, source) occurrence counts joined to
+    // each eval doc's distinct window hashes, aggregated per
+    // (eval doc, source). All exact integers.
+    "tx32_contam_attribution" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, i AS pos,
+        |    md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, source, ws,
+        |          unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |ta AS (
+        |  SELECT h, source, COUNT(*) AS n_occ
+        |  FROM w WHERE doc_id % 10 != 0 GROUP BY 1, 2),
+        |ew AS (
+        |  SELECT DISTINCT doc_id AS eval_doc_id, h
+        |  FROM w WHERE doc_id % 10 = 0)
+        |SELECT eval_doc_id, source,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_windows,
+        |  CAST(SUM(n_occ) AS BIGINT) AS n_train_occurrences
+        |FROM ew JOIN ta USING (h)
+        |GROUP BY 1, 2
+        |ORDER BY eval_doc_id, source""".stripMargin,
     // Mirrors tx27: ceil(n/64) chunks per doc in integer division, final
     // partial chunk with its true token count, zero-token docs absent.
     "tx27_sequence_chunks" ->

@@ -438,6 +438,34 @@ class SimilaritySpec extends SparkSpec {
     assert(r17 <= r16 * 9, s"ss17 squared radius $r17 > 9x ss16's $r16")
   }
 
+  test("ss18 trained-IVF: exact distances, and recall vs the integer-L2 brute force") {
+    // The DuckDB oracle pins ss18 hash-exact end to end; this spec is the
+    // in-repo witness that (a) every reported dist IS the exact integer
+    // squared L2 (recomputed in plain Scala), and (b) probing 3 of 8
+    // TRAINED cells recovers most of the true top-10 — the index must
+    // approximate the exact answer, not merely rank its own candidates.
+    val feats = intFeats()
+    val rows = Similarity.queries("ss18_ivf_trained_ann")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, _, d) =>
+      assert(BigInt(d) == sqd(feats(q), feats(n)),
+        s"ss18 dist for ($q,$n) is not the exact integer L2")
+    }
+    val got = rows.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val ids = feats.keys.toVector
+    val recalls = got.map { case (q, ns) =>
+      val exact = ids.filter(_ != q)
+        .sortBy(i => (sqd(feats(q), feats(i)), i)).take(10)
+      exact.count(ns.toSet).toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ss18 mean recall@10 = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.4, f"ss18 recall@10 $mean%.2f below 0.4 at nprobe 3/8")
+    got.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")

@@ -404,6 +404,42 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("tx32 attribution: per eval doc and source, hand-computed window/occurrence counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx32").toString
+    // eval doc 10 is 10 tokens -> three 8-token windows W1@1, W2@2, W3@3.
+    val ev = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val w1 = "alpha bravo charlie delta echo foxtrot golf hotel" // W1
+    val w3 = "charlie delta echo foxtrot golf hotel india juliet" // W3
+    val junk8 = "jone jtwo jthree jfour jfive jsix jseven jeight"
+    Seq(
+      // feedA train 1: W1 verbatim -> shares {W1}, 1 occurrence
+      (1L, w1 + " zulu yankee xray whiskey", "feedA"),
+      // feedA train 3: whole eval passage embedded -> shares {W1,W2,W3},
+      // 3 occurrences; feedA totals: 3 distinct windows, 4 occurrences
+      (3L, "zulu " + ev + " victor uniform", "feedA"),
+      // feedB train 5: W1 + junk + W3 -> shares {W1,W3}, 2 occurrences
+      (5L, w1 + " " + junk8 + " " + w3, "feedB"),
+      // feedB train 7: clean -> feedB attribution comes from train 5 only
+      (7L, "nothing here resembles the held out evaluation passage at all", "feedB"),
+      (10L, ev, "evalset"),
+      // duplicate eval doc: gets the SAME attribution; the eval-eval
+      // duplication itself must never count as a train occurrence
+      (20L, ev, "evalset"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx32_contam_attribution")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(out == List(
+      (10L, "feedA", 3L, 4L), (10L, "feedB", 2L, 2L),
+      (20L, "feedA", 3L, 4L), (20L, "feedB", 2L, 2L)))
+    graft.Caches.releaseAll()
+  }
+
   test("tx31 fuzzy decontam: cross-fold near-dups reported with exact jaccard, within-fold pairs excluded") {
     val spark2 = spark
     import spark2.implicits._
