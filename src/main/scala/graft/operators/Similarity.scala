@@ -614,6 +614,54 @@ object Similarity {
         .orderBy("query_id", "rk")
     }),
 
+    // EMBEDDING-CURATION manifest (qp05, r14) — the SemDeDup recipe
+    // (Abbas et al. 2023) end to end as ONE declared query, the
+    // embedding-side sibling of the qp01–qp04 document manifests:
+    // ss14's fixed-point Lloyd trains k cluster centroids and assigns
+    // every vector cell-local (the paper's k-means stage), then WITHIN
+    // each trained cell every vector with a lower-id neighbor at integer
+    // squared-L2 ≤ ε² is dropped (ss10's min-id-survivor rule under the
+    // paper's cluster blocking — the pairwise scan never leaves a cell),
+    // and the survivors are cluster-balance sampled to ss15's q=16
+    // prototypes per cell by (dist-to-centroid, vec_id). Postcondition
+    // (spec-pinned): no two sampled prototypes in one cell are within ε².
+    // All-integer under ss14's license — hash-exact; oracle = ss14's CTE
+    // chain + the in-cell pair prune + the per-cluster rank. Shape at
+    // 100 TB: training + assignment are ss14's map-side scans; the prune
+    // is an equi-join on cell whose per-cell cost is (n/k)² — bounded by
+    // scaling k with the corpus exactly as the paper does (their k grows
+    // to keep |cell| ~ constant; the blocking swaps to ss08's LSH tables
+    // if cells must stay small, the ss10→ss11 move) — and the sample
+    // rank plans as WindowGroupLimit (map-side q-row heaps, ss15's
+    // analysis). ε² = 1.3e12 on the 1e-6 grid ≈ cos 0.35 on this
+    // corpus's unit vectors — SemDeDup's ε is a corpus-tuned knob (the
+    // paper prunes up to 50% of LAION); here it prunes the closest ~1%
+    // of in-cell pairs so every stage is exercised non-vacuously.
+    "qp05_curation_manifest" -> ((s, dir) => {
+      val q = 16
+      val epsSq = 1300000000000L
+      val feats = intFeatures(emb(s, dir))
+      val cents = fixedPointCentroids(feats, k = 8, iters = 2)
+      // consumed three times (both prune sides + the survivor anti-join
+      // left); uncached each consumer would re-run the Lloyd lineage
+      val assigned = graft.Caches.track(assignToCells(feats, cents))
+      val slim = assigned.select(col("cell"), col("vec_id"), col("f"))
+      val a = slim.select(col("cell"), col("vec_id").as("id_a"), col("f").as("f_a"))
+      val b = slim.select(col("cell"), col("vec_id").as("id_b"), col("f").as("f_b"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr(
+          "aggregate(zip_with(f_a, f_b, (x, y) -> (x - y) * (x - y)), " +
+            "cast(0 as bigint), (acc, v) -> acc + v)") <= epsSq)
+        .select(col("id_b").as("vec_id")).distinct()
+      val w = Window.partitionBy("cell").orderBy(col("dist"), col("vec_id"))
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= q)
+        .select(col("vec_id"), col("cell").as("cluster"), col("dist"), col("rk"))
+        .orderBy("cluster", "rk")
+    }),
+
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
     // subspaces × 16 centroids, trained with two deterministic Lloyd
     // iterations seeded from the first K vectors. Each corpus vector is then
@@ -1042,6 +1090,28 @@ object Similarity {
         |  FROM dd)
         |WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin),
+    // Mirrors qp05: ss14's trained-centroid chain, then the in-cell
+    // SemDeDup prune (drop b iff a lower-id same-cell a has integer
+    // squared-L2 ≤ 1.3e12 to it), then ss15's per-cluster (dist, vec_id)
+    // rank to 16. fin/f are multiply referenced — the assembly pass
+    // MATERIALIZEs them.
+    "qp05_curation_manifest" ->
+      (kmeansOracleCtes + """,
+        |pd AS (
+        |  SELECT b.vec_id
+        |  FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN f fa ON fa.vec_id = a.vec_id
+        |  JOIN f fb ON fb.vec_id = b.vec_id AND fb.dim = fa.dim
+        |  GROUP BY a.vec_id, b.vec_id
+        |  HAVING SUM((fa.fv - fb.fv) * (fa.fv - fb.fv)) <= 1300000000000),
+        |surv AS (
+        |  SELECT * FROM fin
+        |  WHERE vec_id NOT IN (SELECT DISTINCT vec_id FROM pd))
+        |SELECT vec_id, cluster, dist, rk FROM (
+        |  SELECT vec_id, cluster, dist,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS INT) AS rk
+        |  FROM surv) WHERE rk <= 16
+        |ORDER BY cluster, rk""".stripMargin),
     // Mirrors ss16 term-for-term: the greedy farthest-point chain
     // unrolled as CTEs over the flattened integer features — per pick a
     // min-dist update (LEAST against the new seed's distance column) and

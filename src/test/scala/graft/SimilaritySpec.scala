@@ -466,6 +466,43 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
   }
 
+  test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {
+    import org.apache.spark.sql.functions._
+    // The DuckDB oracle pins qp05 hash-exact; this spec is the in-repo
+    // witness of the SemDeDup POSTCONDITION the manifest promises: since
+    // a vector is dropped when ANY lower-id same-cell vector sits within
+    // eps², any two SURVIVORS of one cell — in particular any two sampled
+    // prototypes — must be more than eps² apart.
+    val epsSq = BigInt("1300000000000")
+    val feats = intFeats()
+    val rows = Similarity.queries("qp05_curation_manifest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    graft.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.size),
+        s"cluster $c ranks not contiguous from 1")
+      for (pair <- rs.map(_._1).combinations(2)) {
+        val Seq(x, y) = pair.toSeq
+        assert(sqd(feats(x), feats(y)) > epsSq,
+          s"cluster $c prototypes $x,$y within eps² — SemDeDup postcondition violated")
+      }
+    }
+    // Planted exact duplicates: an identical vector lands in the same
+    // trained cell at distance 0 ≤ eps², so the max-id copy is pruned
+    // before sampling — it must never appear in the manifest.
+    val tmp = java.nio.file.Files.createTempDirectory("qp05dup").toString
+    val orig = graft.sources.Tables.table(spark, sf001, "embeddings")
+    val planted = orig.orderBy("vec_id").limit(20)
+      .withColumn("vec_id", col("vec_id") + lit(10000L))
+    orig.unionByName(planted).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out2 = Similarity.queries("qp05_curation_manifest")(spark, tmp)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    graft.Caches.releaseAll()
+    assert(out2.nonEmpty && out2.forall(_ < 10000L),
+      s"planted duplicate sampled: ${out2.filter(_ >= 10000L)}")
+  }
+
   test("ivf ann recall@10 tracks the probed corpus fraction") {
     val exact = topk("ss01_cosine_topk")
     val ivf = topk("ss05_ivf_ann")
