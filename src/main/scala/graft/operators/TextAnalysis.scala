@@ -707,6 +707,77 @@ object TextAnalysis {
         .orderBy("eval_doc_id", "source")
     }),
 
+    // GOPHER repetition rules (tx33, r14) — the within-document
+    // repetition filter of Rae et al. 2021 (Table A1), the screen every
+    // production pretraining pipeline runs BEFORE the cross-document
+    // dedup family: a doc whose own text loops (boilerplate, listing
+    // spam, degenerate generation) is dropped on four signals — the
+    // token fraction covered by the single most frequent {2,3,4}-gram
+    // (counted only when it actually repeats, DataTrove's convention)
+    // and the UNION token coverage of all 5-grams occurring twice or
+    // more (dd12's islands math per doc: intervals [p, p+5) over sorted
+    // duplicate positions, overlap never double-counted). Thresholds are
+    // the paper's: top2 ≤ 0.20, top3 ≤ 0.18, top4 ≤ 0.16, dup5 ≤ 0.15.
+    // Everything derives from exact integer counts; the fractions are
+    // one int/int IEEE division each (the tx31 jaccard precedent), so
+    // the report is hash-exact. Shape at 100 TB: one explode to ~4 rows
+    // per token position, one (doc, n, gram) aggregate, two doc-keyed
+    // reductions — per-doc state only, no cross-doc exchange at all
+    // beyond the doc-keyed shuffles, no window over the corpus.
+    "tx33_gopher_repetition" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+        .withColumn("nt", size(col("ws")))
+      val g = toks.filter(col("nt") >= 2)
+        .select(col("doc_id"), col("nt"), explode(expr(
+          """flatten(transform(array(2, 3, 4, 5), n ->
+            |  transform(filter(sequence(0, nt - 2), i -> i + n <= nt), i ->
+            |    struct(n AS n, i AS pos,
+            |      array_join(slice(ws, i + 1, n), ' ') AS g))))""".stripMargin))
+          .as("x"))
+        .select(col("doc_id"), col("nt"), col("x.n").as("n"),
+          col("x.pos").as("pos"), col("x.g").as("g"))
+      // one (doc, n, gram) aggregate serves both consumers: counts for
+      // the top-{2,3,4}-gram signals, duplicate 5-gram POSITIONS for the
+      // islands union (collect_list skips the non-5-gram nulls)
+      val cnts = g.groupBy("doc_id", "n", "g")
+        .agg(count(lit(1)).as("cnt"),
+          collect_list(when(col("n") === 5, col("pos"))).as("ps"))
+      val top = cnts.filter(col("n") <= 4).groupBy("doc_id")
+        .agg(max(when(col("n") === 2, col("cnt"))).as("c2"),
+          max(when(col("n") === 3, col("cnt"))).as("c3"),
+          max(when(col("n") === 4, col("cnt"))).as("c4"))
+      val dup5 = cnts.filter(col("n") === 5 && col("cnt") >= 2)
+        .groupBy("doc_id").agg(flatten(collect_list(col("ps"))).as("allp"))
+        .select(col("doc_id"), expr(
+          // union length of sorted [p, p+5) intervals: running (covered,
+          // end) state — covered += max(p+5, end) - max(p, end)
+          """aggregate(array_sort(allp),
+            |  struct(cast(0 as bigint) AS c, cast(-1 as bigint) AS e),
+            |  (acc, p) -> struct(
+            |    acc.c + greatest(cast(p as bigint) + 5, acc.e)
+            |          - greatest(cast(p as bigint), acc.e),
+            |    greatest(cast(p as bigint) + 5, acc.e)),
+            |  a -> a.c)""".stripMargin).as("cov"))
+      def frac(c: org.apache.spark.sql.Column, n: Int) = when(col("nt") >= 2 && c >= 2,
+        (c * lit(n)).cast("double") / col("nt")).otherwise(lit(0.0))
+      toks.select(col("doc_id"), col("nt"))
+        .join(top, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+          frac(col("c2"), 2).as("top2_frac"),
+          frac(col("c3"), 3).as("top3_frac"),
+          frac(col("c4"), 4).as("top4_frac"),
+          when(col("cov").isNotNull,
+            col("cov").cast("double") / col("nt")).otherwise(lit(0.0))
+            .as("dup5_frac"))
+        .withColumn("keep",
+          col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
+        .orderBy("doc_id")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -2417,6 +2488,65 @@ object TextAnalysis {
         |FROM ew JOIN ta USING (h)
         |GROUP BY 1, 2
         |ORDER BY eval_doc_id, source""".stripMargin,
+    // Mirrors tx33 from first principles: per (doc, n, gram) counts over
+    // positions 0..nt-n, top-{2,3,4}-gram token fraction only when the
+    // top gram repeats, duplicate-5-gram union coverage via the islands
+    // window (a chain of [p, p+5) intervals each starting within 4 of
+    // the running max is contiguous, so island coverage = max-min+5).
+    // Fractions are the same int/int IEEE divisions the engine computes.
+    "tx33_gopher_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, nt, n, i AS pos, array_to_string(ws[i+1:i+n], ' ') AS gr
+        |  FROM (
+        |    SELECT doc_id, ws, nt, n, unnest(range(0, nt - 1)) AS i
+        |    FROM (SELECT doc_id, ws, nt, unnest([2, 3, 4, 5]) AS n
+        |          FROM t WHERE nt >= 2))
+        |  WHERE i + n <= nt),
+        |cn AS (
+        |  SELECT doc_id, n, gr, COUNT(*) AS cnt
+        |  FROM g GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 2 THEN cnt END) AS c2,
+        |    MAX(CASE WHEN n = 3 THEN cnt END) AS c3,
+        |    MAX(CASE WHEN n = 4 THEN cnt END) AS c4
+        |  FROM cn WHERE n <= 4 GROUP BY 1),
+        |dpos AS (
+        |  SELECT g.doc_id, g.pos
+        |  FROM g JOIN cn ON cn.doc_id = g.doc_id AND cn.n = g.n AND cn.gr = g.gr
+        |  WHERE g.n = 5 AND cn.cnt >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(MAX(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 4
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dpos),
+        |cov AS (
+        |  SELECT doc_id, SUM(mx - mn + 5) AS cov FROM (
+        |    SELECT doc_id, MIN(pos) AS mn, MAX(pos) AS mx
+        |    FROM (SELECT doc_id, pos,
+        |            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |          FROM isl)
+        |    GROUP BY doc_id, gid)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.nt AS BIGINT) AS n_tokens,
+        |  CASE WHEN COALESCE(c2, 0) >= 2 THEN CAST(c2 * 2 AS DOUBLE) / t.nt ELSE 0.0 END AS top2_frac,
+        |  CASE WHEN COALESCE(c3, 0) >= 2 THEN CAST(c3 * 3 AS DOUBLE) / t.nt ELSE 0.0 END AS top3_frac,
+        |  CASE WHEN COALESCE(c4, 0) >= 2 THEN CAST(c4 * 4 AS DOUBLE) / t.nt ELSE 0.0 END AS top4_frac,
+        |  CASE WHEN cov.cov IS NOT NULL THEN CAST(cov.cov AS DOUBLE) / t.nt ELSE 0.0 END AS dup5_frac,
+        |  (CASE WHEN COALESCE(c2, 0) >= 2 THEN CAST(c2 * 2 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.20
+        |   AND CASE WHEN COALESCE(c3, 0) >= 2 THEN CAST(c3 * 3 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.18
+        |   AND CASE WHEN COALESCE(c4, 0) >= 2 THEN CAST(c4 * 4 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.16
+        |   AND CASE WHEN cov.cov IS NOT NULL THEN CAST(cov.cov AS DOUBLE) / t.nt ELSE 0.0 END <= 0.15) AS keep
+        |FROM t
+        |LEFT JOIN top ON top.doc_id = t.doc_id
+        |LEFT JOIN cov ON cov.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // Mirrors tx27: ceil(n/64) chunks per doc in integer division, final
     // partial chunk with its true token count, zero-token docs absent.
     "tx27_sequence_chunks" ->

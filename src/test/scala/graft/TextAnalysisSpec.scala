@@ -440,6 +440,53 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("tx33 gopher repetition: hand-computed top-gram and dup-5-gram coverage fractions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx33").toString
+    Seq(
+      // "a b" x3 -> top2 0.6; "a b a"/"b a b" x2 -> top3 0.6;
+      // "a b a b" x2 -> top4 0.8; no repeated 5-gram -> dup5 0
+      (1L, "a b a b a b c d e f"),
+      // "x y z w v" at pos 0 and 5: adjacent [0,5)+[5,10) -> 10/15 covered
+      (2L, "x y z w v x y z w v q r s t u"),
+      // no repetition at all: every fraction 0, keep
+      (3L, "p q r s t"),
+      // single token: below every n, all fractions 0 by convention
+      (4L, "m"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx33_gopher_repetition")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .toList
+    assert(out == List(
+      (1L, 10L, 0.6, 0.6, 0.8, 0.0, false),
+      (2L, 15L, 4.0 / 15, 6.0 / 15, 8.0 / 15, 10.0 / 15, false),
+      (3L, 5L, 0.0, 0.0, 0.0, 0.0, true),
+      (4L, 1L, 0.0, 0.0, 0.0, 0.0, true)))
+  }
+
+  test("tx33 gopher repetition: overlapping duplicate 5-grams never double-count coverage") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx33b").toString
+    // "a b c d e a b" tokens then repeated: "a b c d e a b a b c d e a b"
+    // 14 tokens; 5-gram "a b c d e" at pos 0, 7; "b c d e a" at 1, 8;
+    // "c d e a b" at 2, 9 -> duplicate starts {0,1,2,7,8,9}: islands
+    // [0,7) and [7,14) -> full 14/14 coverage, NOT 6x5/14.
+    Seq((1L, "a b c d e a b a b c d e a b"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx33_gopher_repetition")(spark, tmp)
+      .select("dup5_frac").collect().map(_.getDouble(0)).toList
+    assert(out == List(1.0), s"expected full coverage 1.0, got $out")
+  }
+
   test("tx31 fuzzy decontam: cross-fold near-dups reported with exact jaccard, within-fold pairs excluded") {
     val spark2 = spark
     import spark2.implicits._
