@@ -188,6 +188,31 @@ object EventWindows {
         .orderBy("doc_id")
     }),
 
+    // Batch twin of the streaming contamination-ATTRIBUTION report —
+    // tx32's serving form ([[Stateful.ingestAttribution]]): the fold
+    // flipped relative to st10 — here the ARRIVING docs are a NEW eval
+    // set being screened against the frozen training corpus (the
+    // benchmark owner's ingest, where st10 is the trainer's). Arriving
+    // eval docs pay their own tokenize/md5; the static side is the
+    // train-slice (h, source, n_occ) aggregate of the persisted window
+    // index. Stateless stream-static join + one streaming aggregation
+    // (two counters per (doc, source) group) — micro-batch-boundary
+    // invariant; per-trigger spec pins stream == batch twin == tx32
+    // itself, so the serving path IS the analysis query. Hash-exact
+    // (shares tx32's oracle verbatim).
+    "st11_attribution_ingest" -> ((s, dir) => {
+      val Dd = graft.operators.Dedup
+      val trainAgg = s.read.parquet(s"${Dd.ddWinIndexPath(s, dir)}/wins")
+        .filter(col("doc_id") % 10 =!= 0)
+        .groupBy("h", "source")
+        .agg(count(lit(1)).as("n_occ"))
+      Stateful.ingestAttribution(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text"),
+        trainAgg, Dd.substringK)
+        .orderBy("eval_doc_id", "source")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -214,6 +239,11 @@ object EventWindows {
     }))
 
   val oracle: Map[String, String] = Map(
+    // st11 ≡ tx32 through the same (h, source) aggregate — the serving
+    // report IS the batch analysis query, so it shares tx32's oracle
+    // verbatim (the st06 ≡ dd07/dd08 precedent).
+    "st11_attribution_ingest" ->
+      graft.operators.TextAnalysis.oracle("tx32_contam_attribution"),
     // Mirrors st10 ≡ tx30 minus the ratio projection (the serving path
     // IS the batch analysis query): eval (doc_id % 10 = 0) distinct
     // window hashes, train occurrences matching them, islands merge.

@@ -300,4 +300,31 @@ object Stateful {
       .join(broadcast(thresholds.select("lang", "thr_q")), "lang")
       .filter(col("quality") > col("thr_q"))
       .select(col("doc_id"), col("lang"), col("quality"))
+
+  /** Serving-side contamination ATTRIBUTION (st11): each arriving EVAL
+    * doc — a benchmark owner screening a new eval set against a frozen
+    * training corpus — pays its own tokenize/md5 (the dd11/dd17 honesty
+    * contract), its per-doc-DISTINCT k-token window hashes probe the
+    * frozen train-side (h, source, n_occ) aggregate, and the report is
+    * tx32's: per (eval doc, source) the distinct leaked windows and the
+    * train occurrence mass. `array_distinct` BEFORE the explode makes
+    * (doc_id, h) unique without an exchange, so the per-(doc, source)
+    * `count` is tx32's `countDistinct` without a streaming-illegal
+    * distinct aggregate. One stream-static inner join + one streaming
+    * aggregation whose per-group state is two counters — bounded by
+    * (docs-in-result × sources), not the stream. Stateless join ⇒
+    * micro-batch-boundary invariant (StreamingSpec pins one-file-at-a-
+    * time == batch twin == tx32 itself). */
+  def ingestAttribution(docs: DataFrame, trainAgg: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id").as("eval_doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${k - 1}), i -> " +
+          s"md5(cast(concat_ws(' ', slice(ws, i, $k)) AS binary))))")).as("h"))
+      .join(trainAgg, "h")
+      .groupBy("eval_doc_id", "source")
+      .agg(count(lit(1)).as("n_shared_windows"),
+        sum("n_occ").as("n_train_occurrences"))
 }

@@ -369,6 +369,47 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
   }
 
+  test("st11 streaming attribution: one-file-at-a-time equals the batch twin and tx32") {
+    // The fold flipped relative to st10: arriving docs are a NEW eval
+    // set screened against the frozen train corpus. The equality to
+    // tx32 pins that recomputing eval windows at ingest time (the
+    // honesty contract) reproduces the index-side analysis exactly.
+    val Dd = graft.operators.Dedup
+    val trainAgg = spark.read
+      .parquet(s"${Dd.ddWinIndexPath(spark, sf001)}/wins")
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy("h", "source").agg(count(lit(1)).as("n_occ"))
+    val evalDocs = Tables.table(spark, sf001, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val expected = graft.streaming.EventWindows
+      .queries("st11_attribution_ingest")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty, "gate corpus must contain cross-fold leakage")
+    val tx32 = graft.SparkEntry.queries("tx32_contam_attribution")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(tx32 == expected, "st11 must equal tx32 over the same fold")
+    val tmp = java.nio.file.Files.createTempDirectory("st11").toString
+    evalDocs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestAttribution(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(evalDocs.schema).parquet(tmp),
+      trainAgg, Dd.substringK)
+    val q = stream.writeStream.format("memory").queryName("st11_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM st11_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == expected,
+      s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
+  }
+
   test("st09 streaming quality gate: one-file-at-a-time equals the batch twin") {
     // The gate is stateless per doc (score + broadcast threshold
     // compare), so batch-boundary invariance is by construction — this
