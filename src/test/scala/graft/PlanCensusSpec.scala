@@ -64,6 +64,10 @@ class PlanCensusSpec extends SparkSpec {
     // guaranteed-1-row threshold aggregate's cross join unreferenced —
     // Catalyst eliminates it like the tx2x 1-row corpus totals above
     "tx29_ppl_buckets",
+    // tx33's final is docs LEFT-joined to two unique-doc_id aggregates
+    // (top-gram counts, dup-5-gram coverage) — both eliminated under a
+    // bare count like the twins above
+    "tx33_gopher_repetition",
     // qp02 ends in the same shard-rank window as qp01/tx19
     "qp02_multilingual_manifest",
     // dd16's final is per-source aggregates LEFT-joined on the unique
