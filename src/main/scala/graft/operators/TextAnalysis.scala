@@ -778,6 +778,61 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // GOPHER quality rules (tx34, r14) — the document-level heuristic
+    // half of Rae et al. 2021 Table A1, tx33's companion (repetition
+    // rules there, shape/symbol/stop-word rules here — together the
+    // full pre-dedup screen): word count in [50, 100k], mean word
+    // length in [3, 10], symbol-to-word ratio ('#' and ellipsis) <= 0.1,
+    // <= 90% of lines bullet-led, <= 30% of lines ellipsis-ended,
+    // >= 80% of words containing an alphabetic character, and >= 2
+    // distinct stop words from the paper's 8-word list. Words are
+    // whitespace-split (empties dropped) so multi-line text tokenizes
+    // the same on both engines; every fraction divides two exact
+    // integers once (tx31's precedent) so the report is hash-exact.
+    // Shape at 100 TB: pure per-row expressions over one scan — no
+    // exchange at all, the cheapest screen in the family, which is
+    // exactly why production pipelines run it FIRST.
+    "tx34_gopher_quality" -> ((s, dir) => {
+      val stops = "'the','be','to','of','and','that','have','with'"
+      val m = table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, '\\\\s+'), w -> w != '')").as("ws"),
+          split(col("text"), "\n").as("ls"),
+          col("text"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sum_len"),
+          expr("size(filter(ws, w -> w rlike '[A-Za-z]'))").cast("long")
+            .as("n_alpha"),
+          expr(s"size(filter(array_distinct(transform(ws, w -> lower(w))), w -> w IN ($stops)))")
+            .cast("long").as("n_stop_words"),
+          (expr("length(text) - length(replace(text, '#', ''))") +
+            expr("(length(text) - length(replace(text, '...', ''))) div 3") +
+            expr("length(text) - length(replace(text, '…', ''))"))
+            .cast("long").as("n_sym"),
+          size(col("ls")).cast("long").as("n_lines"),
+          expr("size(filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%'))")
+            .cast("long").as("n_bullet"),
+          expr("size(filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))")
+            .cast("long").as("n_endell"))
+      def safeFrac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        when(den === 0, lit(0.0)).otherwise(num.cast("double") / den)
+      m.select(col("doc_id"), col("n_words"),
+          safeFrac(col("sum_len"), col("n_words")).as("mean_word_len"),
+          safeFrac(col("n_sym"), col("n_words")).as("symbol_ratio"),
+          safeFrac(col("n_bullet"), col("n_lines")).as("bullet_frac"),
+          safeFrac(col("n_endell"), col("n_lines")).as("ellipsis_frac"),
+          safeFrac(col("n_alpha"), col("n_words")).as("alpha_frac"),
+          col("n_stop_words"))
+        .withColumn("keep",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 && col("n_stop_words") >= 2)
+        .orderBy("doc_id")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -2547,6 +2602,54 @@ object TextAnalysis {
         |LEFT JOIN top ON top.doc_id = t.doc_id
         |LEFT JOIN cov ON cov.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // Mirrors tx34 from first principles: whitespace words (empties
+    // dropped), newline lines, the same exact-integer counts and the
+    // same one-shot int/int divisions per fraction.
+    "tx34_gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws,
+        |    string_split(text, chr(10)) AS ls,
+        |    text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    list_sum(list_transform(ws, w -> len(w))) AS sum_len,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(list_distinct(list_transform(ws, w -> lower(w))),
+        |      w -> w IN ('the','be','to','of','and','that','have','with'))) AS n_stop_words,
+        |    (len(text) - len(replace(text, '#', '')))
+        |      + (len(text) - len(replace(text, '...', ''))) // 3
+        |      + (len(text) - len(replace(text, '…', ''))) AS n_sym,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%')) AS n_bullet,
+        |    len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS n_endell
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(n_words AS BIGINT) AS n_words,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |      ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |      ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+        |    CASE WHEN n_lines = 0 THEN 0.0
+        |      ELSE CAST(n_bullet AS DOUBLE) / n_lines END AS bullet_frac,
+        |    CASE WHEN n_lines = 0 THEN 0.0
+        |      ELSE CAST(n_endell AS DOUBLE) / n_lines END AS ellipsis_frac,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |      ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+        |    CAST(n_stop_words AS BIGINT) AS n_stop_words
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stop_words,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3 AND mean_word_len <= 10
+        |   AND symbol_ratio <= 0.1
+        |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_frac >= 0.8 AND n_stop_words >= 2) AS keep
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors tx27: ceil(n/64) chunks per doc in integer division, final
     // partial chunk with its true token count, zero-token docs absent.
     "tx27_sequence_chunks" ->

@@ -487,6 +487,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == List(1.0), s"expected full coverage 1.0, got $out")
   }
 
+  test("tx34 gopher quality: every Table A1 rule exercised on hand-computed docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx34").toString
+    Seq(
+      // 60 words (the/data/and/table + 56x"word"), mean 239/60, 2 stops -> keep
+      (1L, "the data and table " + Seq.fill(56)("word").mkString(" ")),
+      // 3 words: fails word count AND mean 8/3 < 3
+      (2L, "the and of"),
+      // bullets + ellipsis lines + '#' symbol + non-alpha words:
+      // 12 words sum 45; '...'x2 + '#'x1 -> ratio 0.25; 3/4 bullet lines
+      // (passes <= 0.9), 2/4 ellipsis-ended (fails <= 0.3); alpha 9/12
+      (3L, "• the list...\n- and more...\n* items here\nplain line #tag"),
+      // single bullet-led line: bullet_frac 1.0 fails the 90% rule
+      (4L, "- the and item list"),
+      // 60 identical words, zero stop words: fails ONLY the stop rule
+      (5L, Seq.fill(60)("word").mkString(" ")),
+      // 50 words, mean 582/50 = 11.64 > 10: fails ONLY mean word length
+      (6L, "the and " + Seq.fill(48)("abcdefghijkl").mkString(" ")),
+      // unicode ellipsis: 3 '…' chars over 5 words ('…' alone is a
+      // non-alpha word), the single line ends with one
+      (7L, "word… test… the and …"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx34_gopher_quality")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getLong(7), r.getBoolean(8))).toList
+    assert(out == List(
+      (1L, 60L, 239.0 / 60, 0.0, 0.0, 0.0, 1.0, 2L, true),
+      (2L, 3L, 8.0 / 3, 0.0, 0.0, 0.0, 1.0, 3L, false),
+      (3L, 12L, 45.0 / 12, 3.0 / 12, 3.0 / 4, 2.0 / 4, 9.0 / 12, 2L, false),
+      (4L, 5L, 3.0, 0.0, 1.0, 0.0, 4.0 / 5, 2L, false),
+      (5L, 60L, 4.0, 0.0, 0.0, 0.0, 1.0, 0L, false),
+      (6L, 50L, 582.0 / 50, 0.0, 0.0, 0.0, 1.0, 2L, false),
+      (7L, 5L, 17.0 / 5, 3.0 / 5, 0.0, 1.0, 4.0 / 5, 2L, false)), s"got $out")
+  }
+
   test("tx31 fuzzy decontam: cross-fold near-dups reported with exact jaccard, within-fold pairs excluded") {
     val spark2 = spark
     import spark2.implicits._
