@@ -447,6 +447,44 @@ object TextAnalysis {
     "qp04_decontaminated_manifest" -> ((s, dir) =>
       decontaminatedManifest(s, dir, evalMod = 10)),
 
+    // The GOPHER-screened manifest (qp06, r14) — the heuristic pre-dedup
+    // screen as production runs it, composed end-to-end as ONE declared
+    // plan: tx34's document-shape rules FIRST (pure map-side — the
+    // cheapest stage goes first, so everything downstream reads fewer
+    // rows; stop-word floor at 1, the configurable-knob disposition in
+    // [[gopherQuality]]'s scaladoc), tx33's repetition rules on the
+    // survivors (the (doc, n, gram) aggregate now runs over the screened
+    // subset only), exact keep-first dedup by content fingerprint (dups
+    // cannot double-fill shards), tx13's content-hash train fold
+    // (leakage-proof through the dups the keep-first pass kept as
+    // canonical), tx19's seeded shard + rank. Every stage is hash-exact
+    // — unlike qp01 there is no fuzzy stage, so the WHOLE chained-CTE
+    // oracle mirrors bit-for-bit from first principles. Rerun ⇒
+    // byte-identical shards. Shape at 100 TB: one map-side screen, one
+    // (doc, n, gram) exchange over survivors, one fp window, one shard
+    // exchange — strictly cheaper than qp01's chain.
+    "qp06_gopher_manifest" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val shaped = gopherQuality(table(s, dir, "documents"), minStopWords = 1)
+        .filter(col("keep")).select("doc_id", "text")
+      val screened = gopherRepetition(shaped)
+        .filter(col("keep")).select("doc_id")
+      val first = shaped.join(screened, "doc_id")
+        .select(col("doc_id"),
+          md5(lower(trim(col("text"))).cast("binary")).as("fp"))
+        .withColumn("rn",
+          row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      val train = first.filter(!substring(col("fp"), 1, 1).isin("d", "e", "f"))
+      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+      train.select(col("doc_id"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos",
+          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     // PROPORTIONAL quality gate — the pruning form production filters
     // actually use (keep the top q% by score, per language), beside
     // tx09's fixed-k quota: a fixed k misjudges corpora whose language
@@ -724,59 +762,8 @@ object TextAnalysis {
     // per token position, one (doc, n, gram) aggregate, two doc-keyed
     // reductions — per-doc state only, no cross-doc exchange at all
     // beyond the doc-keyed shuffles, no window over the corpus.
-    "tx33_gopher_repetition" -> ((s, dir) => {
-      val toks = table(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-        .withColumn("nt", size(col("ws")))
-      val g = toks.filter(col("nt") >= 2)
-        .select(col("doc_id"), col("nt"), explode(expr(
-          """flatten(transform(array(2, 3, 4, 5), n ->
-            |  transform(filter(sequence(0, nt - 2), i -> i + n <= nt), i ->
-            |    struct(n AS n, i AS pos,
-            |      array_join(slice(ws, i + 1, n), ' ') AS g))))""".stripMargin))
-          .as("x"))
-        .select(col("doc_id"), col("nt"), col("x.n").as("n"),
-          col("x.pos").as("pos"), col("x.g").as("g"))
-      // one (doc, n, gram) aggregate serves both consumers: counts for
-      // the top-{2,3,4}-gram signals, duplicate 5-gram POSITIONS for the
-      // islands union (collect_list skips the non-5-gram nulls)
-      val cnts = g.groupBy("doc_id", "n", "g")
-        .agg(count(lit(1)).as("cnt"),
-          collect_list(when(col("n") === 5, col("pos"))).as("ps"))
-      val top = cnts.filter(col("n") <= 4).groupBy("doc_id")
-        .agg(max(when(col("n") === 2, col("cnt"))).as("c2"),
-          max(when(col("n") === 3, col("cnt"))).as("c3"),
-          max(when(col("n") === 4, col("cnt"))).as("c4"))
-      val dup5 = cnts.filter(col("n") === 5 && col("cnt") >= 2)
-        .groupBy("doc_id").agg(flatten(collect_list(col("ps"))).as("allp"))
-        .select(col("doc_id"), expr(
-          // union length of sorted [p, p+5) intervals: running (covered,
-          // end) state — covered += max(p+5, end) - max(p, end)
-          """aggregate(array_sort(allp),
-            |  struct(cast(0 as bigint) AS c, cast(-1 as bigint) AS e),
-            |  (acc, p) -> struct(
-            |    acc.c + greatest(cast(p as bigint) + 5, acc.e)
-            |          - greatest(cast(p as bigint), acc.e),
-            |    greatest(cast(p as bigint) + 5, acc.e)),
-            |  a -> a.c)""".stripMargin).as("cov"))
-      def frac(c: org.apache.spark.sql.Column, n: Int) = when(col("nt") >= 2 && c >= 2,
-        (c * lit(n)).cast("double") / col("nt")).otherwise(lit(0.0))
-      toks.select(col("doc_id"), col("nt"))
-        .join(top, Seq("doc_id"), "left")
-        .join(dup5, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
-          frac(col("c2"), 2).as("top2_frac"),
-          frac(col("c3"), 3).as("top3_frac"),
-          frac(col("c4"), 4).as("top4_frac"),
-          when(col("cov").isNotNull,
-            col("cov").cast("double") / col("nt")).otherwise(lit(0.0))
-            .as("dup5_frac"))
-        .withColumn("keep",
-          col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
-          col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
-        .orderBy("doc_id")
-    }),
+    "tx33_gopher_repetition" -> ((s, dir) =>
+      gopherRepetition(table(s, dir, "documents")).orderBy("doc_id")),
 
     // GOPHER quality rules (tx34, r14) — the document-level heuristic
     // half of Rae et al. 2021 Table A1, tx33's companion (repetition
@@ -792,46 +779,9 @@ object TextAnalysis {
     // Shape at 100 TB: pure per-row expressions over one scan — no
     // exchange at all, the cheapest screen in the family, which is
     // exactly why production pipelines run it FIRST.
-    "tx34_gopher_quality" -> ((s, dir) => {
-      val stops = "'the','be','to','of','and','that','have','with'"
-      val m = table(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, '\\\\s+'), w -> w != '')").as("ws"),
-          split(col("text"), "\n").as("ls"),
-          col("text"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_words"),
-          expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sum_len"),
-          expr("size(filter(ws, w -> w rlike '[A-Za-z]'))").cast("long")
-            .as("n_alpha"),
-          expr(s"size(filter(array_distinct(transform(ws, w -> lower(w))), w -> w IN ($stops)))")
-            .cast("long").as("n_stop_words"),
-          (expr("length(text) - length(replace(text, '#', ''))") +
-            expr("(length(text) - length(replace(text, '...', ''))) div 3") +
-            expr("length(text) - length(replace(text, '…', ''))"))
-            .cast("long").as("n_sym"),
-          size(col("ls")).cast("long").as("n_lines"),
-          expr("size(filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%'))")
-            .cast("long").as("n_bullet"),
-          expr("size(filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))")
-            .cast("long").as("n_endell"))
-      def safeFrac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-        when(den === 0, lit(0.0)).otherwise(num.cast("double") / den)
-      m.select(col("doc_id"), col("n_words"),
-          safeFrac(col("sum_len"), col("n_words")).as("mean_word_len"),
-          safeFrac(col("n_sym"), col("n_words")).as("symbol_ratio"),
-          safeFrac(col("n_bullet"), col("n_lines")).as("bullet_frac"),
-          safeFrac(col("n_endell"), col("n_lines")).as("ellipsis_frac"),
-          safeFrac(col("n_alpha"), col("n_words")).as("alpha_frac"),
-          col("n_stop_words"))
-        .withColumn("keep",
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
-          col("symbol_ratio") <= 0.1 &&
-          col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
-          col("alpha_frac") >= 0.8 && col("n_stop_words") >= 2)
-        .orderBy("doc_id")
-    }),
+    "tx34_gopher_quality" -> ((s, dir) =>
+      gopherQuality(table(s, dir, "documents"), minStopWords = 2)
+        .drop("text").orderBy("doc_id")),
 
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
@@ -1721,6 +1671,111 @@ object TextAnalysis {
   /** tx02's composite quality over an arbitrary documents frame — pure
     * per-row arithmetic (stream-legal: [[graft.streaming.Stateful
     * .ingestQualityGate]] applies it per micro-batch). */
+  /** tx33's machinery over an arbitrary documents frame — the Rae 2021
+    * Table A1 within-document repetition report (see the tx33 entry's
+    * scaladoc for the full semantics and scale argument). No output
+    * ordering; callers order or filter. */
+  private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .withColumn("nt", size(col("ws")))
+    val g = toks.filter(col("nt") >= 2)
+      .select(col("doc_id"), col("nt"), explode(expr(
+        """flatten(transform(array(2, 3, 4, 5), n ->
+          |  transform(filter(sequence(0, nt - 2), i -> i + n <= nt), i ->
+          |    struct(n AS n, i AS pos,
+          |      array_join(slice(ws, i + 1, n), ' ') AS g))))""".stripMargin))
+        .as("x"))
+      .select(col("doc_id"), col("nt"), col("x.n").as("n"),
+        col("x.pos").as("pos"), col("x.g").as("g"))
+    // one (doc, n, gram) aggregate serves both consumers: counts for
+    // the top-{2,3,4}-gram signals, duplicate 5-gram POSITIONS for the
+    // islands union (collect_list skips the non-5-gram nulls)
+    val cnts = g.groupBy("doc_id", "n", "g")
+      .agg(count(lit(1)).as("cnt"),
+        collect_list(when(col("n") === 5, col("pos"))).as("ps"))
+    val top = cnts.filter(col("n") <= 4).groupBy("doc_id")
+      .agg(max(when(col("n") === 2, col("cnt"))).as("c2"),
+        max(when(col("n") === 3, col("cnt"))).as("c3"),
+        max(when(col("n") === 4, col("cnt"))).as("c4"))
+    val dup5 = cnts.filter(col("n") === 5 && col("cnt") >= 2)
+      .groupBy("doc_id").agg(flatten(collect_list(col("ps"))).as("allp"))
+      .select(col("doc_id"), expr(
+        // union length of sorted [p, p+5) intervals: running (covered,
+        // end) state — covered += max(p+5, end) - max(p, end)
+        """aggregate(array_sort(allp),
+          |  struct(cast(0 as bigint) AS c, cast(-1 as bigint) AS e),
+          |  (acc, p) -> struct(
+          |    acc.c + greatest(cast(p as bigint) + 5, acc.e)
+          |          - greatest(cast(p as bigint), acc.e),
+          |    greatest(cast(p as bigint) + 5, acc.e)),
+          |  a -> a.c)""".stripMargin).as("cov"))
+    def frac(c: org.apache.spark.sql.Column, n: Int) = when(col("nt") >= 2 && c >= 2,
+      (c * lit(n)).cast("double") / col("nt")).otherwise(lit(0.0))
+    toks.select(col("doc_id"), col("nt"))
+      .join(top, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+        frac(col("c2"), 2).as("top2_frac"),
+        frac(col("c3"), 3).as("top3_frac"),
+        frac(col("c4"), 4).as("top4_frac"),
+        when(col("cov").isNotNull,
+          col("cov").cast("double") / col("nt")).otherwise(lit(0.0))
+          .as("dup5_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+        col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
+  }
+
+  /** tx34's machinery — the Rae 2021 Table A1 document-shape quality
+    * report (see the tx34 entry's scaladoc). Carries the input's `text`
+    * column through so a composing pipeline (qp06) can screen and keep
+    * working without a join back to the corpus; tx34 drops it.
+    * `minStopWords` is the paper's 2; a corpus whose function-word
+    * inventory barely overlaps the fixed 8-word list (this harness's
+    * synthetic tables carry only "the") runs at 1 — production filter
+    * stacks expose exactly this knob. Pure per-row expressions: no
+    * exchange, no output ordering. */
+  private[graft] def gopherQuality(docs: DataFrame, minStopWords: Int): DataFrame = {
+    val stops = "'the','be','to','of','and','that','have','with'"
+    val m = docs
+      .select(col("doc_id"), col("text"),
+        expr("filter(split(text, '\\\\s+'), w -> w != '')").as("ws"),
+        split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"), col("text"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("sum_len"),
+        expr("size(filter(ws, w -> w rlike '[A-Za-z]'))").cast("long")
+          .as("n_alpha"),
+        expr(s"size(filter(array_distinct(transform(ws, w -> lower(w))), w -> w IN ($stops)))")
+          .cast("long").as("n_stop_words"),
+        (expr("length(text) - length(replace(text, '#', ''))") +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3") +
+          expr("length(text) - length(replace(text, '…', ''))"))
+          .cast("long").as("n_sym"),
+        size(col("ls")).cast("long").as("n_lines"),
+        expr("size(filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%'))")
+          .cast("long").as("n_bullet"),
+        expr("size(filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))")
+          .cast("long").as("n_endell"))
+    def safeFrac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den)
+    m.select(col("doc_id"), col("text"), col("n_words"),
+        safeFrac(col("sum_len"), col("n_words")).as("mean_word_len"),
+        safeFrac(col("n_sym"), col("n_words")).as("symbol_ratio"),
+        safeFrac(col("n_bullet"), col("n_lines")).as("bullet_frac"),
+        safeFrac(col("n_endell"), col("n_lines")).as("ellipsis_frac"),
+        safeFrac(col("n_alpha"), col("n_words")).as("alpha_frac"),
+        col("n_stop_words"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 && col("n_stop_words") >= minStopWords)
+  }
+
   private[graft] def qualityScored(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_words", size(split(col("text"), " ")))
@@ -1770,6 +1825,104 @@ object TextAnalysis {
         |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS INT) AS n_hapax
         |FROM toks JOIN freq USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Mirrors qp06 from first principles: tx34's shape screen at stop
+    // floor 1 (survivors have n_words >= 50, so the fraction guards
+    // collapse to plain divisions), tx33's repetition pipeline over the
+    // survivors, keep-first dedup by content fp, the content-hash train
+    // fold, tx19's seeded shard + rank. Reused CTEs get MATERIALIZED by
+    // the assembly transform.
+    "qp06_gopher_manifest" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id, text,
+        |    len(ws) AS n_words,
+        |    list_sum(list_transform(ws, w -> len(w))) AS sum_len,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(list_distinct(list_transform(ws, w -> lower(w))),
+        |      w -> w IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+        |    (len(text) - len(replace(text, '#', '')))
+        |      + (len(text) - len(replace(text, '...', ''))) // 3
+        |      + (len(text) - len(replace(text, '…', ''))) AS n_sym,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%')) AS n_bullet,
+        |    len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS n_endell
+        |  FROM raw),
+        |q AS (
+        |  SELECT doc_id, text FROM qm
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND CAST(sum_len AS DOUBLE) / n_words >= 3
+        |    AND CAST(sum_len AS DOUBLE) / n_words <= 10
+        |    AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+        |    AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+        |    AND CAST(n_endell AS DOUBLE) / n_lines <= 0.3
+        |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+        |    AND n_stop >= 1),
+        |t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS nt
+        |  FROM q),
+        |g AS (
+        |  SELECT doc_id, nt, n, i AS pos, array_to_string(ws[i+1:i+n], ' ') AS gr
+        |  FROM (
+        |    SELECT doc_id, ws, nt, n, unnest(range(0, nt - 1)) AS i
+        |    FROM (SELECT doc_id, ws, nt, unnest([2, 3, 4, 5]) AS n
+        |          FROM t WHERE nt >= 2))
+        |  WHERE i + n <= nt),
+        |cn AS (
+        |  SELECT doc_id, n, gr, COUNT(*) AS cnt
+        |  FROM g GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 2 THEN cnt END) AS c2,
+        |    MAX(CASE WHEN n = 3 THEN cnt END) AS c3,
+        |    MAX(CASE WHEN n = 4 THEN cnt END) AS c4
+        |  FROM cn WHERE n <= 4 GROUP BY 1),
+        |dpos AS (
+        |  SELECT g.doc_id, g.pos
+        |  FROM g JOIN cn ON cn.doc_id = g.doc_id AND cn.n = g.n AND cn.gr = g.gr
+        |  WHERE g.n = 5 AND cn.cnt >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(MAX(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 4
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dpos),
+        |cov AS (
+        |  SELECT doc_id, SUM(mx - mn + 5) AS cov FROM (
+        |    SELECT doc_id, MIN(pos) AS mn, MAX(pos) AS mx
+        |    FROM (SELECT doc_id, pos,
+        |            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |          FROM isl)
+        |    GROUP BY doc_id, gid)
+        |  GROUP BY 1),
+        |rkeep AS (
+        |  SELECT t.doc_id
+        |  FROM t
+        |  LEFT JOIN top ON top.doc_id = t.doc_id
+        |  LEFT JOIN cov ON cov.doc_id = t.doc_id
+        |  WHERE CASE WHEN COALESCE(c2, 0) >= 2 THEN CAST(c2 * 2 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.20
+        |    AND CASE WHEN COALESCE(c3, 0) >= 2 THEN CAST(c3 * 3 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.18
+        |    AND CASE WHEN COALESCE(c4, 0) >= 2 THEN CAST(c4 * 4 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.16
+        |    AND CASE WHEN cov.cov IS NOT NULL THEN CAST(cov.cov AS DOUBLE) / t.nt ELSE 0.0 END <= 0.15),
+        |firsts AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp,
+        |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM (SELECT q.doc_id, md5(lower(trim(q.text))) AS fp
+        |          FROM q JOIN rkeep ON rkeep.doc_id = q.doc_id))
+        |  WHERE rn = 1),
+        |keyed AS (
+        |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM firsts WHERE substring(fp, 1, 1) NOT IN ('d', 'e', 'f'))
+        |SELECT doc_id, substring(h, 1, 1) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS INT) AS pos
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     "tx17_subword_merged" -> tx17Oracle,
     // Mirrors tx20e: same positional-index bigram derivation, the same
     // vocabulary-sized aggs and join topology — exact BIGINTs, no ln.

@@ -70,6 +70,8 @@ class PlanCensusSpec extends SparkSpec {
     "tx33_gopher_repetition",
     // qp02 ends in the same shard-rank window as qp01/tx19
     "qp02_multilingual_manifest",
+    // qp06 ends in the same shard-rank window as qp01/qp02/tx19
+    "qp06_gopher_manifest",
     // dd16's final is per-source aggregates LEFT-joined on the unique
     // source key — eliminated under a bare count like the twins above
     "dd16_index_stats",
