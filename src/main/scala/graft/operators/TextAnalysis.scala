@@ -1728,6 +1728,68 @@ object TextAnalysis {
         col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
   }
 
+  /** [[gopherRepetition]]'s ROW-WISE twin — the same Rae 2021 Table A1
+    * repetition report computed entirely with per-row higher-order
+    * functions (sort the doc's own n-grams, run-length the max duplicate
+    * count; collect duplicate 5-gram positions in the same pass, then
+    * the dd12 islands fold), so there is NO aggregation and NO exchange:
+    * the form a stateless streaming gate can run per arriving doc
+    * (st12), where the batch form's (doc, n, gram) groupBy would be a
+    * streaming aggregation. O(n log n) per doc vs the batch form's
+    * shuffle — the batch form wins on a corpus (distributes the gram
+    * mass), this one wins per document. A spec pins the two equal
+    * row-for-row on the gate corpus and the hand-computed fixtures. */
+  private[graft] def gopherRepetitionRowwise(docs: DataFrame): DataFrame = {
+    // max duplicate n-gram count: sort this doc's n-grams, run-length
+    // scan for the longest run (grams are non-empty, '' can't collide)
+    def topRun(n: Int) = s"""IF(nt >= 2, aggregate(
+      array_sort(transform(filter(sequence(0, nt - 2), i -> i + $n <= nt),
+        i -> array_join(slice(ws, i + 1, $n), ' '))),
+      struct(CAST('' AS STRING) AS p, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS b),
+      (acc, g) -> struct(g,
+        IF(g = acc.p, acc.r + 1, CAST(1 AS BIGINT)),
+        GREATEST(acc.b, IF(g = acc.p, acc.r + 1, CAST(1 AS BIGINT)))),
+      a -> a.b), CAST(0 AS BIGINT))"""
+    // duplicate-5-gram UNION coverage: sort (gram, pos) structs, collect
+    // the positions of every gram seen >= 2 times (the run-start position
+    // joins when the run reaches 2), then fold sorted [p, p+5) intervals
+    val cov5 = """IF(nt >= 2, aggregate(
+      array_sort(aggregate(
+        array_sort(transform(filter(sequence(0, nt - 2), i -> i + 5 <= nt),
+          i -> struct(array_join(slice(ws, i + 1, 5), ' ') AS g, i AS pos))),
+        struct(CAST('' AS STRING) AS pg, CAST(-1 AS INT) AS pp,
+          CAST(1 AS BIGINT) AS run, CAST(array() AS ARRAY<INT>) AS ds),
+        (acc, x) -> struct(
+          x.g AS pg,
+          x.pos AS pp,
+          IF(x.g = acc.pg, acc.run + 1, CAST(1 AS BIGINT)) AS run,
+          IF(x.g = acc.pg,
+            concat(acc.ds, IF(acc.run = 1, array(acc.pp), array()), array(x.pos)),
+            acc.ds) AS ds),
+        a -> a.ds)),
+      struct(CAST(0 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS e),
+      (acc, p) -> struct(
+        acc.c + greatest(CAST(p AS BIGINT) + 5, acc.e)
+              - greatest(CAST(p AS BIGINT), acc.e),
+        greatest(CAST(p AS BIGINT) + 5, acc.e)),
+      a -> a.c), CAST(0 AS BIGINT))"""
+    def frac(c: org.apache.spark.sql.Column, n: Int) = when(col("nt") >= 2 && c >= 2,
+      (c * lit(n)).cast("double") / col("nt")).otherwise(lit(0.0))
+    docs
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .withColumn("nt", size(col("ws")))
+      .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+        frac(expr(topRun(2)), 2).as("top2_frac"),
+        frac(expr(topRun(3)), 3).as("top3_frac"),
+        frac(expr(topRun(4)), 4).as("top4_frac"),
+        when(expr(cov5) > 0, expr(cov5).cast("double") / col("nt"))
+          .otherwise(lit(0.0)).as("dup5_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+        col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
+  }
+
   /** tx34's machinery — the Rae 2021 Table A1 document-shape quality
     * report (see the tx34 entry's scaladoc). Carries the input's `text`
     * column through so a composing pipeline (qp06) can screen and keep

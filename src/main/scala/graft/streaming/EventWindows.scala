@@ -213,6 +213,20 @@ object EventWindows {
         .orderBy("eval_doc_id", "source")
     }),
 
+    // Batch twin of the streaming GOPHER gate ([[Stateful
+    // .ingestGopherGate]]): arriving (odd) docs are admitted iff they
+    // pass tx34's shape rules (stop floor 1) and tx33's repetition rules
+    // — the latter in the row-wise HOF form, so the whole gate is
+    // stateless selects/filters with NO trained state (the rules are
+    // constants; st09 needs offline cutoffs, st10 a frozen index, this
+    // needs nothing). Hash-exact: the oracle restates qp06's screen CTEs
+    // restricted to the odd fold.
+    "st12_gopher_gate_ingest" -> ((s, dir) =>
+      Stateful.ingestGopherGate(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text"))
+        .orderBy("doc_id")),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -244,6 +258,89 @@ object EventWindows {
     // verbatim (the st06 ≡ dd07/dd08 precedent).
     "st11_attribution_ingest" ->
       graft.operators.TextAnalysis.oracle("tx32_contam_attribution"),
+    // Mirrors st12 ≡ qp06's screen stages restricted to the odd fold:
+    // tx34's shape rules at stop floor 1, tx33's repetition pipeline
+    // over the survivors, admitted docs with their alpha-token counts.
+    // (The engine runs the repetition rules row-wise — spec-pinned equal
+    // to the aggregate form — so one SQL mirrors both.)
+    "st12_gopher_gate_ingest" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w != '') AS ws,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |qm AS (
+        |  SELECT doc_id, text,
+        |    len(ws) AS n_words,
+        |    list_sum(list_transform(ws, w -> len(w))) AS sum_len,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(list_distinct(list_transform(ws, w -> lower(w))),
+        |      w -> w IN ('the','be','to','of','and','that','have','with'))) AS n_stop,
+        |    (len(text) - len(replace(text, '#', '')))
+        |      + (len(text) - len(replace(text, '...', ''))) // 3
+        |      + (len(text) - len(replace(text, '…', ''))) AS n_sym,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%')) AS n_bullet,
+        |    len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS n_endell
+        |  FROM raw),
+        |q AS (
+        |  SELECT doc_id, text FROM qm
+        |  WHERE n_words >= 50 AND n_words <= 100000
+        |    AND CAST(sum_len AS DOUBLE) / n_words >= 3
+        |    AND CAST(sum_len AS DOUBLE) / n_words <= 10
+        |    AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+        |    AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+        |    AND CAST(n_endell AS DOUBLE) / n_lines <= 0.3
+        |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+        |    AND n_stop >= 1),
+        |t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS nt
+        |  FROM q),
+        |g AS (
+        |  SELECT doc_id, nt, n, i AS pos, array_to_string(ws[i+1:i+n], ' ') AS gr
+        |  FROM (
+        |    SELECT doc_id, ws, nt, n, unnest(range(0, nt - 1)) AS i
+        |    FROM (SELECT doc_id, ws, nt, unnest([2, 3, 4, 5]) AS n
+        |          FROM t WHERE nt >= 2))
+        |  WHERE i + n <= nt),
+        |cn AS (
+        |  SELECT doc_id, n, gr, COUNT(*) AS cnt
+        |  FROM g GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN n = 2 THEN cnt END) AS c2,
+        |    MAX(CASE WHEN n = 3 THEN cnt END) AS c3,
+        |    MAX(CASE WHEN n = 4 THEN cnt END) AS c4
+        |  FROM cn WHERE n <= 4 GROUP BY 1),
+        |dpos AS (
+        |  SELECT g.doc_id, g.pos
+        |  FROM g JOIN cn ON cn.doc_id = g.doc_id AND cn.n = g.n AND cn.gr = g.gr
+        |  WHERE g.n = 5 AND cn.cnt >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > COALESCE(MAX(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -999) + 4
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dpos),
+        |cov AS (
+        |  SELECT doc_id, SUM(mx - mn + 5) AS cov FROM (
+        |    SELECT doc_id, MIN(pos) AS mn, MAX(pos) AS mx
+        |    FROM (SELECT doc_id, pos,
+        |            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |          FROM isl)
+        |    GROUP BY doc_id, gid)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.nt AS BIGINT) AS n_tokens
+        |FROM t
+        |LEFT JOIN top ON top.doc_id = t.doc_id
+        |LEFT JOIN cov ON cov.doc_id = t.doc_id
+        |WHERE CASE WHEN COALESCE(c2, 0) >= 2 THEN CAST(c2 * 2 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.20
+        |  AND CASE WHEN COALESCE(c3, 0) >= 2 THEN CAST(c3 * 3 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.18
+        |  AND CASE WHEN COALESCE(c4, 0) >= 2 THEN CAST(c4 * 4 AS DOUBLE) / t.nt ELSE 0.0 END <= 0.16
+        |  AND CASE WHEN cov.cov IS NOT NULL THEN CAST(cov.cov AS DOUBLE) / t.nt ELSE 0.0 END <= 0.15
+        |ORDER BY t.doc_id""".stripMargin,
     // Mirrors st10 ≡ tx30 minus the ratio projection (the serving path
     // IS the batch analysis query): eval (doc_id % 10 = 0) distinct
     // window hashes, train occurrences matching them, islands merge.

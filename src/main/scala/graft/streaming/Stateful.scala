@@ -301,6 +301,26 @@ object Stateful {
       .filter(col("quality") > col("thr_q"))
       .select(col("doc_id"), col("lang"), col("quality"))
 
+  /** Serving-side GOPHER gate (st12) — qp06's heuristic screen as the
+    * stream: each arriving doc is admitted iff it passes tx34's shape
+    * rules (stop floor 1, qp06's knob) AND tx33's repetition rules,
+    * the latter via [[graft.operators.TextAnalysis
+    * .gopherRepetitionRowwise]] — the per-row HOF twin of the batch
+    * (doc, n, gram) aggregate, because a groupBy would be a streaming
+    * aggregation while the row-wise form keeps the WHOLE gate stateless
+    * (every stage a select/filter). Needs no trained state at all —
+    * unlike st09's cutoffs or st10's frozen index, the Gopher rules are
+    * constants — so this is the one serving gate with zero offline
+    * dependency; micro-batch-boundary invariant by construction. */
+  def ingestGopherGate(docs: DataFrame): DataFrame = {
+    val Tx = graft.operators.TextAnalysis
+    val shaped = Tx.gopherQuality(docs, minStopWords = 1)
+      .filter(col("keep")).select("doc_id", "text")
+    Tx.gopherRepetitionRowwise(shaped)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** Serving-side contamination ATTRIBUTION (st11): each arriving EVAL
     * doc — a benchmark owner screening a new eval set against a frozen
     * training corpus — pays its own tokenize/md5 (the dd11/dd17 honesty

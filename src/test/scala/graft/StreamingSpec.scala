@@ -441,6 +441,32 @@ class StreamingSpec extends SparkSpec {
       s"stream admitted ${streamed.size} docs, batch twin ${expected.size}")
   }
 
+  test("st12 streaming gopher gate: one-file-at-a-time equals the batch twin") {
+    // The gate is stateless per doc with NO trained state at all (the
+    // Gopher rules are constants), so batch-boundary invariance is by
+    // construction — this pins it stays that way.
+    val batchDocs = Tables.table(spark, sf001, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    val expected = graft.streaming.EventWindows
+      .queries("st12_gopher_gate_ingest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "gate corpus must admit some batch docs")
+    val tmp = java.nio.file.Files.createTempDirectory("st12").toString
+    batchDocs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestGopherGate(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(batchDocs.schema).parquet(tmp))
+    val q = stream.writeStream.format("memory").queryName("st12_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM st12_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"stream admitted ${streamed.size} docs, batch twin ${expected.size}")
+  }
+
   test("st06's keep-first pre-reduction is fp-set-invariant through the bloom helper") {
     // st06 pre-reduces the batch to keep-first-by-doc_id before the
     // streaming helper so the kept doc_id is deterministic (the helper's

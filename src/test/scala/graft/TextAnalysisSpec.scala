@@ -487,6 +487,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == List(1.0), s"expected full coverage 1.0, got $out")
   }
 
+  test("gopher repetition row-wise HOF twin equals the aggregate form row-for-row") {
+    // st12's serving form: the same report with NO aggregation (sorted
+    // per-row run-length + islands fold). Pinned on the gate corpus AND
+    // the tx33 hand fixtures (incl. the overlapping-duplicate case).
+    val Tx = graft.operators.TextAnalysis
+    val spark2 = spark
+    import spark2.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
+    val corpus = sources.Tables.table(spark, sf001, "documents")
+    assert(rows(Tx.gopherRepetitionRowwise(corpus)) ==
+      rows(Tx.gopherRepetition(corpus)), "diverged on the gate corpus")
+    val hand = Seq(
+      (1L, "a b a b a b c d e f"),
+      (2L, "x y z w v x y z w v q r s t u"),
+      (3L, "p q r s t"),
+      (4L, "m"),
+      (5L, "a b c d e a b a b c d e a b"))
+      .toDF("doc_id", "text")
+    assert(rows(Tx.gopherRepetitionRowwise(hand)) == rows(Tx.gopherRepetition(hand)),
+      "diverged on the hand fixtures")
+  }
+
   test("tx34 gopher quality: every Table A1 rule exercised on hand-computed docs") {
     val spark2 = spark
     import spark2.implicits._
