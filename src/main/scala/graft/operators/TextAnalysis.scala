@@ -1740,51 +1740,64 @@ object TextAnalysis {
     * mass), this one wins per document. A spec pins the two equal
     * row-for-row on the gate corpus and the hand-computed fixtures. */
   private[graft] def gopherRepetitionRowwise(docs: DataFrame): DataFrame = {
+    // Every intermediate (token array, gram structs, duplicate
+    // positions, run-length counts) is bound as a LAMBDA VARIABLE via
+    // the transform-over-1-element-array idiom, never as a projection
+    // column: chained-Project columns get re-inlined per reference by
+    // the optimizer (CollapseProject cascades), which re-runs the
+    // per-row sorts once per consumer — measured 40x on this query. A
+    // lambda binding is evaluated exactly once by construction, and the
+    // final struct leaves through an `inline` Generate, which Catalyst
+    // never duplicates.
+    //
     // max duplicate n-gram count: sort this doc's n-grams, run-length
-    // scan for the longest run (grams are non-empty, '' can't collide)
-    def topRun(n: Int) = s"""IF(nt >= 2, aggregate(
-      array_sort(transform(filter(sequence(0, nt - 2), i -> i + $n <= nt),
-        i -> array_join(slice(ws, i + 1, $n), ' '))),
-      struct(CAST('' AS STRING) AS p, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS b),
-      (acc, g) -> struct(g,
-        IF(g = acc.p, acc.r + 1, CAST(1 AS BIGINT)),
-        GREATEST(acc.b, IF(g = acc.p, acc.r + 1, CAST(1 AS BIGINT)))),
-      a -> a.b), CAST(0 AS BIGINT))"""
-    // duplicate-5-gram UNION coverage: sort (gram, pos) structs, collect
-    // the positions of every gram seen >= 2 times (the run-start position
-    // joins when the run reaches 2), then fold sorted [p, p+5) intervals
-    val cov5 = """IF(nt >= 2, aggregate(
-      array_sort(aggregate(
-        array_sort(transform(filter(sequence(0, nt - 2), i -> i + 5 <= nt),
-          i -> struct(array_join(slice(ws, i + 1, 5), ' ') AS g, i AS pos))),
-        struct(CAST('' AS STRING) AS pg, CAST(-1 AS INT) AS pp,
-          CAST(1 AS BIGINT) AS run, CAST(array() AS ARRAY<INT>) AS ds),
-        (acc, x) -> struct(
-          x.g AS pg,
-          x.pos AS pp,
-          IF(x.g = acc.pg, acc.run + 1, CAST(1 AS BIGINT)) AS run,
-          IF(x.g = acc.pg,
-            concat(acc.ds, IF(acc.run = 1, array(acc.pp), array()), array(x.pos)),
-            acc.ds) AS ds),
-        a -> a.ds)),
-      struct(CAST(0 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS e),
-      (acc, p) -> struct(
-        acc.c + greatest(CAST(p AS BIGINT) + 5, acc.e)
-              - greatest(CAST(p AS BIGINT), acc.e),
-        greatest(CAST(p AS BIGINT) + 5, acc.e)),
-      a -> a.c), CAST(0 AS BIGINT))"""
-    def frac(c: org.apache.spark.sql.Column, n: Int) = when(col("nt") >= 2 && c >= 2,
-      (c * lit(n)).cast("double") / col("nt")).otherwise(lit(0.0))
+    // scan for the longest run (grams are non-empty, '' can't collide);
+    // scalar accumulator only, so the fold stays O(n) after the sort
+    def topFrac(n: Int) = s"""element_at(transform(array(
+      IF(nt >= 2, aggregate(
+        array_sort(transform(filter(sequence(0, nt - 2), i -> i + $n <= nt),
+          i -> array_join(slice(ws, i + 1, $n), ' '))),
+        struct(CAST('' AS STRING) AS p, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS b),
+        (acc, g) -> struct(g,
+          IF(g = acc.p, acc.r + 1, CAST(1 AS BIGINT)),
+          GREATEST(acc.b, IF(g = acc.p, acc.r + 1, CAST(1 AS BIGINT)))),
+        a -> a.b), CAST(0 AS BIGINT))), c ->
+      IF(nt >= 2 AND c >= 2, CAST(c * $n AS DOUBLE) / nt, CAST(0.0 AS DOUBLE))), 1)"""
+    // duplicate-5-gram positions: a sorted (gram, pos) entry is a
+    // duplicate iff it shares its gram with a NEIGHBOR — an index-range
+    // filter over the sorted array, O(n) after the sort (an
+    // accumulated-array fold here would copy the array per element,
+    // O(n²) on a degenerate all-duplicate doc — the zipf shape); then
+    // dd12's islands fold with scalar state over the sorted positions
+    val dup5Frac = s"""element_at(transform(array(
+      IF(nt >= 2, array_sort(transform(filter(sequence(0, nt - 2), i -> i + 5 <= nt),
+        i -> struct(array_join(slice(ws, i + 1, 5), ' ') AS g, i AS pos))),
+        CAST(array() AS ARRAY<STRUCT<g: STRING, pos: INT>>))), gs ->
+      element_at(transform(array(
+        CASE WHEN size(gs) = 0 THEN CAST(array() AS ARRAY<INT>)
+        ELSE array_sort(transform(filter(sequence(1, size(gs)), k ->
+          (k > 1 AND element_at(gs, k).g = element_at(gs, k - 1).g) OR
+          (k < size(gs) AND element_at(gs, k).g = element_at(gs, k + 1).g)),
+          k -> element_at(gs, k).pos)) END), ds ->
+        CASE WHEN size(ds) = 0 THEN CAST(0.0 AS DOUBLE)
+        ELSE CAST(aggregate(ds,
+          struct(CAST(0 AS BIGINT) AS c, CAST(-1 AS BIGINT) AS e),
+          (acc, p) -> struct(
+            acc.c + greatest(CAST(p AS BIGINT) + 5, acc.e)
+                  - greatest(CAST(p AS BIGINT), acc.e),
+            greatest(CAST(p AS BIGINT) + 5, acc.e)),
+          a -> a.c) AS DOUBLE) / nt END), 1)), 1)"""
+    val metrics = s"""inline(array(element_at(transform(array(
+        regexp_extract_all(lower(text), '[a-z]+', 0)), ws ->
+      element_at(transform(array(size(ws)), nt ->
+        struct(
+          CAST(nt AS BIGINT) AS n_tokens,
+          ${topFrac(2)} AS top2_frac,
+          ${topFrac(3)} AS top3_frac,
+          ${topFrac(4)} AS top4_frac,
+          $dup5Frac AS dup5_frac)), 1)), 1)))"""
     docs
-      .select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
-      .withColumn("nt", size(col("ws")))
-      .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
-        frac(expr(topRun(2)), 2).as("top2_frac"),
-        frac(expr(topRun(3)), 3).as("top3_frac"),
-        frac(expr(topRun(4)), 4).as("top4_frac"),
-        when(expr(cov5) > 0, expr(cov5).cast("double") / col("nt"))
-          .otherwise(lit(0.0)).as("dup5_frac"))
+      .select(col("doc_id"), expr(metrics))
       .withColumn("keep",
         col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
         col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15)
