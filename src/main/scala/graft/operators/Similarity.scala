@@ -139,6 +139,162 @@ object Similarity {
       .select(col("vec_id"), col("cell").as("cluster"), col("dist"))
   }
 
+  /** ss18's trained-centroid IVF search (see the ss18 entry's scaladoc),
+    * extracted over an arbitrary embeddings frame so Ss19IvfPqSpec can run
+    * it and [[ivfPqAnn]] on the same slice and pin the lossless limit. */
+  private[graft] def ivfTrainedAnn(e: DataFrame, k: Int = 8, nprobe: Int = 3,
+      topk: Int = 10): DataFrame = {
+    val feats = intFeatures(e)
+    val cents = fixedPointCentroids(feats, k, iters = 2)
+    val assigned = assignToCells(feats, cents)
+      .select(col("vec_id"), col("f"), col("cell"))
+    val wTop = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    assigned.join(broadcast(probeCells(feats, cents, nprobe)), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= topk)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk").cast("int").as("rk"), col("dist"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The query side shared by ss18 and ss19: each query (vec_id < 5) ranks
+    * ALL k centroids by exact integer distance and keeps the `nprobe`
+    * nearest (ties to the lower cell). Returns (query_id, qf, cell) — one
+    * row per probed cell. The rank window runs over queries × k rows. */
+  private def probeCells(feats: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy("query_id").orderBy("dist", "cell")
+    feats.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(
+        cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))))
+      .select(col("vec_id").as("query_id"), col("f").as("qf"),
+        explode(expr(
+          s"transform(cs, cc -> struct($centDistExpr AS dist, cc.cell AS cell))"))
+          .as("pc"))
+      .select(col("query_id"), col("qf"),
+        col("pc.dist").as("dist"), col("pc.cell").as("cell"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qf", "cell")
+  }
+
+  /** Trained IVF-PQ ANN (ss19) — FAISS's IVFADC index (Jégou et al.,
+    * TPAMI 2011) composed from the family's own integer pieces, closing
+    * the compression ladder: ss06 proved PQ geometry (float codebooks,
+    * rows-only), ss13 composed IVF with training-free SQ8, ss18 trained
+    * the coarse quantizer — ss19 is the production shape that serves
+    * billion-vector corpora: trained cells AND trained in-cell codes.
+    *
+    * Train: ss14's fixed-point Lloyd gives the k coarse centroids; every
+    * corpus vector's RESIDUAL vs its cell centroid is split into
+    * mSub=8 subspaces × dsub=8 dims and per-subspace codebooks (kCodes=16
+    * codewords — ss06's geometry) are trained by the SAME integer Lloyd
+    * (seeds = the kCodes smallest vec_ids' residual sub-vectors, 2
+    * rounds, integer-mean updates with empty codes keeping the prior,
+    * ties to the lower code). Residuals re-shift by +2·10⁶ so every
+    * Lloyd value stays nonnegative — fv, cv ∈ [0, 2·10⁶] — and Spark's
+    * truncating `div` agrees with DuckDB's floor `//`: ss14's shift
+    * argument applied one level down (distances are shift-invariant).
+    *
+    * Search (asymmetric distance, the paper's ADC): queries probe the
+    * nprobe nearest cells exactly as ss18, compute their residual vs EACH
+    * probed centroid, and a (query × cell × subspace × codeword) distance
+    * table — queries·nprobe·mSub·kCodes rows, KB-scale — is broadcast;
+    * a candidate's approx distance is the sum of its mSub code lookups.
+    * Because query and candidate residuals subtract the SAME probed-cell
+    * centroid, the shift cancels: with n ≤ kCodes the codebooks converge
+    * to the residuals themselves and ADC EQUALS the exact integer
+    * distance — Ss19IvfPqSpec pins that lossless limit against ss18.
+    *
+    * All-integer end to end, so unlike ss06's float PQ the whole trained
+    * composition is hash-exact; oracle = ss14's CTE chain + the
+    * per-subspace Lloyd unrolled over (m, sd) + encode + ADC rank.
+    *
+    * Shape at 100 TB: training adds 3 residual-frame scans to ss14's (the
+    * residual frame never shuffles — codebook assignment is map-side vs a
+    * broadcast 128-row codebook, updates are a (m, code, sd)-sized agg);
+    * the corpus is stored as mSub one-byte codes per vector (32× memory
+    * cut — the lever that keeps the in-cell scan in RAM); search touches
+    * nprobe/k of the corpus and scores each candidate with mSub integer
+    * adds against the broadcast ADC table — no corpus shuffle anywhere. */
+  private[graft] def ivfPqAnn(e: DataFrame, k: Int = 8, mSub: Int = 8,
+      dsub: Int = 8, kCodes: Int = 16, nprobe: Int = 3, topk: Int = 10): DataFrame = {
+    val feats = intFeatures(e)
+    val cents = fixedPointCentroids(feats, k, iters = 2)
+    // residual sub-vectors (vec_id, cell, m, rv[dsub]) — consumed by every
+    // Lloyd round, the final encode, nothing else; tracked cache bounds
+    // the per-round lineage exactly as in fixedPointCentroids
+    val sub = graft.Caches.track(
+      assignToCells(feats, cents).join(broadcast(cents), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(f, c, (a, b) -> a - b + 2000000)").as("r"))
+        .select(col("vec_id"), col("cell"), explode(expr(
+          s"transform(sequence(0, ${mSub - 1}), " +
+            s"m -> struct(m AS m, slice(r, m * $dsub + 1, $dsub) AS rv))")).as("s"))
+        .select(col("vec_id"), col("cell"), col("s.m").as("m"), col("s.rv").as("rv")))
+    val codeDistExpr = // exact integer squared L2 between rv and cc.c
+      "aggregate(zip_with(rv, cc.c, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    // map-side argmin of every residual sub-vector against the broadcast
+    // (m → codewords) pack: the per-subspace analogue of assignToCells
+    def assignCodes(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb.groupBy("m")
+          .agg(sort_array(collect_list(struct(col("code"), col("c")))).as("cs"))),
+          Seq("m"))
+        .withColumn("a", expr(
+          s"array_min(transform(cs, cc -> struct($codeDistExpr AS dist, cc.code AS code)))"))
+        .select(col("vec_id"), col("cell"), col("m"), col("rv"),
+          col("a.code").as("code"))
+    def update(asg: DataFrame, prev: DataFrame): DataFrame = {
+      val upd = asg
+        .select(col("m"), col("code"), posexplode(col("rv")).as(Seq("sd", "rfv")))
+        .groupBy("m", "code", "sd")
+        .agg(expr("sum(rfv) div count(1)").as("cv"))
+        .groupBy("m", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(sd, cv))), x -> x.cv)")
+          .as("cnew"))
+      graft.Caches.track(
+        prev.join(upd, Seq("m", "code"), "left")
+          .select(col("m"), col("code"), coalesce(col("cnew"), col("c")).as("c")))
+    }
+    val seeds = sub.select("vec_id").distinct().orderBy("vec_id").limit(kCodes)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    val cb0 = graft.Caches.track(
+      sub.join(broadcast(seeds), Seq("vec_id"))
+        .select(col("m"), col("code"), col("rv").as("c")))
+    val cb = (1 to 2).foldLeft(cb0)((c, _) => update(assignCodes(c), c))
+    val codes = assignCodes(cb).select("vec_id", "cell", "m", "code")
+    // per-(query, probed cell) residual sub-vectors, then the broadcast
+    // ADC table: one row per (query, cell, m, code)
+    val qsub = probeCells(feats, cents, nprobe)
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        expr("zip_with(qf, c, (a, b) -> a - b + 2000000)").as("qr"))
+      .select(col("query_id"), col("cell"), explode(expr(
+        s"transform(sequence(0, ${mSub - 1}), " +
+          s"m -> struct(m AS m, slice(qr, m * $dsub + 1, $dsub) AS qrv))")).as("s"))
+      .select(col("query_id"), col("cell"), col("s.m").as("m"), col("s.qrv").as("qrv"))
+    val adc = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        expr("aggregate(zip_with(qrv, c, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("qd"))
+    val wTop = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
+    codes.join(broadcast(adc), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("qd").as("approx_dist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= topk)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk").cast("int").as("rk"),
+        col("approx_dist").cast("long").as("approx_dist"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Deterministic Gonzalez farthest-point (k-center) seeding (see the
     * ss16 scaladoc): seed 1 is the smallest vec_id; each later seed is the
     * vector MAXIMIZING its min squared-L2 distance to the seeds chosen so
@@ -582,37 +738,13 @@ object Similarity {
     // (queries × nprobe) rows against the cell-assigned corpus — the
     // corpus never shuffles; per-query scan cost is nprobe/k of the
     // corpus, cut further by SQ8 exactly as ss13 does to ss05.
-    "ss18_ivf_trained_ann" -> ((s, dir) => {
-      val nprobe = 3
-      val feats = intFeatures(emb(s, dir))
-      val cents = fixedPointCentroids(feats, k = 8, iters = 2)
-      val assigned = assignToCells(feats, cents)
-        .select(col("vec_id"), col("f"), col("cell"))
-      val wProbe = Window.partitionBy("query_id").orderBy("dist", "cell")
-      val probes = feats.filter(col("vec_id") < 5)
-        .crossJoin(broadcast(
-          cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))))
-        .select(col("vec_id").as("query_id"), col("f").as("qf"),
-          explode(expr(
-            s"transform(cs, cc -> struct($centDistExpr AS dist, cc.cell AS cell))"))
-            .as("pc"))
-        .select(col("query_id"), col("qf"),
-          col("pc.dist").as("dist"), col("pc.cell").as("cell"))
-        .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= nprobe)
-        .select("query_id", "qf", "cell")
-      val wTop = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("dist", expr(
-          "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
-            "cast(0 as bigint), (acc, x) -> acc + x)"))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 10)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("rk").cast("int").as("rk"), col("dist"))
-        .orderBy("query_id", "rk")
-    }),
+    "ss18_ivf_trained_ann" -> ((s, dir) => ivfTrainedAnn(emb(s, dir))),
+
+    // TRAINED IVF-PQ ANN (r14) — FAISS's IVFADC on the integer license;
+    // see the [[ivfPqAnn]] scaladoc for the full train/encode/search
+    // contract and the 100 TB shape. Hash-exact (unlike ss06's float PQ):
+    // oracle = ss14's chain + the per-subspace residual Lloyd + ADC rank.
+    "ss19_ivfpq_trained_ann" -> ((s, dir) => ivfPqAnn(emb(s, dir))),
 
     // EMBEDDING-CURATION manifest (qp05, r14) — the SemDeDup recipe
     // (Abbas et al. 2023) end to end as ONE declared query, the
@@ -1088,6 +1220,100 @@ object Similarity {
         |  SELECT query_id, neighbor_id, dist,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
         |  FROM dd)
+        |WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin),
+    // Mirrors ss19 term-for-term: ss14's chain, then residual features
+    // rf (fv − cell centroid + 2e6; `//`≡`div` on the nonnegative shift),
+    // the per-subspace Lloyd unrolled over (m, sd) exactly as the kmeans
+    // chain is over dim (seeds = the 16 smallest vec_ids, assignment rank
+    // (d, code) per (vec_id, m), integer-mean update, empty codes keep the
+    // prior), final encode `enc`, ss18's probe rank, per-(query, probed
+    // cell) residuals, the ADC table, and the (approx_dist, neighbor) rank.
+    // Reused CTEs are MATERIALIZEd by the assembly pass.
+    "ss19_ivfpq_trained_ann" ->
+      (kmeansOracleCtes + """,
+        |rf AS (
+        |  SELECT fin.vec_id, fin.cluster AS cell,
+        |    f.dim // 8 AS m, f.dim % 8 AS sd,
+        |    f.fv - c.cv + 2000000 AS rfv
+        |  FROM fin JOIN f ON f.vec_id = fin.vec_id
+        |  JOIN c2 c ON c.cell = fin.cluster AND c.dim = f.dim),
+        |pseed AS (
+        |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM (SELECT DISTINCT vec_id FROM rf ORDER BY vec_id LIMIT 16)),
+        |pb0 AS (
+        |  SELECT r.m, s.code, r.sd, r.rfv AS cv
+        |  FROM pseed s JOIN rf r USING (vec_id)),
+        |pd1 AS (
+        |  SELECT r.vec_id, r.m, b.code, SUM((r.rfv - b.cv) * (r.rfv - b.cv)) AS d
+        |  FROM rf r JOIN pb0 b ON b.m = r.m AND b.sd = r.sd
+        |  GROUP BY 1, 2, 3),
+        |pa1 AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        |    FROM pd1) WHERE rn = 1),
+        |pu1 AS (
+        |  SELECT a.m, a.code, r.sd, SUM(r.rfv) // COUNT(*) AS cv
+        |  FROM pa1 a JOIN rf r ON r.vec_id = a.vec_id AND r.m = a.m
+        |  GROUP BY 1, 2, 3),
+        |pb1 AS (
+        |  SELECT b.m, b.code, b.sd, CAST(COALESCE(u.cv, b.cv) AS BIGINT) AS cv
+        |  FROM pb0 b LEFT JOIN pu1 u
+        |    ON u.m = b.m AND u.code = b.code AND u.sd = b.sd),
+        |pd2 AS (
+        |  SELECT r.vec_id, r.m, b.code, SUM((r.rfv - b.cv) * (r.rfv - b.cv)) AS d
+        |  FROM rf r JOIN pb1 b ON b.m = r.m AND b.sd = r.sd
+        |  GROUP BY 1, 2, 3),
+        |pa2 AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        |    FROM pd2) WHERE rn = 1),
+        |pu2 AS (
+        |  SELECT a.m, a.code, r.sd, SUM(r.rfv) // COUNT(*) AS cv
+        |  FROM pa2 a JOIN rf r ON r.vec_id = a.vec_id AND r.m = a.m
+        |  GROUP BY 1, 2, 3),
+        |pb2 AS (
+        |  SELECT b.m, b.code, b.sd, CAST(COALESCE(u.cv, b.cv) AS BIGINT) AS cv
+        |  FROM pb1 b LEFT JOIN pu2 u
+        |    ON u.m = b.m AND u.code = b.code AND u.sd = b.sd),
+        |pd3 AS (
+        |  SELECT r.vec_id, r.m, b.code, SUM((r.rfv - b.cv) * (r.rfv - b.cv)) AS d
+        |  FROM rf r JOIN pb2 b ON b.m = r.m AND b.sd = r.sd
+        |  GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+        |    FROM pd3) WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+        |    FROM d3 WHERE vec_id < 5) WHERE pr <= 3),
+        |qr AS (
+        |  SELECT q.query_id, q.cell, f.dim // 8 AS m, f.dim % 8 AS sd,
+        |    f.fv - c.cv + 2000000 AS rfv
+        |  FROM q JOIN f ON f.vec_id = q.query_id
+        |  JOIN c2 c ON c.cell = q.cell AND c.dim = f.dim),
+        |adc AS (
+        |  SELECT r.query_id, r.cell, b.m, b.code,
+        |    SUM((r.rfv - b.cv) * (r.rfv - b.cv)) AS qd
+        |  FROM qr r JOIN pb2 b ON b.m = r.m AND b.sd = r.sd
+        |  GROUP BY 1, 2, 3, 4),
+        |cand AS (
+        |  SELECT a.query_id, e.vec_id AS neighbor_id, SUM(a.qd) AS approx_dist
+        |  FROM adc a
+        |  JOIN fin fi ON fi.cluster = a.cell AND fi.vec_id <> a.query_id
+        |  JOIN enc e ON e.vec_id = fi.vec_id AND e.m = a.m AND e.code = a.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk,
+        |  CAST(approx_dist AS BIGINT) AS approx_dist
+        |FROM (
+        |  SELECT query_id, neighbor_id, approx_dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rk
+        |  FROM cand)
         |WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin),
     // Mirrors qp05: ss14's trained-centroid chain, then the in-cell

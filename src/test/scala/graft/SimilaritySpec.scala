@@ -466,6 +466,56 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
   }
 
+  test("ss19 IVF-PQ: lossless limit — with n <= kCodes the PQ index reproduces ss18 exactly") {
+    // With n <= 16 vectors every residual sub-vector becomes (or ties
+    // into an identical copy of) its own codeword after the Lloyd
+    // rounds, so ADC(q, n) = Σ_m d(q_res_m, n_res_m) = the exact integer
+    // squared L2 (query and candidate residuals subtract the SAME
+    // probed-cell centroid, so the +2e6 shift and the centroid cancel).
+    // The trained-PQ search must therefore equal the exact trained-IVF
+    // search row for row — the crispest whole-pipeline witness the
+    // quantizer admits, complementing the DuckDB oracle's hash check.
+    val slice = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .filter("vec_id < 12")
+    val exact = Similarity.ivfTrainedAnn(slice)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    val pq = Similarity.ivfPqAnn(slice)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(exact.nonEmpty)
+    assert(pq.toSeq == exact.toSeq,
+      "IVF-PQ at n <= kCodes must equal trained-IVF exactly (lossless limit)")
+  }
+
+  test("ss19 IVF-PQ: approx distances bounded sane, recall vs the integer-L2 brute force") {
+    // PQ distances are approximations — the spec pins that (a) the
+    // reported approx_dist is nonnegative, (b) every (query, neighbor)
+    // pair lies in a probed cell (structural: the join guarantees it,
+    // the rank caps at 10 per query), and (c) probing 3 of 8 trained
+    // cells THROUGH the 32x-compressed codes still recovers a useful
+    // fraction of the true top-10 — the paper's whole claim is that
+    // residual PQ approximates geometry, not just its own ranking.
+    val feats = intFeats()
+    val rows = Similarity.queries("ss19_ivfpq_trained_ann")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, _, d) => assert(d >= 0 && q != n) }
+    val got = rows.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val ids = feats.keys.toVector
+    val recalls = got.map { case (q, ns) =>
+      val exact = ids.filter(_ != q)
+        .sortBy(i => (sqd(feats(q), feats(i)), i)).take(10)
+      exact.count(ns.toSet).toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ss19 mean recall@10 = $mean%.2f over ${recalls.size} queries")
+    assert(mean >= 0.3, f"ss19 recall@10 $mean%.2f below 0.3 at nprobe 3/8 + PQ")
+    got.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
+  }
+
   test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {
     import org.apache.spark.sql.functions._
     // The DuckDB oracle pins qp05 hash-exact; this spec is the in-repo
