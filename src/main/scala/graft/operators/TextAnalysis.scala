@@ -485,6 +485,62 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // EVAL-SUITE screen report (qp07, r14) — the benchmark owner's QA
+    // pipeline, the composition dual of qp04's trainer-side cut: ONE row
+    // per eval doc (doc_id % 10 = 0) answering "can this benchmark score
+    // be trusted against this training corpus?" — exact-substring leakage
+    // (tx32's machinery collapsed to the doc grain: distinct leaked
+    // windows, leaking sources, total train occurrences), fuzzy
+    // near-duplication (tx31's cross-fold pairs aggregated to a count and
+    // a max jaccard), and the triaged verdict production publishes with
+    // an eval suite: 'exact' (verbatim 8-gram leak — the score is
+    // invalid), 'near' (paraphrase-level overlap — flag for review),
+    // 'clean'. Every eval doc appears, including clean ones — the roster
+    // IS the deliverable. Hash-exact: the substring side is tx32's exact
+    // integers, the fuzzy side tx31's licensed pairs with one int/int
+    // IEEE division, max() over bit-stable doubles, verdict a CASE over
+    // exact counts. Shape at 100 TB: tx32's aggregate-before-join
+    // discipline (train side reduces to (h, source) counts before
+    // meeting eval windows — never a pair expansion), dd10's banded LSH
+    // under exact verify on the fuzzy side, then two LEFT joins on the
+    // unique eval-doc key against the tiny eval roster.
+    "qp07_eval_screen" -> ((s, dir) => {
+      val K = Dedup.substringK
+      val idx = Dedup.ddWinIndexPath(s, dir)
+      val wins = s.read.parquet(s"$idx/wins").select("doc_id", "source", "h")
+      val trainAgg = wins.filter(col("doc_id") % 10 =!= 0)
+        .groupBy("h", "source").agg(count(lit(1)).as("n_occ"))
+      val evalW = wins.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc_id"), col("h")).distinct()
+      val leak = evalW.join(trainAgg, "h")
+        .groupBy("eval_doc_id")
+        .agg(countDistinct("h").as("n_leaked_windows"),
+          countDistinct("source").as("n_sources"),
+          sum("n_occ").as("n_train_occurrences"))
+      val fz = fuzzyCrossFoldPairs(s, dir)
+        .groupBy(col("eval_id").as("eval_doc_id"))
+        .agg(count(lit(1)).as("n_near_dup_train"),
+          max("jaccard").as("max_jaccard"))
+      s.read.parquet(s"$idx/docs")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc_id"),
+          greatest(col("n_ws") - (K - 1), lit(0)).cast("int").as("n_windows"))
+        .join(leak, Seq("eval_doc_id"), "left")
+        .join(fz, Seq("eval_doc_id"), "left")
+        .withColumn("n_leaked_windows", coalesce(col("n_leaked_windows"), lit(0L)))
+        .withColumn("n_sources", coalesce(col("n_sources"), lit(0L)))
+        .withColumn("n_train_occurrences",
+          coalesce(col("n_train_occurrences"), lit(0L)))
+        .withColumn("n_near_dup_train", coalesce(col("n_near_dup_train"), lit(0L)))
+        .withColumn("verdict",
+          when(col("n_leaked_windows") > 0, "exact")
+            .when(col("n_near_dup_train") > 0, "near")
+            .otherwise("clean"))
+        .select("eval_doc_id", "n_windows", "n_leaked_windows", "n_sources",
+          "n_train_occurrences", "n_near_dup_train", "max_jaccard", "verdict")
+        .orderBy("eval_doc_id")
+    }),
+
     // PROPORTIONAL quality gate — the pruning form production filters
     // actually use (keep the top q% by score, per language), beside
     // tx09's fixed-k quota: a fixed k misjudges corpora whose language
@@ -697,23 +753,8 @@ object TextAnalysis {
     // pairs, so it transfers to the cross-fold subset; jaccard divides
     // two exact ints (distinct shingle hashes ≡ distinct shingles at
     // gate scale, the dd03 contract) so the double is bit-stable.
-    "tx31_fuzzy_decontam" -> ((s, dir) => {
-      val Sk = graft.functions.SketchExprs
-      val d = Dedup.fuzzySigs(table(s, dir, "documents"))
-      Dedup.fuzzyCandidatePairs(d)
-        .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
-        .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", Sk.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
-        .withColumn("jaccard",
-          col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .filter(col("jaccard") >= 0.7)
-        .select(
-          when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("corpus_id"),
-          when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"),
-          col("jaccard"))
-        .orderBy("corpus_id", "eval_id")
-    }),
+    "tx31_fuzzy_decontam" -> ((s, dir) =>
+      fuzzyCrossFoldPairs(s, dir).orderBy("corpus_id", "eval_id")),
 
     // Contamination ATTRIBUTION (r14) — tx30 answers "which train spans
     // must be cut"; tx32 answers the question a benchmark owner asks
@@ -1579,6 +1620,27 @@ object TextAnalysis {
     * maximal spans per doc, folding per-span window counts into one
     * aggregation — (doc_id, n_contam_spans, n_cut_tokens,
     * n_contam_windows). One doc-partitioned window, no other exchange. */
+  /** tx31's cross-fold near-duplicate pairs (corpus_id, eval_id, jaccard):
+    * dd10's LSH-banded candidates restricted to one-side-eval pairs under
+    * the exact-jaccard >= 0.7 verify — see the tx31 entry's scaladoc for
+    * the license. Shared by tx31 and qp07's per-eval-doc screen report. */
+  private def fuzzyCrossFoldPairs(s: SparkSession, dir: String): DataFrame = {
+    val Sk = graft.functions.SketchExprs
+    val d = Dedup.fuzzySigs(table(s, dir, "documents"))
+    Dedup.fuzzyCandidatePairs(d)
+      .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+      .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", Sk.sortedLongIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= 0.7)
+      .select(
+        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("corpus_id"),
+        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("eval_id"),
+        col("jaccard"))
+  }
+
   private def contamSpanStats(occ: DataFrame, K: Int): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -2771,6 +2833,71 @@ object TextAnalysis {
         |FROM ew JOIN ta USING (h)
         |GROUP BY 1, 2
         |ORDER BY eval_doc_id, source""".stripMargin,
+    // Mirrors qp07 from first principles: tx32's window SQL collapsed to
+    // the eval-doc grain, tx31's inverted-index cross-fold jaccard
+    // aggregated to (count, max), LEFT-joined onto the eval roster with
+    // the verdict CASE over the coalesced counts. Reused CTEs are
+    // MATERIALIZEd by the assembly pass.
+    "qp07_eval_screen" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, source, i AS pos,
+        |    md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, source, ws,
+        |          unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |ta AS (
+        |  SELECT h, source, COUNT(*) AS n_occ
+        |  FROM w WHERE doc_id % 10 != 0 GROUP BY 1, 2),
+        |ew AS (
+        |  SELECT DISTINCT doc_id AS eval_doc_id, h
+        |  FROM w WHERE doc_id % 10 = 0),
+        |leak AS (
+        |  SELECT eval_doc_id,
+        |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_leaked_windows,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(SUM(n_occ) AS BIGINT) AS n_train_occurrences
+        |  FROM ew JOIN ta USING (h) GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+        |  FROM documents),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  WHERE (a.doc_id % 10 = 0) != (b.doc_id % 10 = 0)
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS eval_doc_id,
+        |    CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+        |  FROM shared
+        |  JOIN n na ON na.doc_id = id_a
+        |  JOIN n nb ON nb.doc_id = id_b),
+        |fz AS (
+        |  SELECT eval_doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dup_train,
+        |    MAX(jaccard) AS max_jaccard
+        |  FROM p WHERE jaccard >= 0.7 GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id AS eval_doc_id,
+        |    CAST(greatest(len(ws) - 7, 0) AS INT) AS n_windows
+        |  FROM t WHERE doc_id % 10 = 0)
+        |SELECT b.eval_doc_id, b.n_windows,
+        |  COALESCE(l.n_leaked_windows, 0) AS n_leaked_windows,
+        |  COALESCE(l.n_sources, 0) AS n_sources,
+        |  COALESCE(l.n_train_occurrences, 0) AS n_train_occurrences,
+        |  COALESCE(f.n_near_dup_train, 0) AS n_near_dup_train,
+        |  f.max_jaccard AS max_jaccard,
+        |  CASE WHEN COALESCE(l.n_leaked_windows, 0) > 0 THEN 'exact'
+        |       WHEN COALESCE(f.n_near_dup_train, 0) > 0 THEN 'near'
+        |       ELSE 'clean' END AS verdict
+        |FROM base b
+        |LEFT JOIN leak l USING (eval_doc_id)
+        |LEFT JOIN fz f USING (eval_doc_id)
+        |ORDER BY b.eval_doc_id""".stripMargin,
     // Mirrors tx33 from first principles: per (doc, n, gram) counts over
     // positions 0..nt-n, top-{2,3,4}-gram token fraction only when the
     // top gram repeats, duplicate-5-gram union coverage via the islands

@@ -84,6 +84,10 @@ class PlanCensusSpec extends SparkSpec {
     "qp03_incremental_manifest", "qp04_decontaminated_manifest",
     // dd19 shares dd16's unique-source LEFT-join final
     "dd19_refreshed_stats",
+    // qp07's final is the eval roster LEFT-joined to two unique-key
+    // aggregates (leak, fuzzy) whose outputs all prune under a bare
+    // count — eliminated like the dd16/dd19 twins above
+    "qp07_eval_screen",
     // tx30 ends in the dd12-family shape (span aggregate joined to the
     // unique-doc_id sidecar, ratio projection on top) — the projection
     // prunes under a bare count and the plan collapses like dd12's; the

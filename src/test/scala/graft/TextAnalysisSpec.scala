@@ -440,6 +440,50 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("qp07 eval screen: hand-computed triage — exact beats near beats clean") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("qp07").toString
+    val ev = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val w1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val w3 = "charlie delta echo foxtrot golf hotel india juliet"
+    val junk8 = "jone jtwo jthree jfour jfive jsix jseven jeight"
+    val short7 = "november oscar papa quebec romeo sierra tango"
+    Seq(
+      // tx32's two-source leak scenario: eval 10/20 share windows
+      // {W1,W2,W3} with feedA (4 occurrences) and {W1,W3} with feedB (2)
+      (1L, w1 + " zulu yankee xray whiskey", "feedA"),
+      (3L, "zulu " + ev + " victor uniform", "feedA"),
+      (5L, w1 + " " + junk8 + " " + w3, "feedB"),
+      (7L, "nothing here resembles the held out evaluation passage at all", "feedB"),
+      // train 9 is 7 tokens — BELOW the 8-token window size, so eval 30
+      // (its verbatim copy) has ZERO exact-leaked windows but jaccard 1.0:
+      // the 'near' verdict is reachable only through the fuzzy side
+      (9L, short7, "feedB"),
+      (10L, ev, "evalset"),
+      (20L, ev, "evalset"), // eval-eval dup: same report, never a train hit
+      (30L, short7, "evalset"),
+      (40L, "whiskey xray yankee zulu", "evalset")) // clean
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("qp07_eval_screen")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) null else r.getDouble(6), r.getString(7)))
+      .toList
+    // eval 10/20 ALSO near-dup train 3 (ev embedded in 13 tokens: 8 shared
+    // 3-gram shingles of 11 -> jaccard 8/11 ≈ 0.727), surfaced by the
+    // LSH-banded candidates under dd10's license; 'exact' outranks it.
+    assert(out == List(
+      (10L, 3, 3L, 2L, 6L, 1L, 8.0 / 11, "exact"),
+      (20L, 3, 3L, 2L, 6L, 1L, 8.0 / 11, "exact"),
+      (30L, 0, 0L, 0L, 0L, 1L, 1.0, "near"),
+      (40L, 0, 0L, 0L, 0L, 0L, null, "clean")))
+    graft.Caches.releaseAll()
+  }
+
   test("tx33 gopher repetition: hand-computed top-gram and dup-5-gram coverage fractions") {
     val spark2 = spark
     import spark2.implicits._
