@@ -83,7 +83,7 @@ object Similarity {
     * `div`. Returns (vec_id, cluster, dist) for the final assignment. */
   /** ss14/ss16/ss17/ss18's shared integer feature grid:
     * floor(v·1e6)+1e6 per dimension. */
-  private def intFeatures(e: DataFrame): DataFrame =
+  private[graft] def intFeatures(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
 
@@ -293,6 +293,62 @@ object Similarity {
         col("rk").cast("int").as("rk"),
         col("approx_dist").cast("long").as("approx_dist"))
       .orderBy("query_id", "rk")
+  }
+
+  /** IVF RANGE search (ss20) — FAISS's `range_search` beside the top-k
+    * family: ALL corpus vectors within integer squared-L2 `r` of each
+    * query (vec_id < 5), the retrieval mode a dedup/curation pipeline
+    * uses when the question is "everything closer than ε", not "the 10
+    * closest" (qp05's in-cell prune is exactly an ε-ball; r defaults to
+    * its ε² = 1.3e12). Unlike ss18/ss19 the ANSWER here is exact — the
+    * index only decides which cells to SCAN, via the triangle
+    * inequality: for x in cell c, d(q,x) ≥ (√d(q,c) − √rad_c)², so a
+    * cell is skipped only when d(q,c) > r + rad_c + 2√(r·rad_c) with
+    * rad_c the cell's max member distance (computed in the same
+    * assignment pass). The √ lives ONLY in the prune bound: it is
+    * evaluated in double with a +4 slack absorbing the worst float
+    * error (r·rad_c ~ 2.6e26 exceeds 2^53, so the product's rounding
+    * can shift the floor by ~1), which can only OVER-probe — never
+    * skip a qualifying cell — and the emitted rows are filtered by the
+    * exact integer d(q,x) ≤ r, so the OUTPUT is the brute-force truth
+    * set no matter how loose the bound is. The oracle is therefore the
+    * plain all-pairs range join: any pruning bug that drops a cell
+    * breaks the hash. Hash-exact.
+    *
+    * Shape at 100 TB: cells + radii are k broadcast rows maintained by
+    * the trainer; per query the bound eliminates cells map-side and the
+    * scan touches only the survivors' partitions — the corpus never
+    * shuffles, and on clustered data (the regime IVF exists for) the
+    * probed fraction tracks the ball volume, not k. */
+  private[graft] def ivfRangeSearch(e: DataFrame, k: Int = 8,
+      r: Long = 1300000000000L): DataFrame = {
+    val feats = intFeatures(e)
+    val cents = fixedPointCentroids(feats, k, iters = 2)
+    // consumed twice: the per-cell radius agg + the candidate scan
+    val assigned = graft.Caches.track(assignToCells(feats, cents))
+    val cellRad = assigned.groupBy("cell").agg(max("dist").as("rad"))
+    val probes = feats.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(
+        cents.agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))))
+      .select(col("vec_id").as("query_id"), col("f").as("qf"),
+        explode(expr(
+          s"transform(cs, cc -> struct($centDistExpr AS d2c, cc.cell AS cell))"))
+          .as("pc"))
+      .select(col("query_id"), col("qf"),
+        col("pc.d2c").as("d2c"), col("pc.cell").as("cell"))
+      .join(broadcast(cellRad), Seq("cell"))
+      .filter(col("d2c") <= lit(r) + col("rad") +
+        (floor(sqrt(lit(r.toDouble) * col("rad").cast("double"))) * 2 + lit(4))
+          .cast("long"))
+      .select("query_id", "qf", "cell")
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .filter(col("dist") <= r)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist"))
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** Deterministic Gonzalez farthest-point (k-center) seeding (see the
@@ -739,6 +795,13 @@ object Similarity {
     // corpus never shuffles; per-query scan cost is nprobe/k of the
     // corpus, cut further by SQ8 exactly as ss13 does to ss05.
     "ss18_ivf_trained_ann" -> ((s, dir) => ivfTrainedAnn(emb(s, dir))),
+
+    // IVF RANGE search (r14) — FAISS's range_search: everything within
+    // ε², exactly; the index prunes cells via the triangle inequality
+    // but the answer is the brute-force truth set (see [[ivfRangeSearch]]
+    // — the oracle IS the all-pairs range join, so a pruning bug that
+    // drops a cell breaks the hash). r = qp05's ε².
+    "ss20_range_search" -> ((s, dir) => ivfRangeSearch(emb(s, dir))),
 
     // TRAINED IVF-PQ ANN (r14) — FAISS's IVFADC on the integer license;
     // see the [[ivfPqAnn]] scaladoc for the full train/encode/search
@@ -1222,6 +1285,24 @@ object Similarity {
         |  FROM dd)
         |WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin),
+    // ss20's oracle is DELIBERATELY index-free: the brute-force range
+    // join over the integer features is the truth set the pruned scan
+    // must reproduce exactly — completeness of the triangle-inequality
+    // bound is what the hash checks.
+    "ss20_range_search" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      + 1000000 AS fv
+        |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings))
+        |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(SUM((a.fv - b.fv) * (a.fv - b.fv)) AS BIGINT) AS dist
+        |FROM f a JOIN f b ON b.dim = a.dim AND b.vec_id <> a.vec_id
+        |WHERE a.vec_id < 5
+        |GROUP BY 1, 2
+        |HAVING SUM((a.fv - b.fv) * (a.fv - b.fv)) <= 1300000000000
+        |ORDER BY query_id, neighbor_id""".stripMargin,
     // Mirrors ss19 term-for-term: ss14's chain, then residual features
     // rf (fv − cell centroid + 2e6; `//`≡`div` on the nonnegative shift),
     // the per-subspace Lloyd unrolled over (m, sd) exactly as the kmeans

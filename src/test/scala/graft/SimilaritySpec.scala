@@ -516,6 +516,78 @@ class SimilaritySpec extends SparkSpec {
     got.values.foreach(ns => assert(ns.size <= 10 && ns.distinct.size == ns.size))
   }
 
+  test("ss20 range search: equals brute force exactly on the gate corpus") {
+    // The DuckDB oracle is the brute-force range join; this is the
+    // in-repo witness. On THIS corpus (isotropic synthetic vectors,
+    // every pairwise distance in a narrow band) the triangle-inequality
+    // bound legitimately admits every cell — the pruning claim is
+    // exercised on the clustered fixture in the next test, the regime
+    // IVF indexes exist for.
+    val r = 1300000000000L
+    val feats = intFeats()
+    val rows = Similarity.queries("ss20_range_search")(spark, sf001)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    graft.Caches.releaseAll()
+    val brute = (for {
+      q <- feats.keys.filter(_ < 5)
+      n <- feats.keys if n != q
+      d = sqd(feats(q), feats(n)) if d <= r
+    } yield (q, n, d.toLong)).toSet
+    assert(rows == brute, "pruned range search diverged from brute force")
+    assert(rows.nonEmpty)
+    info(s"range hits: ${rows.size} pairs")
+  }
+
+  test("ss20 range search: the prune bound eliminates cells on clustered data, completely") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Two well-separated blobs at ±0.9 across all 64 dims with
+    // deterministic per-vector jitter; blob distance ~2.1e14 dwarfs the
+    // radius, so every query must prune the far blob's cells — while
+    // remaining row-for-row equal to brute force.
+    def vec(id: Long): Vector[Double] = {
+      val base = if (id % 2 == 0) 0.9 else -0.9
+      Vector.tabulate(64)(d => base + 0.001 * ((id * 31 + d) % 7))
+    }
+    val ids = (0L until 24L).toVector
+    val e = ids.map(i => (i, vec(i))).toDF("vec_id", "v")
+    val r = 1000000000L // covers within-blob jitter neighbors only
+    val rows = Similarity.ivfRangeSearch(e, k = 8, r = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    graft.Caches.releaseAll()
+    val feats = ids.map(i => i ->
+      vec(i).map(x => math.floor(x * 1e6).toLong + 1000000L)).toMap
+    val brute = (for {
+      q <- ids.filter(_ < 5); n <- ids if n != q
+      d = sqd(feats(q), feats(n)) if d <= r
+    } yield (q, n, d.toLong)).toSet
+    assert(rows == brute, "clustered-fixture range search diverged from brute force")
+    assert(rows.nonEmpty)
+    // re-derive the bound over the SAME trained cells: every cell
+    // holding a true hit is admitted, and cross-blob cells are pruned
+    val intF = Similarity.intFeatures(e)
+    val cents = Similarity.fixedPointCentroids(intF, k = 8, iters = 2)
+      .collect().map(x => x.getInt(0) -> x.getSeq[Long](1).toVector).toMap
+    val assign = Similarity.kmeansFixedPoint(e, k = 8, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    graft.Caches.releaseAll()
+    val rad = assign.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val cellOf = assign.map(a => a._1 -> a._2).toMap
+    val admitted = (for {
+      q <- ids.filter(_ < 5); c <- cents.keys
+      d2c = sqd(feats(q), cents(c))
+      bound = BigInt(r) + rad(c) +
+        (2 * math.floor(math.sqrt(r.toDouble * rad(c).toDouble)).toLong + 4)
+      if d2c <= bound
+    } yield (q, c)).toSet
+    rows.foreach { case (q, n, _) =>
+      assert(admitted((q, cellOf(n))), s"hit ($q,$n) in a pruned cell")
+    }
+    info(s"fixture: ${rows.size} hits; bound admits ${admitted.size} of ${5 * cents.size} probe slots")
+    assert(admitted.size < 5 * cents.size,
+      "the bound admitted every (query, cell) pair on clustered data")
+  }
+
   test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {
     import org.apache.spark.sql.functions._
     // The DuckDB oracle pins qp05 hash-exact; this spec is the in-repo
