@@ -161,6 +161,19 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** The offline half of the trained-IVF serving path (st13): ss14's
+    * Lloyd over an arbitrary corpus frame, returning (centroids,
+    * cell-assigned corpus) — the static state a streaming ANN serving
+    * join probes. Both frames carry tracked caches (see
+    * [[fixedPointCentroids]]). */
+  private[graft] def trainedIvfIndex(e: DataFrame, k: Int = 8): (DataFrame, DataFrame) = {
+    val feats = intFeatures(e)
+    val cents = fixedPointCentroids(feats, k, iters = 2)
+    val assigned = graft.Caches.track(
+      assignToCells(feats, cents).select(col("vec_id"), col("f"), col("cell")))
+    (cents, assigned)
+  }
+
   /** The query side shared by ss18 and ss19: each query (vec_id < 5) ranks
     * ALL k centroids by exact integer distance and keeps the `nprobe`
     * nearest (ties to the lower cell). Returns (query_id, qf, cell) — one
@@ -1196,13 +1209,16 @@ object Similarity {
   // reference — harmless here, but the same disease un-ran the ss16
   // oracle in r13, so every reused CTE in a chain oracle is now
   // materialized by policy (enforced by OracleDisciplineSpec).
-  private val kmeansOracleCtes =
-    """WITH f AS MATERIALIZED (
+  /** The k-means chain parameterized over a corpus predicate (appended to
+    * the embeddings scan), so st13's serving oracle can train on the even
+    * half only; `kmeansOracleCtes` below is the full-corpus instance. */
+  private[graft] def kmeansOracleChain(pred: String): String =
+    s"""WITH f AS MATERIALIZED (
         |  SELECT vec_id, i AS dim,
         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
         |      + 1000000 AS fv
         |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
-        |        FROM embeddings)),
+        |        FROM embeddings$pred)),
         |seed AS (
         |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
         |  FROM (SELECT DISTINCT vec_id FROM f ORDER BY vec_id LIMIT 8)),
@@ -1244,6 +1260,8 @@ object Similarity {
         |    SELECT vec_id, cell, dist,
         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
         |    FROM d3) WHERE rn = 1)""".stripMargin
+
+  private val kmeansOracleCtes = kmeansOracleChain("")
 
   val oracle: Map[String, String] = Map(
     // Mirrors ss14 term-for-term with the two Lloyd rounds unrolled as

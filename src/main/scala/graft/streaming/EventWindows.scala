@@ -227,6 +227,28 @@ object EventWindows {
           .select("doc_id", "text"))
         .orderBy("doc_id")),
 
+    // Batch twin of the streaming trained-IVF ANN serving
+    // ([[Stateful.ingestAnnTopK]]): the index — ss14-trained centroids +
+    // the cell-assigned EVEN half of the embeddings — is frozen offline,
+    // each arriving ODD vector probes its nprobe=3 nearest cells
+    // (row-wise sort of the broadcast centroid pack, rank-free) and its
+    // exact-integer top-10 within them is kept by the bounded TopKAgg
+    // UDAF (k pairs of state per query, never the probed cell). All
+    // integers end to end, so unlike st07's float-cosine ingest this
+    // serving path is hash-exact — the oracle trains the same chain on
+    // the even slice and re-ranks with window functions the stream
+    // cannot use.
+    "st13_ann_serving" -> ((s, dir) => {
+      val Sim = graft.operators.Similarity
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val (cents, assigned) = Sim.trainedIvfIndex(e.filter(col("vec_id") % 2 === 0))
+      Stateful.ingestAnnTopK(
+        e.filter(col("vec_id") % 2 === 1), cents, assigned, nprobe = 3, k = 10)
+        .orderBy("query_id")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -258,6 +280,46 @@ object EventWindows {
     // verbatim (the st06 ≡ dd07/dd08 precedent).
     "st11_attribution_ingest" ->
       graft.operators.TextAnalysis.oracle("tx32_contam_attribution"),
+    // Mirrors st13: ss14's chain trained on the EVEN half (the frozen
+    // index), odd-id query features, probe rank (dist, cell) to 3, exact
+    // integer candidate distances within probed cells, top-10 per query
+    // re-assembled as the engine's two rank-ordered arrays. The oracle
+    // may use the rank windows the stream cannot.
+    "st13_ann_serving" ->
+      (graft.operators.Similarity.kmeansOracleChain(" WHERE vec_id % 2 = 0") + """,
+        |qf AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      + 1000000 AS fv
+        |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings WHERE vec_id % 2 = 1)),
+        |qd AS (
+        |  SELECT q.vec_id AS query_id, c.cell,
+        |    SUM((q.fv - c.cv) * (q.fv - c.cv)) AS dist
+        |  FROM qf q JOIN c2 c ON c.dim = q.dim GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cell) AS pr
+        |    FROM qd) WHERE pr <= 3),
+        |cand AS (
+        |  SELECT p.query_id, fin.vec_id AS neighbor_id,
+        |    SUM((a.fv - b.fv) * (a.fv - b.fv)) AS dist
+        |  FROM pr p
+        |  JOIN fin ON fin.cluster = p.cell
+        |  JOIN qf a ON a.vec_id = p.query_id
+        |  JOIN f b ON b.vec_id = fin.vec_id AND b.dim = a.dim
+        |  GROUP BY 1, 2),
+        |tk AS (
+        |  SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+        |  FROM cand)
+        |SELECT query_id,
+        |  list(neighbor_id ORDER BY rk) AS neighbor_ids,
+        |  list(dist ORDER BY rk) AS dists
+        |FROM tk WHERE rk <= 10
+        |GROUP BY query_id
+        |ORDER BY query_id""".stripMargin),
     // Mirrors st12 ≡ qp06's screen stages restricted to the odd fold:
     // tx34's shape rules at stop floor 1, tx33's repetition pipeline
     // over the survivors, admitted docs with their alpha-token counts.

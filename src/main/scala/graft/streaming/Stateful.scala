@@ -312,6 +312,57 @@ object Stateful {
     * unlike st09's cutoffs or st10's frozen index, the Gopher rules are
     * constants — so this is the one serving gate with zero offline
     * dependency; micro-batch-boundary invariant by construction. */
+  /** Streaming trained-IVF ANN serving (st13) — ss18's search path as the
+    * stream, the embedding-side member of the serving family (st09–st12
+    * gate documents; this serves similarity queries): each arriving query
+    * vector probes the FROZEN trained index ([[graft.operators.Similarity
+    * .trainedIvfIndex]] — ss14-trained centroids + the cell-assigned
+    * corpus) and emits its exact-integer top-k within the probed cells as
+    * two rank-ordered arrays.
+    *
+    * Streaming legality shapes every stage: cell selection is ROW-WISE
+    * (array_sort over the k broadcast centroid structs + slice nprobe —
+    * ss18's rank window is stream-illegal), the centroid pack joins on a
+    * constant key (an equi-join the planner broadcasts; a literal
+    * crossJoin would trip the streaming checker), the candidate scan is a
+    * stateless stream-static equi-join on cell, and the single streaming
+    * aggregation is [[graft.functions.TopKAgg.TopKByDist]] — per-group
+    * state bounded at k pairs where collect_list+sort would buffer the
+    * whole probed cell per query. One doc's group completes within its
+    * own micro-batch (a query id arrives once), so the per-trigger spec
+    * pins stream ≡ batch twin. */
+  def ingestAnnTopK(queries: DataFrame, cents: DataFrame, assigned: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val centDist = "aggregate(zip_with(f, cc.c, (a, b) -> (a - b) * (a - b)), " +
+      "cast(0 as bigint), (acc, x) -> acc + x)"
+    val pack = cents
+      .agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))
+      .withColumn("one", lit(1))
+    val probes = queries
+      .select(col("vec_id"),
+        expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)")
+          .as("f"),
+        lit(1).as("one"))
+      .join(broadcast(pack), "one")
+      .select(col("vec_id").as("query_id"), col("f").as("qf"),
+        explode(expr(s"slice(array_sort(transform(cs, " +
+          s"cc -> struct($centDist AS dist, cc.cell AS cell))), 1, $nprobe)"))
+          .as("pc"))
+      .select(col("query_id"), col("qf"), col("pc.cell").as("cell"))
+    val topk = org.apache.spark.sql.functions
+      .udaf(new graft.functions.TopKAgg.TopKByDist(k))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .groupBy("query_id")
+      .agg(topk(col("dist"), col("vec_id")).as("tk"))
+      .select(col("query_id"),
+        col("tk.neighbor_ids").as("neighbor_ids"),
+        col("tk.dists").as("dists"))
+  }
+
   def ingestGopherGate(docs: DataFrame): DataFrame = {
     val Tx = graft.operators.TextAnalysis
     val shaped = Tx.gopherQuality(docs, minStopWords = 1)

@@ -467,6 +467,46 @@ class StreamingSpec extends SparkSpec {
       s"stream admitted ${streamed.size} docs, batch twin ${expected.size}")
   }
 
+  test("st13 streaming ANN serving: one-file-at-a-time equals the batch twin") {
+    // The index (trained centroids + cell-assigned even half) is frozen
+    // offline; each query's group completes within its own micro-batch,
+    // so per-trigger output must equal the batch twin bit-for-bit. Also
+    // the scale contract: the TopKAgg buffer caps per-group state at k.
+    val Sim = graft.operators.Similarity
+    val e = Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val (cents, assigned) = Sim.trainedIvfIndex(e.filter(col("vec_id") % 2 === 0))
+    val queries = e.filter(col("vec_id") % 2 === 1)
+    val expected = graft.streaming.EventWindows
+      .queries("st13_ann_serving")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(expected.forall { case (_, ids, ds) =>
+      ids.size == ds.size && ids.size <= 10 &&
+        ds.zip(ds.tail).forall { case (a, b) => a <= b }
+    }, "batch twin arrays must be rank-ordered and capped at k")
+    val tmp = java.nio.file.Files.createTempDirectory("st13").toString
+    queries.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestAnnTopK(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(queries.schema).parquet(tmp),
+      cents, assigned, nprobe = 3, k = 10)
+    val q = stream.writeStream.format("memory").queryName("st13_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM st13_test").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))
+      .toSet
+    graft.Caches.releaseAll()
+    assert(streamed == expected,
+      s"stream served ${streamed.size} queries, batch twin ${expected.size}")
+  }
+
   test("st06's keep-first pre-reduction is fp-set-invariant through the bloom helper") {
     // st06 pre-reduces the batch to keep-first-by-doc_id before the
     // streaming helper so the kept doc_id is deterministic (the helper's

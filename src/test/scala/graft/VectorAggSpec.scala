@@ -43,4 +43,27 @@ class VectorAggSpec extends SparkSpec {
     assert(out(1).values == Seq(2.0, 3.0))
     assert(out(2).values == Seq(10.0, 20.0))
   }
+
+  test("TopKByDist Aggregator: buffer bounded at k through reduce and merge, (dist, id) order") {
+    import graft.functions.TopKAgg._
+    val agg = new TopKByDist(3)
+    // reduce 10 candidates in adversarial order, incl. a dist tie
+    val cands = Seq(Cand(9, 1), Cand(2, 5), Cand(7, 2), Cand(2, 3), Cand(5, 9),
+      Cand(11, 0), Cand(1, 8), Cand(5, 4), Cand(3, 3), Cand(8, 6))
+    val b = cands.foldLeft(agg.zero)(agg.reduce)
+    assert(b.items.size == 3, "reduce must cap the buffer at k")
+    assert(b.items == Seq(Cand(1, 8), Cand(2, 3), Cand(2, 5)),
+      "ties break to the lower id")
+    // split the stream arbitrarily: merge of partials equals the whole
+    val (l, r) = cands.splitAt(4)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.items == b.items, "merge must equal single-pass reduce")
+    assert(merged.items.size <= 3)
+    val out = agg.finish(merged)
+    assert(out.neighbor_ids == Seq(8L, 3L, 5L) && out.dists == Seq(1L, 2L, 2L))
+    // under-full group: fewer than k candidates pass through unscathed
+    val small = agg.finish(Seq(Cand(4, 2)).foldLeft(agg.zero)(agg.reduce))
+    assert(small.neighbor_ids == Seq(2L) && small.dists == Seq(4L))
+  }
 }
