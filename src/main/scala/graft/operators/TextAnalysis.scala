@@ -1730,9 +1730,6 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
   }
 
-  /** tx02's composite quality over an arbitrary documents frame — pure
-    * per-row arithmetic (stream-legal: [[graft.streaming.Stateful
-    * .ingestQualityGate]] applies it per micro-batch). */
   /** tx33's machinery over an arbitrary documents frame — the Rae 2021
     * Table A1 within-document repetition report (see the tx33 entry's
     * scaladoc for the full semantics and scale argument). No output
@@ -1913,6 +1910,9 @@ object TextAnalysis {
         col("alpha_frac") >= 0.8 && col("n_stop_words") >= minStopWords)
   }
 
+  /** tx02's composite quality over an arbitrary documents frame — pure
+    * per-row arithmetic (stream-legal: [[graft.streaming.Stateful
+    * .ingestQualityGate]] applies it per micro-batch). */
   private[graft] def qualityScored(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_words", size(split(col("text"), " ")))
