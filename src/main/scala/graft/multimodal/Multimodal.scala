@@ -231,6 +231,28 @@ object Multimodal {
         .orderBy("asset_id")
     }),
 
+    // Exact media dedup (mm07, r14) — the first curation step a
+    // multimodal training corpus runs (LAION-style content-hash dedup):
+    // assets with byte-identical payloads collapse to the lowest
+    // asset_id REGARDLESS of claimed media_type (a re-uploaded payload
+    // is the same asset however a feed labeled it), and the survivor
+    // carries its corpus copy count. The checksum comes from mm01's
+    // columnar metadata pass — no decode — so at 100 TB the dedup
+    // exchanges 16-byte hashes, never payloads; one hash exchange, the
+    // dd01 shape on the binary column.
+    "mm07_media_dedup" -> ((s, dir) => {
+      withMeta(mediaFromDocuments(s, dir))
+        .select(col("asset_id"), col("media_type"),
+          col("meta.checksum").as("checksum"))
+        .groupBy("checksum")
+        .agg(min(struct(col("asset_id"), col("media_type"))).as("srv"),
+          count(lit(1)).as("n_copies"))
+        .select(col("srv.asset_id").as("asset_id"),
+          col("srv.media_type").as("media_type"),
+          col("checksum"), col("n_copies"))
+        .orderBy("asset_id")
+    }),
+
     // Stubbed decode through the real mapPartitions plumbing. The stub's
     // dimension arithmetic is SQL-expressible, so the whole JVM decode path
     // is oracle-checked end to end (like mm03/mm04).
@@ -278,5 +300,17 @@ object Multimodal {
       """SELECT doc_id AS asset_id,
         |  CAST(octet_length(encode(text)) // 8 AS INT) AS n_frames
         |FROM documents
-        |WHERE doc_id % 3 = 2 ORDER BY asset_id""".stripMargin)
+        |WHERE doc_id % 3 = 2 ORDER BY asset_id""".stripMargin,
+    // Mirrors mm07: keep-first by payload md5 with the copy count; the
+    // survivor's media_type rides the min asset_id (min over the
+    // (asset_id, media_type) struct there ≡ the rn = 1 row here).
+    "mm07_media_dedup" ->
+      """SELECT asset_id, media_type, checksum, n_copies FROM (
+        |  SELECT doc_id AS asset_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    md5(text) AS checksum,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY asset_id""".stripMargin)
 }

@@ -824,6 +824,31 @@ object TextAnalysis {
       gopherQuality(table(s, dir, "documents"), minStopWords = 2)
         .drop("text").orderBy("doc_id")),
 
+    // Per-document NOVELTY score (tx35, r14) — the memorization /
+    // boilerplate signal at the doc grain dd16's per-source health
+    // stats aggregate away: the fraction of a doc's K-token windows
+    // whose hash occurs EXACTLY ONCE corpus-wide (the single occurrence
+    // is the doc's own, so the window exists nowhere else). Near 1.0 is
+    // novel prose; near 0.0 is template mass or a copy of corpus
+    // content — the ranking signal a curation pass uses to pick what
+    // dd12's surgery or dd14's policy cut should even look at. Probes
+    // the same persisted window index: one h-aggregate for the global
+    // occurrence counts, joined back to the windows (both sides already
+    // partitioned by h), one doc-keyed reduction. Docs with fewer than
+    // K tokens have no windows and are absent by semantics. Exact
+    // integer counts + one int/int IEEE division — hash-exact.
+    "tx35_novelty" -> ((s, dir) => {
+      val idx = Dedup.ddWinIndexPath(s, dir)
+      val wins = s.read.parquet(s"$idx/wins").select("doc_id", "h")
+      val global = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      wins.join(global, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n_occ") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty", col("n_unique") / col("n_windows"))
+        .orderBy("doc_id")
+    }),
+
     "tx13_hash_split" -> ((s, dir) => {
       val nib = substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
       table(s, dir, "documents")
@@ -2833,6 +2858,23 @@ object TextAnalysis {
         |FROM ew JOIN ta USING (h)
         |GROUP BY 1, 2
         |ORDER BY eval_doc_id, source""".stripMargin,
+    // Mirrors tx35 from first principles (tx30's window SQL): global
+    // per-hash occurrence counts joined back to each doc's windows,
+    // reduced per doc; the novelty ratio is the same CAST-double /
+    // bigint IEEE division the engine computes.
+    "tx35_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM t)),
+        |g AS (SELECT h, COUNT(*) AS n_occ FROM w GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN g.n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(SUM(CASE WHEN g.n_occ = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM w JOIN g USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Mirrors qp07 from first principles: tx32's window SQL collapsed to
     // the eval-doc grain, tx31's inverted-index cross-fold jaccard
     // aggregated to (count, max), LEFT-joined onto the eval roster with

@@ -92,4 +92,23 @@ class MultimodalSpec extends SparkSpec {
       .select("asset_id", "width", "height").collect().map(_.toSeq).toSet
     assert(rows.map(r => Seq(r.get(0), r.get(1), r.get(2))).toSet == again)
   }
+
+  test("mm07 media dedup: byte-identical payloads collapse across media types, keep-first") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("mm07").toString
+    // docs 0/1/2 share one payload but land on the three media_type
+    // branches (doc_id % 3) — the dedup must still collapse them, with
+    // the survivor's type riding the min asset_id
+    Seq((0L, "same payload bytes"), (1L, "same payload bytes"),
+      (2L, "same payload bytes"), (4L, "a different asset"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("mm07_media_dedup")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList
+    assert(out == List((0L, "image", 3L), (4L, "audio", 1L)))
+  }
 }

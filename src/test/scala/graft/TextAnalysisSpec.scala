@@ -440,6 +440,32 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("tx35 novelty: hand-computed unique-window fractions, short docs absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tx35").toString
+    val ev = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    Seq(
+      // doc 1 = ev: 3 windows, all re-occurring inside doc 2 -> 0.0
+      (1L, ev),
+      // doc 2 embeds ev: 12 tokens -> 5 windows; the 2 boundary windows
+      // are unique, the 3 interior ones are doc 1's -> 2/5
+      (2L, "zulu " + ev + " victor"),
+      // doc 3: 9 fresh tokens -> 2 windows, both unique -> 1.0
+      (3L, "mike november oscar papa quebec romeo sierra tango uniform"),
+      // doc 4: below the window size -> absent by semantics
+      (4L, "one two three"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.SparkEntry.queries("tx35_novelty")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(out == List((1L, 3L, 0L, 0.0), (2L, 5L, 2L, 0.4), (3L, 2L, 2L, 1.0)))
+    graft.Caches.releaseAll()
+  }
+
   test("qp07 eval screen: hand-computed triage — exact beats near beats clean") {
     val spark2 = spark
     import spark2.implicits._
