@@ -1,0 +1,107 @@
+package graft
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.Similarity
+
+/** Trained-ANN family soak (diagnostic main, not driver contract). The
+  * sf dirs top out at 2k vectors — too small to exercise the claims the
+  * ss18/ss19/ss20/st13 scaladocs make about scan fractions and frozen
+  * index serving — so this main synthesizes a DETERMINISTIC clustered
+  * corpus (NVEC vectors, 64 dims, 32 well-separated blobs: per-(blob,
+  * dim) pseudo-random centers via integer hashing, per-vector jitter two
+  * orders of magnitude under the blob separation — the regime IVF
+  * indexes exist for; no rand(), so reruns are bit-identical) and prices:
+  *
+  *  - brute-force exact integer top-10 for the 5 standard queries (what
+  *    every search pays with no index);
+  *  - ss18 trained-IVF and ss19 trained-IVF-PQ END TO END (training
+  *    included — the honest one-shot cost);
+  *  - ss20 range search end to end, with its hit count;
+  *  - the production split st13 serves under: the index (centroids +
+  *    assignment) is built ONCE and frozen (cached + materialized), then
+  *    ~NVEC/100 arriving queries are served through
+  *    [[graft.streaming.Stateful.ingestAnnTopK]] against it — per-query
+  *    cost is what a serving deployment actually pays.
+  *
+  * CLEAR min-of-reps protocol as in the other soak mains.
+  * Run: NVEC=100000 REPS=3 runMain graft.SoakAnn
+  */
+object SoakAnn {
+  def main(args: Array[String]): Unit = {
+    val nVec = sys.env.getOrElse("NVEC", "100000").toLong
+    val reps = sys.env.getOrElse("REPS", "3").toInt
+    val blobs = 32
+    val spark = Sessions.build("graft-soak-ann")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic clustered corpus: center ∈ [-0.8, 0.8) per (blob,
+    // dim) via a Knuth-hash residue, jitter ∈ [-0.01, 0.01) per (vec,
+    // dim) — separation ~1.4e13 on the integer grid vs in-blob spread
+    // ~2.6e10
+    def corpus = spark.range(nVec).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, 63), d ->
+        (pmod(pmod(id, $blobs) * 2654435761 + d * 40503, 1000) / 1000.0) * 1.6 - 0.8
+        + (pmod(id * 31 + d, 101) / 101.0) * 0.02 - 0.01)""").as("v"))
+    corpus.count() // warm JIT
+
+    def minWall(f: => Long): (Long, Seq[Double]) = {
+      val runs = (1 to reps).map { _ =>
+        spark.catalog.clearCache(); Caches.releaseAll()
+        val t0 = System.nanoTime(); val n = f
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      (runs.head._1, runs.map(_._2))
+    }
+
+    // exact integer brute force for the 5 standard queries — the ss01
+    // twin on ss14's grid, what an index-free search pays
+    def brute: Long = {
+      val feats = Similarity.intFeatures(corpus)
+      val q = feats.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("f").as("qf"))
+      val w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+      feats.join(broadcast(q), feats("vec_id") =!= q("query_id"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).count()
+    }
+
+    val (nBr, wBr) = minWall(brute)
+    val (n18, w18) = minWall(Similarity.ivfTrainedAnn(corpus).count())
+    val (n19, w19) = minWall(Similarity.ivfPqAnn(corpus).count())
+    // in-blob radius ~2.6e10; r = 5e10 keeps hits within a blob
+    val (n20, w20) = minWall(
+      Similarity.ivfRangeSearch(corpus, k = 8, r = 50000000000L).count())
+
+    // frozen-index serving (st13's split): build + cache the index ONCE
+    // outside the timed region, then serve ~NVEC/100 arriving queries
+    val (cents, assigned) = Similarity.trainedIvfIndex(corpus)
+    val frozenC = cents.cache(); val frozenA = assigned.cache()
+    frozenC.count(); frozenA.count()
+    val arrivals = corpus.filter(col("vec_id") % 100 === 7)
+    val nArr = arrivals.count()
+    val wServe = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.streaming.Stateful
+        .ingestAnnTopK(arrivals, frozenC, frozenA, nprobe = 3, k = 10).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    frozenC.unpersist(); frozenA.unpersist(); Caches.releaseAll()
+
+    def fmt(ws: Seq[Double]) = ws.map(w => f"$w%.2f").mkString(" ")
+    println(s"ANNSOAK nvec=$nVec blobs=$blobs rowsBrute=$nBr rows18=$n18 " +
+      s"rows19=$n19 rangeHits=$n20 servedQueries=$nArr")
+    println(s"ANNSOAK walls brute5q=[${fmt(wBr)}] ss18e2e=[${fmt(w18)}] " +
+      s"ss19e2e=[${fmt(w19)}] ss20range=[${fmt(w20)}] " +
+      s"serveFrozen${nArr}q=[${fmt(wServe)}]")
+
+    try spark.stop() catch { case NonFatal(_) => () }
+  }
+}
