@@ -809,6 +809,41 @@ object Similarity {
     // corpus, cut further by SQ8 exactly as ss13 does to ss05.
     "ss18_ivf_trained_ann" -> ((s, dir) => ivfTrainedAnn(emb(s, dir))),
 
+    // K-NN GRAPH construction (ss21, r14) — the batch product graph-based
+    // curation consumes (SemDeDup neighbor lists, NN-Descent seeding,
+    // duplicate clustering over edges): for EVERY corpus vector, its
+    // kG=4 nearest same-cell neighbors by exact integer distance (ties
+    // to the lower id), under ss14's trained cells as the blocking
+    // structure. Unlike ss18's 5 external queries the corpus queries
+    // ITSELF: the pair join is a cell-local equi-join with no broadcast
+    // side, per-cell cost (n/k)² — bounded by scaling k with the corpus,
+    // the qp05/SemDeDup argument (swap to ss08's LSH tables if cells
+    // must stay small). The per-vector rank plans as WindowGroupLimit —
+    // each map task keeps a kG-row heap per vector BEFORE the exchange
+    // (ss15's analysis), so the edge set, not the pair set, is what
+    // shuffles. Vectors alone in their cell emit no edges (absent by
+    // semantics). All-integer — hash-exact.
+    "ss21_knn_graph" -> ((s, dir) => {
+      val kG = 4
+      val feats = intFeatures(emb(s, dir))
+      val cents = fixedPointCentroids(feats, k = 8, iters = 2)
+      val assigned = graft.Caches.track(
+        assignToCells(feats, cents).select(col("vec_id"), col("f"), col("cell")))
+      val b = assigned.select(col("cell"),
+        col("vec_id").as("neighbor_id"), col("f").as("fb"))
+      val w = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
+      assigned.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(f, fb, (a, b) -> (a - b) * (a - b)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= kG)
+        .select(col("vec_id"), col("neighbor_id"),
+          col("rk").cast("int").as("rk"), col("dist"))
+        .orderBy("vec_id", "rk")
+    }),
+
     // IVF RANGE search (r14) — FAISS's range_search: everything within
     // ε², exactly; the index prunes cells via the triangle inequality
     // but the answer is the brute-force truth set (see [[ivfRangeSearch]]
@@ -1303,6 +1338,27 @@ object Similarity {
         |  FROM dd)
         |WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin),
+    // Mirrors ss21: ss14's chain, the cell-local self-join over the
+    // final assignment, exact integer pair distances, per-vector
+    // (dist, neighbor) rank to 4 — the qp05 pair shape under a rank
+    // instead of an ε-filter.
+    "ss21_knn_graph" ->
+      (kmeansOracleCtes + """,
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    SUM((fa.fv - fb.fv) * (fa.fv - fb.fv)) AS dist
+        |  FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |  JOIN f fa ON fa.vec_id = a.vec_id
+        |  JOIN f fb ON fb.vec_id = b.vec_id AND fb.dim = fa.dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, neighbor_id, CAST(rk AS INT) AS rk,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM (
+        |  SELECT vec_id, neighbor_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 4
+        |ORDER BY vec_id, rk""".stripMargin),
     // ss20's oracle is DELIBERATELY index-free: the brute-force range
     // join over the integer features is the truth set the pruned scan
     // must reproduce exactly — completeness of the triangle-inequality

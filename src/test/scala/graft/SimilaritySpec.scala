@@ -588,6 +588,28 @@ class SimilaritySpec extends SparkSpec {
       "the bound admitted every (query, cell) pair on clustered data")
   }
 
+  test("ss21 knn graph: edges are exact in-cell distances; rank plans as WindowGroupLimit") {
+    val feats = intFeats()
+    val df = Similarity.queries("ss21_knn_graph")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-vector rank must plan as WindowGroupLimit (map-side kG-row heaps)")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, n, _, d) =>
+      assert(v != n && BigInt(d) == sqd(feats(v), feats(n)),
+        s"edge ($v,$n) distance is not the exact integer L2")
+    }
+    // every vector emits at most kG edges, ranked ascending
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val byRank = es.sortBy(_._3).map(e => (e._4, e._2)).toSeq
+      assert(byRank.size <= 4)
+      assert(byRank == byRank.sorted, "rank order must follow (dist, neighbor)")
+    }
+  }
+
   test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {
     import org.apache.spark.sql.functions._
     // The DuckDB oracle pins qp05 hash-exact; this spec is the in-repo
