@@ -67,8 +67,7 @@ object SoakAnn {
       val w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
       feats.join(broadcast(q), feats("vec_id") =!= q("query_id"))
         .withColumn("dist", expr(
-          "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
-            "cast(0 as bigint), (acc, x) -> acc + x)"))
+          "long_sqdist(qf, f)"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10).count()
     }

@@ -205,6 +205,24 @@ object SketchExprs {
     acc
   }
 
+  /** Exact integer sum of squared differences over long arrays (see
+    * [[LongSqDist]]) — ss14's grid distance as ONE JVM loop. The
+    * `aggregate(zip_with(...))` HOF form computes the identical value
+    * (same order, same wrapping Long arithmetic) but pays an interpreted
+    * lambda call per element — and inside a `transform` lambda (the
+    * per-centroid argmin shape) that cost multiplies by the centroid
+    * count. */
+  def evalLongSqDist(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"long_sqdist: array length mismatch ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+
   /** Sequential-order sum of squared differences (see [[SqL2Dist]]). */
   def evalSqL2Dist(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -451,6 +469,21 @@ object SketchExprs {
     override def prettyName: String = "sq_l2_dist"
   }
 
+  case class LongSqDist(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Long.valueOf(
+        evalLongSqDist(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalLongSqDist($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "long_sqdist"
+  }
+
   case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
@@ -525,6 +558,8 @@ object SketchExprs {
     B.column(HyperplaneLsh(B.expression(c), nPlanes, offset))
   def sqL2Dist(a: Column, b: Column): Column =
     B.column(SqL2Dist(B.expression(a), B.expression(b)))
+  def longSqDist(a: Column, b: Column): Column =
+    B.column(LongSqDist(B.expression(a), B.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     B.column(DotProduct(B.expression(a), B.expression(b)))
   def l2Norm(c: Column): Column = B.column(L2Norm(B.expression(c)))

@@ -88,8 +88,7 @@ object Similarity {
       expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
 
   private val centDistExpr = // exact integer squared L2 between f and cc.c
-    "aggregate(zip_with(f, cc.c, (a, b) -> (a - b) * (a - b)), " +
-      "cast(0 as bigint), (acc, x) -> acc + x)"
+    "long_sqdist(f, cc.c)"
 
   /** Map-side argmin assignment of every `feats` row to its nearest
     * centroid (ties to the lower cell): corpus × ONE broadcast row
@@ -152,8 +151,7 @@ object Similarity {
     assigned.join(broadcast(probeCells(feats, cents, nprobe)), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dist", expr(
-        "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)"))
+        "long_sqdist(qf, f)"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= topk)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -249,8 +247,7 @@ object Similarity {
             s"m -> struct(m AS m, slice(r, m * $dsub + 1, $dsub) AS rv))")).as("s"))
         .select(col("vec_id"), col("cell"), col("s.m").as("m"), col("s.rv").as("rv")))
     val codeDistExpr = // exact integer squared L2 between rv and cc.c
-      "aggregate(zip_with(rv, cc.c, (a, b) -> (a - b) * (a - b)), " +
-        "cast(0 as bigint), (acc, x) -> acc + x)"
+      "long_sqdist(rv, cc.c)"
     // map-side argmin of every residual sub-vector against the broadcast
     // (m → codewords) pack: the per-subspace analogue of assignToCells
     def assignCodes(cb: DataFrame): DataFrame =
@@ -269,17 +266,29 @@ object Similarity {
         .groupBy("m", "code")
         .agg(expr("transform(array_sort(collect_list(struct(sd, cv))), x -> x.cv)")
           .as("cnew"))
-      graft.Caches.track(
-        prev.join(upd, Seq("m", "code"), "left")
-          .select(col("m"), col("code"), coalesce(col("cnew"), col("c")).as("c")))
+      prev.join(upd, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("cnew"), col("c")).as("c"))
+    }
+    // The codebook is KB-scale (mSub·kCodes·dsub longs) — each round
+    // COLLECTS it and re-plans from a local relation, the declared ss06
+    // PQ-codebook precedent: left distributed, every Lloyd round deepens
+    // the lineage (measured 47 jobs / ~16 s at sf0.1 vs ~5 s localized)
+    // while the corpus-side work is identical either way. Values are
+    // unchanged — the oracle stays hash-exact.
+    def localize(cb: DataFrame): DataFrame = {
+      val sess = cb.sparkSession
+      import sess.implicits._
+      cb.select("m", "code", "c").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+        .toSeq.toDF("m", "code", "c")
     }
     val seeds = sub.select("vec_id").distinct().orderBy("vec_id").limit(kCodes)
       .withColumn("code",
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
-    val cb0 = graft.Caches.track(
+    val cb0 = localize(
       sub.join(broadcast(seeds), Seq("vec_id"))
         .select(col("m"), col("code"), col("rv").as("c")))
-    val cb = (1 to 2).foldLeft(cb0)((c, _) => update(assignCodes(c), c))
+    val cb = (1 to 2).foldLeft(cb0)((c, _) => localize(update(assignCodes(c), c)))
     val codes = assignCodes(cb).select("vec_id", "cell", "m", "code")
     // per-(query, probed cell) residual sub-vectors, then the broadcast
     // ADC table: one row per (query, cell, m, code)
@@ -293,8 +302,7 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("s.m").as("m"), col("s.qrv").as("qrv"))
     val adc = qsub.join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("cell"), col("m"), col("code"),
-        expr("aggregate(zip_with(qrv, c, (a, b) -> (a - b) * (a - b)), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)").as("qd"))
+        expr("long_sqdist(qrv, c)").as("qd"))
     val wTop = Window.partitionBy("query_id").orderBy("approx_dist", "vec_id")
     codes.join(broadcast(adc), Seq("cell", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -357,8 +365,7 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dist", expr(
-        "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)"))
+        "long_sqdist(qf, f)"))
       .filter(col("dist") <= r)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist"))
       .orderBy("query_id", "neighbor_id")
@@ -376,8 +383,7 @@ object Similarity {
     val feats = e.select(col("vec_id"),
       expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
     val distExpr = // exact integer squared L2 between f and sc.c
-      "aggregate(zip_with(f, sc.c, (a, b) -> (a - b) * (a - b)), " +
-        "cast(0 as bigint), (acc, x) -> acc + x)"
+      "long_sqdist(f, sc.c)"
     val seed0 = feats.orderBy("vec_id").limit(1)
       .select(lit(1).as("seed_rank"), col("vec_id"),
         lit(null).cast("long").as("sep"), col("f").as("c"))
@@ -439,8 +445,7 @@ object Similarity {
     val feats = e.select(col("vec_id"),
       expr("transform(v, x -> cast(floor(x * 1000000) as bigint) + 1000000)").as("f"))
     val distExpr = // exact integer squared L2 between f and sc.c
-      "aggregate(zip_with(f, sc.c, (a, b) -> (a - b) * (a - b)), " +
-        "cast(0 as bigint), (acc, x) -> acc + x)"
+      "long_sqdist(f, sc.c)"
     val cand0 = feats.orderBy("vec_id").limit(1).select(col("vec_id"), col("f"))
     val cands = (1 to rounds).foldLeft(cand0) { (cs, r) =>
       val packed = cs.agg(collect_list(struct(col("f").as("c"))).as("cs"))
@@ -835,8 +840,7 @@ object Similarity {
       assigned.join(b, Seq("cell"))
         .filter(col("vec_id") =!= col("neighbor_id"))
         .withColumn("dist", expr(
-          "aggregate(zip_with(f, fb, (a, b) -> (a - b) * (a - b)), " +
-            "cast(0 as bigint), (acc, x) -> acc + x)"))
+          "long_sqdist(f, fb)"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= kG)
         .select(col("vec_id"), col("neighbor_id"),
@@ -894,8 +898,7 @@ object Similarity {
       val dropped = a.join(b, Seq("cell"))
         .filter(col("id_a") < col("id_b"))
         .filter(expr(
-          "aggregate(zip_with(f_a, f_b, (x, y) -> (x - y) * (x - y)), " +
-            "cast(0 as bigint), (acc, v) -> acc + v)") <= epsSq)
+          "long_sqdist(f_a, f_b)") <= epsSq)
         .select(col("id_b").as("vec_id")).distinct()
       val w = Window.partitionBy("cell").orderBy(col("dist"), col("vec_id"))
       assigned.join(dropped, Seq("vec_id"), "left_anti")

@@ -333,8 +333,7 @@ object Stateful {
     * pins stream ≡ batch twin. */
   def ingestAnnTopK(queries: DataFrame, cents: DataFrame, assigned: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val centDist = "aggregate(zip_with(f, cc.c, (a, b) -> (a - b) * (a - b)), " +
-      "cast(0 as bigint), (acc, x) -> acc + x)"
+    val centDist = "long_sqdist(f, cc.c)"
     val pack = cents
       .agg(sort_array(collect_list(struct(col("cell"), col("c")))).as("cs"))
       .withColumn("one", lit(1))
@@ -354,8 +353,7 @@ object Stateful {
     probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dist", expr(
-        "aggregate(zip_with(qf, f, (a, b) -> (a - b) * (a - b)), " +
-          "cast(0 as bigint), (acc, x) -> acc + x)"))
+        "long_sqdist(qf, f)"))
       .groupBy("query_id")
       .agg(topk(col("dist"), col("vec_id")).as("tk"))
       .select(col("query_id"),

@@ -16,7 +16,9 @@ class FunctionRegistrySpec extends SparkSpec {
              simhash64('hello world') AS sh,
              sig_agreement(array(1L, 2L), array(1L, 3L)) AS agree,
              size(word_shingles('a b c d', 3)) AS nsh,
-             size(minhash_sig(word_shingles('a b c d'), 16)) AS k
+             size(minhash_sig(word_shingles('a b c d'), 16)) AS k,
+             long_sqdist(array(1L, 5L, -2L), array(4L, 1L, 0L)) AS lsd,
+             long_sqdist(array(1000000L, 2000000L), array(0L, 0L)) AS lsdBig
     """).collect()(0)
     assert(r.getAs[String]("u") == Uuid5Util.v5("42_1"))
     assert(r.getAs[Double]("dp") == 11.0)
@@ -26,6 +28,14 @@ class FunctionRegistrySpec extends SparkSpec {
     assert(r.getAs[Double]("agree") == 0.5)
     assert(r.getAs[Int]("nsh") == 2)
     assert(r.getAs[Int]("k") == 16)
+    // 9 + 16 + 4, and the HOF twin it replaced in the hot paths agrees
+    assert(r.getAs[Long]("lsd") == 29L)
+    assert(r.getAs[Long]("lsdBig") == 1000000L * 1000000 + 2000000L * 2000000)
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1L, 5L, -2L), array(4L, 1L, 0L),
+        |  (a, b) -> (a - b) * (a - b)), cast(0 as bigint),
+        |  (acc, x) -> acc + x) AS d""".stripMargin).collect()(0)
+    assert(hof.getAs[Long]("d") == 29L)
   }
 
   test("non-literal size argument is rejected with a clear error") {
