@@ -227,6 +227,20 @@ object EventWindows {
           .select("doc_id", "text"))
         .orderBy("doc_id")),
 
+    // Batch twin of the streaming media gate
+    // ([[Stateful.ingestMediaGate]]): the frozen corpus is the EVEN
+    // assets' checksum set, arriving ODD assets are admitted iff their
+    // payload md5 is novel. Hash-exact — the oracle is a null-safe
+    // NOT EXISTS over the same fold.
+    "st14_media_gate_ingest" -> ((s, dir) => {
+      val Mm = graft.multimodal.Multimodal
+      val media = Mm.mediaFromDocuments(s, dir)
+      val corpus = Mm.withMeta(media.filter(col("asset_id") % 2 === 0))
+        .select(col("meta.checksum").as("checksum")).distinct()
+      Stateful.ingestMediaGate(media.filter(col("asset_id") % 2 === 1), corpus)
+        .orderBy("asset_id")
+    }),
+
     // Batch twin of the streaming trained-IVF ANN serving
     // ([[Stateful.ingestAnnTopK]]): the index — ss14-trained centroids +
     // the cell-assigned EVEN half of the embeddings — is frozen offline,
@@ -280,6 +294,20 @@ object EventWindows {
     // verbatim (the st06 ≡ dd07/dd08 precedent).
     "st11_attribution_ingest" ->
       graft.operators.TextAnalysis.oracle("tx32_contam_attribution"),
+    // Mirrors st14: odd assets whose payload md5 exists nowhere in the
+    // even (corpus) fold. NOT EXISTS rather than NOT IN — a null text
+    // would null the whole NOT IN predicate; the anti-join form matches
+    // Spark's left_anti null behavior (null checksums never match, so
+    // they are admitted on both engines).
+    "st14_media_gate_ingest" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  md5(text) AS checksum
+        |FROM documents d
+        |WHERE doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 2 = 0 AND md5(c.text) = md5(d.text))
+        |ORDER BY asset_id""".stripMargin,
     // Mirrors st13: ss14's chain trained on the EVEN half (the frozen
     // index), odd-id query features, probe rank (dist, cell) to 3, exact
     // integer candidate distances within probed cells, top-10 per query

@@ -361,6 +361,20 @@ object Stateful {
         col("tk.dists").as("dists"))
   }
 
+  /** Serving-side MEDIA gate (st14) — mm07's dedup as the stream, the
+    * multimodal member of the serving family: each arriving asset's
+    * payload checksum (columnar md5, no decode — mm01's metadata pass)
+    * probes the FROZEN corpus checksum set via a stream-static LEFT ANTI
+    * join and only novel payloads are admitted. Stateless per asset, so
+    * micro-batch-boundary invariant by construction; in-stream
+    * duplicates are the st06 two-tier contract (the corpus side absorbs
+    * them once the index refreshes). At 100 TB the join ships 16-byte
+    * hashes, never payloads. */
+  def ingestMediaGate(assets: DataFrame, corpusChecksums: DataFrame): DataFrame =
+    assets.withColumn("checksum", md5(col("payload")))
+      .join(corpusChecksums.select("checksum"), Seq("checksum"), "left_anti")
+      .select(col("asset_id"), col("media_type"), col("checksum"))
+
   def ingestGopherGate(docs: DataFrame): DataFrame = {
     val Tx = graft.operators.TextAnalysis
     val shaped = Tx.gopherQuality(docs, minStopWords = 1)

@@ -507,6 +507,35 @@ class StreamingSpec extends SparkSpec {
       s"stream served ${streamed.size} queries, batch twin ${expected.size}")
   }
 
+  test("st14 streaming media gate: one-file-at-a-time equals the batch twin") {
+    // Stateless per asset (checksum + frozen-set anti-join), so
+    // batch-boundary invariance is by construction — this pins it.
+    val Mm = graft.multimodal.Multimodal
+    val media = Mm.mediaFromDocuments(spark, sf001)
+    val corpus = Mm.withMeta(media.filter(col("asset_id") % 2 === 0))
+      .select(col("meta.checksum").as("checksum")).distinct()
+    val arriving = media.filter(col("asset_id") % 2 === 1)
+    val expected = graft.streaming.EventWindows
+      .queries("st14_media_gate_ingest")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(expected.nonEmpty, "gate corpus must admit some arriving assets")
+    val tmp = java.nio.file.Files.createTempDirectory("st14").toString
+    arriving.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestMediaGate(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(arriving.schema).parquet(tmp),
+      corpus)
+    val q = stream.writeStream.format("memory").queryName("st14_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql("SELECT * FROM st14_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == expected,
+      s"stream admitted ${streamed.size} assets, batch twin ${expected.size}")
+  }
+
   test("st06's keep-first pre-reduction is fp-set-invariant through the bloom helper") {
     // st06 pre-reduces the batch to keep-first-by-doc_id before the
     // streaming helper so the kept doc_id is deterministic (the helper's
