@@ -440,6 +440,24 @@ class TextAnalysisSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("tx36 tokenizer artifact: refresh from count sidecars equals full rebuild") {
+    // The algebra claim, asserted directly: the vocab refreshed from the
+    // persisted even-slice sidecar + fresh odd-batch counts must equal
+    // the vocab trained on the whole corpus, ELEMENT ORDER INCLUDED
+    // (count DESC, bigram ASC) — and therefore tx36's tokenization must
+    // equal tx15's row for row.
+    val Tx = graft.operators.TextAnalysis
+    val refreshed = Tx.refreshedVocab(spark, sf001)
+    val rebuilt = Tx.bigramVocab(spark, sf001)
+    assert(refreshed == rebuilt,
+      "refreshed vocab diverged from the full rebuild (count additivity broken)")
+    val t36 = graft.SparkEntry.queries("tx36_refreshed_vocab_tokens")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val t15 = graft.SparkEntry.queries("tx15_subword_tokens")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t36 == t15, "tx36 tokenization diverged from tx15")
+  }
+
   test("tx35 novelty: hand-computed unique-window fractions, short docs absent") {
     val spark2 = spark
     import spark2.implicits._
