@@ -34,6 +34,7 @@ object SoakAnn {
   def main(args: Array[String]): Unit = {
     val nVec = sys.env.getOrElse("NVEC", "100000").toLong
     val reps = sys.env.getOrElse("REPS", "3").toInt
+    val skew = sys.env.get("SKEW").contains("1")
     val blobs = 32
     val spark = Sessions.build("graft-soak-ann")
     spark.sparkContext.setLogLevel("WARN")
@@ -41,11 +42,18 @@ object SoakAnn {
     // deterministic clustered corpus: center ∈ [-0.8, 0.8) per (blob,
     // dim) via a Knuth-hash residue, jitter ∈ [-0.01, 0.01) per (vec,
     // dim) — separation ~1.4e13 on the integer grid vs in-blob spread
-    // ~2.6e10
+    // ~2.6e10. SKEW=1 assigns blobs by the square of a uniform draw, so
+    // blob 0 holds ~½ the corpus and the tail blobs thin out — the hot
+    // CELL shape (an ANN index's tx26 analogue: the probe that lands in
+    // the hot cell scans half the corpus; the question is whether
+    // serving degrades gracefully, not whether it stays flat).
+    val blobExpr =
+      if (skew) s"CAST(pmod(id, $blobs) * pmod(id, $blobs) / $blobs AS BIGINT)"
+      else s"pmod(id, $blobs)"
     def corpus = spark.range(nVec).select(
       col("id").as("vec_id"),
       expr(s"""transform(sequence(0, 63), d ->
-        (pmod(pmod(id, $blobs) * 2654435761 + d * 40503, 1000) / 1000.0) * 1.6 - 0.8
+        (pmod(($blobExpr) * 2654435761 + d * 40503, 1000) / 1000.0) * 1.6 - 0.8
         + (pmod(id * 31 + d, 101) / 101.0) * 0.02 - 0.01)""").as("v"))
     corpus.count() // warm JIT
 
@@ -95,7 +103,7 @@ object SoakAnn {
     frozenC.unpersist(); frozenA.unpersist(); Caches.releaseAll()
 
     def fmt(ws: Seq[Double]) = ws.map(w => f"$w%.2f").mkString(" ")
-    println(s"ANNSOAK nvec=$nVec blobs=$blobs rowsBrute=$nBr rows18=$n18 " +
+    println(s"ANNSOAK nvec=$nVec blobs=$blobs skew=$skew rowsBrute=$nBr rows18=$n18 " +
       s"rows19=$n19 rangeHits=$n20 servedQueries=$nArr")
     println(s"ANNSOAK walls brute5q=[${fmt(wBr)}] ss18e2e=[${fmt(w18)}] " +
       s"ss19e2e=[${fmt(w19)}] ss20range=[${fmt(w20)}] " +
