@@ -362,6 +362,28 @@ object Relational {
     // --- Subquery: correlated EXISTS / NOT EXISTS (Catalyst decorrelates
     // to a semi join + anti join over the same scan — both key shuffles,
     // no per-row subquery execution) ---
+    // LATERAL correlated subquery (q38, r14) — the remaining subquery
+    // surface beside IN/scalar/EXISTS: a per-outer-row derived table
+    // (top-3 customers by balance per nation), the SQL form analysts
+    // reach for before they know the window rewrite. Catalyst
+    // decorrelates the LATERAL + LIMIT into the same rank-over-join
+    // shape q07 declares directly — asserted by the spec: no
+    // CartesianProduct survives and the plan carries a WindowGroupLimit
+    // / rank filter, so the lateral surface costs what the window form
+    // costs. DuckDB runs the identical SQL.
+    "q38_lateral_topk" -> ((s, dir) => {
+      table(s, dir, "nation").createOrReplaceTempView("nation_v38")
+      table(s, dir, "customer").createOrReplaceTempView("customer_v38")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_v38 n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_v38 c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+      """)
+    }),
+
     "q32_exists_subquery" -> ((s, dir) => {
       table(s, dir, "customer").createOrReplaceTempView("customer_v32")
       table(s, dir, "orders").createOrReplaceTempView("orders_v32")
@@ -784,6 +806,14 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q38 runs the IDENTICAL SQL on both engines — LATERAL is standard.
+    "q38_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
     "q32_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer c

@@ -49,4 +49,18 @@ class PruningSpec extends SparkSpec {
     assert(scan.toLowerCase.contains("format: orc") || scan.toLowerCase.contains("orcscan"),
       s"expected an ORC scan node:\n$scan")
   }
+
+  test("q38 LATERAL + LIMIT decorrelates to WindowGroupLimit, never a per-row re-scan") {
+    // The lateral derived table must cost what the window form (q07)
+    // costs: Catalyst rewrites the correlated LIMIT into a rank whose
+    // WindowGroupLimit keeps per-task top-3 heaps before the exchange,
+    // then joins the tiny outer side broadcast.
+    val plan = SparkEntry.queries("q38_lateral_topk")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"lateral went cartesian:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral top-3 did not decorrelate to WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"outer side should broadcast:\n$plan")
+  }
 }
