@@ -362,6 +362,27 @@ object Relational {
     // --- Subquery: correlated EXISTS / NOT EXISTS (Catalyst decorrelates
     // to a semi join + anti join over the same scan — both key shuffles,
     // no per-row subquery execution) ---
+    // BAG set operations (q39, r14) — INTERSECT ALL / EXCEPT ALL, the
+    // multiplicity-preserving forms beside q13/q20's distinct ones: a
+    // customer with three open orders and two big ones intersects with
+    // multiplicity two, and bag semantics is what dedup accounting needs
+    // (how many DUPLICATE rows survive, not which keys). Spark plans
+    // these as a count-compare rewrite (generate the min/diff of the two
+    // sides' counts) — one aggregation per side, no join explosion.
+    // DuckDB runs the identical SQL.
+    "q39_bag_setops" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v39")
+      s.sql("""
+        SELECT o_custkey FROM (
+          SELECT o_custkey FROM orders_v39 WHERE o_orderstatus = 'O'
+          INTERSECT ALL
+          SELECT o_custkey FROM orders_v39 WHERE o_totalprice > 100000
+        ) EXCEPT ALL
+        SELECT o_custkey FROM orders_v39 WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_custkey
+      """)
+    }),
+
     // LATERAL correlated subquery (q38, r14) — the remaining subquery
     // surface beside IN/scalar/EXISTS: a per-outer-row derived table
     // (top-3 customers by balance per nation), the SQL form analysts
@@ -806,6 +827,16 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q39 runs the IDENTICAL SQL on both engines — bag semantics is
+    // standard; the sorted-multiset compare is exactly what ALL tests.
+    "q39_bag_setops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |) EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
     // q38 runs the IDENTICAL SQL on both engines — LATERAL is standard.
     "q38_lateral_topk" ->
       """SELECT n.n_name, t.c_name, t.c_acctbal
