@@ -339,6 +339,25 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // The REST of the rank family (q40, r14): cume_dist (peers-inclusive
+    // rank ÷ partition size — an int/int IEEE division, tx31's hash
+    // license), nth_value over the FULL frame (needs the unbounded-
+    // following frame q30's running first_value deliberately avoids),
+    // and lead with an explicit default (the sentinel form a gap
+    // analysis writes). Same slice and ordering as q30.
+    "q40_window_extras" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // --- Aggregation extras: count_if, min_by/max_by, grouped string-agg.
     // min_by/max_by keys are zero-padded printf composites (price, orderkey)
     // so ties break deterministically and identically in both engines. ---
@@ -861,6 +880,21 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q40: cume_dist is an int/int IEEE division on both engines;
+    // nth_value needs the explicit unbounded-following frame in DuckDB
+    // too; lead's default keeps the last row non-null.
+    "q40_window_extras" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_key
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q30_rank_family" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST(rank() OVER w AS INT) AS rk,

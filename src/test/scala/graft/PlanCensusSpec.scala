@@ -48,6 +48,9 @@ class PlanCensusSpec extends SparkSpec {
   private val knownCollapsed = Set(
     "aj01_asof_backward", "dd12_substring_dedup", "e15_forward_fill",
     "q08_running_window", "q23_corr_scalar_subquery", "q30_rank_family",
+    // q40's windows are cardinality-preserving like q30's — eliminated
+    // under a bare count
+    "q40_window_extras",
     "q33_range_frame", "qp01_training_manifest", "rj01_time_range_join",
     "tx14_pack_sequences", "tx16_pack_subword", "tx19_shuffle_shards",
     "tx20_bigram_logprob", "tx21_backoff_heldout", "tx22_nb_source_score",
