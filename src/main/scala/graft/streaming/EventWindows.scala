@@ -251,7 +251,11 @@ object EventWindows {
     // integers end to end, so unlike st07's float-cosine ingest this
     // serving path is hash-exact — the oracle trains the same chain on
     // the even slice and re-ranks with window functions the stream
-    // cannot use.
+    // cannot use. The two rank-ordered arrays stay arrays inside
+    // [[Stateful.ingestAnnTopK]] (the streaming parity spec uses them);
+    // the DECLARED boundary serializes them with array_join, per the
+    // round-1 gate convention (e05/e06): the driver's pandas comparer
+    // cannot sort array cells.
     "st13_ann_serving" -> ((s, dir) => {
       val Sim = graft.operators.Similarity
       val e = Tables.table(s, dir, "embeddings")
@@ -260,6 +264,11 @@ object EventWindows {
       val (cents, assigned) = Sim.trainedIvfIndex(e.filter(col("vec_id") % 2 === 0))
       Stateful.ingestAnnTopK(
         e.filter(col("vec_id") % 2 === 1), cents, assigned, nprobe = 3, k = 10)
+        .select(col("query_id"),
+          expr("array_join(transform(neighbor_ids, x -> cast(x as string)), '|')")
+            .as("neighbor_ids"),
+          expr("array_join(transform(dists, x -> cast(x as string)), '|')")
+            .as("dists"))
         .orderBy("query_id")
     }),
 
@@ -343,8 +352,8 @@ object EventWindows {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
         |  FROM cand)
         |SELECT query_id,
-        |  list(neighbor_id ORDER BY rk) AS neighbor_ids,
-        |  list(dist ORDER BY rk) AS dists
+        |  array_to_string(list(neighbor_id ORDER BY rk), '|') AS neighbor_ids,
+        |  array_to_string(list(dist ORDER BY rk), '|') AS dists
         |FROM tk WHERE rk <= 10
         |GROUP BY query_id
         |ORDER BY query_id""".stripMargin),
