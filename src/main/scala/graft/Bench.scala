@@ -41,78 +41,77 @@ object BenchAction {
   * the floor, and whatever was never attempted is reported in `skipped`
   * so the caller can flag `solo_failed` honestly). */
 private[graft] object SoloScheduler {
-  /** `budgetSec` — hard wall for the whole phase, settle included;
-    * `settleSec` — flat pause before the first child (the measured
-    * post-suite decay window); `childCapSec` — per-child wall cap (the
-    * effective cap is min(childCapSec, remaining)); `floorSec` — don't
-    * spawn a child with less than this left (a child needs JVM boot +
-    * warmup before it can produce a figure at all); `suspects` — pinned
-    * priority list of queries whose in-suite figures are KNOWN to carry
-    * multi-x suite-contention distortion (three rounds running: dd14
-    * 5-10x, dd12 3-6x) — these run FIRST, in list order, so budget
-    * exhaustion sacrifices the least-distorted targets, never the ones
-    * the solo pass exists for (r13 verdict #4: cheapest-first made the
-    * most-distorted target the first casualty of the budget). */
+  /** `budgetSec` — hard wall for the whole solo machinery, BOTH windows
+    * and the resample included; `settleSec` — flat pause before a
+    * post-suite child window (the measured post-suite decay window; the
+    * FRONT window runs on a box nothing has touched, so it settles 0);
+    * `childCapSec` — per-child wall cap (the effective cap is
+    * min(childCapSec, remaining)); `floorSec` — don't spawn a child with
+    * less than this left (a child needs JVM boot + warmup before it can
+    * produce a figure at all); `suspects` — pinned list of the queries
+    * whose in-suite figures are KNOWN distorted (four rounds running:
+    * dd14 5-10x, dd12 3-6x) plus the rest of the stable heavy set — the
+    * FRONT window's target list, run in list order so budget exhaustion
+    * sacrifices the tail, never the head. */
   final case class Config(
       budgetSec: Double, settleSec: Double, childCapSec: Double, floorSec: Double,
       suspects: Seq[String] = Nil)
-  /** `figs` — per-query solo walls (min over the runs that landed);
+  /** One child window: settle, then children most-suspect-first (pinned
+    * `suspects` in list order, then the rest cheapest-first — r13
+    * verdict #4 inverted the old cheapest-first policy after it made the
+    * most-distorted target the first casualty of the budget) inside the
+    * given budget. `figs` — walls from the children that landed;
     * `skipped` — targets never attempted because the budget ran out;
-    * `anomalous` — first-run figure read above 1.25× its in-suite
-    * witness (suite pressure only ever inflates, so the in-suite wall is
-    * a "this plan can run this fast" proof; a child above it ran on box
-    * state the gates can't see — the figure still records, but the
-    * artifact names it suspect); `spentSec` — the phase's actual wall. */
-  final case class Result(
-      figs: Seq[(String, Double)], skipped: Seq[String],
-      anomalous: Seq[String], spentSec: Double)
+    * `spentSec` — the window's actual wall. Anomaly flagging lives in
+    * [[anomalous]]: the front window runs before the in-suite witnesses
+    * exist, so it cannot be a per-window concern. */
+  final case class Phase(
+      figs: Seq[(String, Double)], skipped: Seq[String], spentSec: Double)
 
-  /** Children run MOST-SUSPECT-first: pinned `suspects` in list order,
-    * then the rest cheapest-first (for non-suspects the distortion ratio
-    * is unknown ≈ 1, so cheapest-first survives only as the tie-break).
-    * r13 verdict #4 inverted the old cheapest-first policy: ordering by
-    * cost guaranteed that budget exhaustion dropped exactly the target
-    * whose in-suite figure is most distorted (dd14: skipped in r13 while
-    * carrying a 9.5x-inflated 30.30 s in-suite figure). The settle pause
-    * already absorbs the post-suite decay the old ordering hedged
-    * against, and the most-suspect target additionally gets one
-    * time-spaced tail resample (min kept) so it holds one early and one
-    * late sample — r12's bounded answer to multi-minute contention eras
-    * no load gate sees, cut from "every anomalous child reruns" to ONE
-    * child (r12 verdict #1: the second loop was half the wall overrun). */
-  def run(targets: Seq[String], inSuite: Map[String, Double], cfg: Config,
-      runChild: (String, Double) => Option[Double],
-      sleep: Double => Unit, now: () => Double): Result = {
+  def phase(targets: Seq[String], inSuite: Map[String, Double], cfg: Config,
+      budgetSec: Double, runChild: (String, Double) => Option[Double],
+      sleep: Double => Unit, now: () => Double): Phase = {
     val t0 = now()
-    def remaining: Double = cfg.budgetSec - (now() - t0)
-    if (targets.isEmpty) return Result(Nil, Nil, Nil, now() - t0)
+    def remaining: Double = budgetSec - (now() - t0)
+    if (targets.isEmpty || budgetSec <= 0) return Phase(Nil, targets, 0.0)
     sleep(math.max(0.0, math.min(cfg.settleSec, remaining)))
     val suspectRank = cfg.suspects.zipWithIndex.toMap
     val order = targets.sortBy(n =>
       (suspectRank.getOrElse(n, Int.MaxValue), inSuite.getOrElse(n, 0.0)))
-    val first = Seq.newBuilder[(String, Double)]
+    val figs = Seq.newBuilder[(String, Double)]
     val skipped = Seq.newBuilder[String]
     order.foreach { name =>
       if (remaining < cfg.floorSec) skipped += name
       else runChild(name, math.min(cfg.childCapSec, remaining))
-        .foreach(v => first += name -> v)
+        .foreach(v => figs += name -> v)
     }
-    val firstFigs = first.result()
-    val anomalous = firstFigs.collect {
-      case (n, v) if v > inSuite.getOrElse(n, Double.MaxValue) * 1.25 => n
-    }
-    // Tail resample target: the most-suspect child (it ran first, right
-    // at the settle boundary — the riskiest slot); with no suspects in
-    // the target set, the heaviest by in-suite figure (prior behavior).
-    val resample =
-      if (suspectRank.contains(order.head)) order.head
-      else order.maxBy(n => inSuite.getOrElse(n, 0.0))
-    val second: Map[String, Double] =
-      if (!firstFigs.exists(_._1 == resample) || remaining < cfg.floorSec) Map.empty
-      else runChild(resample, math.min(cfg.childCapSec, remaining))
-        .map(resample -> _).toMap
-    val figs = firstFigs.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }
-    Result(figs, skipped.result(), anomalous, now() - t0)
+    Phase(figs.result(), skipped.result(), now() - t0)
+  }
+
+  /** A figure above 1.25× its in-suite witness ran on box state the
+    * gates can't see (suite pressure only ever inflates, so the in-suite
+    * wall is a "this plan can run this fast" proof) — the figure still
+    * records, but the artifact names it suspect. Computed over the
+    * COMBINED front+back figures once the in-suite witnesses exist. */
+  def anomalous(figs: Seq[(String, Double)], inSuite: Map[String, Double]): Seq[String] =
+    figs.collect { case (n, v) if v > inSuite.getOrElse(n, Double.MaxValue) * 1.25 => n }
+
+  /** Back-window plan, once the suite has run: `_1` — the in-suite top-N
+    * targets the front window didn't land (slowest-first; the back
+    * window's own suspect ordering re-sorts, but a stable input keeps
+    * the record deterministic); `_2` — the tail-resample target: the
+    * FIRST pinned suspect with a front figure (its early slot is the one
+    * a front-of-run contention era would poison; the resample is now
+    * time-spaced by the entire suite, min kept — r12's bounded answer to
+    * multi-minute contention eras no load gate sees), else the heaviest
+    * back target (prior behavior when no suspects are configured). */
+  def backPlan(frontFigs: Seq[(String, Double)], inSuite: Seq[(String, Double)],
+      topN: Int, cfg: Config): (Seq[String], Option[String]) = {
+    val landed = frontFigs.map(_._1).toSet
+    val topTargets = inSuite.filter(_._2 >= 0).sortBy(-_._2).take(topN).map(_._1)
+    val back = topTargets.filterNot(landed)
+    val resample = cfg.suspects.find(landed).orElse(back.headOption)
+    (back, resample)
   }
 }
 
@@ -179,7 +178,7 @@ private[graft] object BenchRecord {
     // line must stay under the driver's 2000-char tail capture, and the
     // load-bearing signal (figures + solo_failed) already rides both.
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the slowest queries (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r13: the whole solo phase runs inside a hard wall budget — cheapest-first children, one tail resample of the heaviest, budget-skipped targets flag solo_failed, a figure >1.25x its in-suite witness is listed anomalous); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; budget-skipped targets flag solo_failed, a figure >1.25x its in-suite witness is listed anomalous); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal), the
@@ -229,6 +228,85 @@ object Bench {
       l
     }
     val loadStart = gate("start")
+    // local-iteration filter: SPARK_GRAFT_ONLY=aj01_asof_backward,aj02_...
+    // (driver sets no filter and gets the full set). Parsed before the
+    // session: the front solo window below must respect it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd OR empty filter must fail loudly, not print a plausible
+    // 0-query / 0.00s record
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
+    val soloChild = sys.env.contains("SPARK_GRAFT_SOLO_CHILD")
+    // soloN 8 → 4 (r12 verdict #1): the judge's solo/in-suite comparison
+    // showed only the top couple of queries actually distort under suite
+    // pressure (dd14 29.17 recorded vs 2.98 solo; dd12 5.45 vs 1.64) while
+    // ranks 5-8 were within 10% — half the children bought no signal and
+    // their wall cost is what pushed the phase past the driver's bound.
+    val soloN = sys.env.get("SPARK_GRAFT_SOLO_N").map(_.toInt).getOrElse(4)
+    val soloSettle = sys.env.get("SPARK_GRAFT_SOLO_SETTLE_SEC").map(_.toInt).getOrElse(120)
+    val soloCfg = SoloScheduler.Config(
+      // 600 → 720 (r14 verdict #3): 600 ran dry at 596/600 with two of
+      // four targets skipped. The front window needs no settle and its
+      // children run on a quiet box, but four children still cost
+      // ~560-640 s; 720 leaves room for them plus the back window's
+      // settle + one child/resample, while suite + solo stays well
+      // inside a half-hour driver bound.
+      budgetSec = sys.env.get("SPARK_GRAFT_SOLO_BUDGET_SEC").map(_.toDouble).getOrElse(720.0),
+      settleSec = soloSettle.toDouble,
+      childCapSec = sys.env.get("SPARK_GRAFT_SOLO_CHILD_CAP_SEC").map(_.toDouble).getOrElse(300.0),
+      floorSec = 60.0,
+      // The stable heavy set, most-distorted first (r13 verdict #4 +
+      // r14 verdict #3): four rounds of judge quiet-box measurements put
+      // dd14 at 5-10x and dd12 at 3-6x their in-suite figures, with
+      // qp03/qp06 the next two heaviest. This doubles as the FRONT
+      // window's target list — set SPARK_GRAFT_SOLO_SUSPECTS="" to
+      // disable the front window entirely (all solo work then lands in
+      // the post-suite window, the pre-r15 behavior).
+      suspects = sys.env.get("SPARK_GRAFT_SOLO_SUSPECTS")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq("dd14_policy_cut", "dd12_substring_dedup",
+          "qp03_incremental_manifest", "qp06_gopher_manifest"))
+        .filter(SparkEntry.queries.contains))
+    // SPARK_GRAFT_SOLO_FORCE runs the solo machinery even under an ONLY
+    // filter — local iteration on the machinery itself
+    val soloAttempted = !soloChild && soloN > 0 &&
+      (only.isEmpty || sys.env.contains("SPARK_GRAFT_SOLO_FORCE"))
+    // SPARK_GRAFT_SOLO_DRYRUN=1 swaps the child for a stub (short sleep +
+    // a figure derived from the witness wall, 1.0 when none exists yet)
+    // so a full end-to-end bench run exercises the real scheduling/record
+    // path in seconds — the r12 failure mode (composition never examined)
+    // stays testable outside sbt too. SoloSchedulerSpec drives the
+    // scheduler directly.
+    def childRunner(witness: Map[String, Double]): (String, Double) => Option[Double] =
+      if (sys.env.contains("SPARK_GRAFT_SOLO_DRYRUN"))
+        (name, _) => { Thread.sleep(500); Some(witness.getOrElse(name, 1.0) * 0.9) }
+      else
+        (name, capSec) => runSoloChild(Seq(name), sfDir, capSec).flatMap(_.get(name))
+    // FRONT solo window (r14 verdict #3): the fresh-JVM children used to
+    // run AFTER the suite, into its decaying local[32] tail — every load
+    // gate green yet the landed figures read ~1.7x the judge's quiet
+    // min-of-3 (dd14 6.97 solo vs 3.98 quiet), and the settle + hot
+    // children exhausted the budget (596/600 s, two targets skipped).
+    // The box is at its QUIETEST right now — after the start gate,
+    // before the parent session exists — so the known heavy set spends
+    // the budget here, with no settle and nothing co-resident. The
+    // post-suite window below covers whatever the front didn't land.
+    val frontPhase =
+      if (!soloAttempted) SoloScheduler.Phase(Nil, Nil, 0.0)
+      else {
+        System.err.println(
+          s"[bench] front solo window: ${soloCfg.suspects.mkString(",")}")
+        SoloScheduler.phase(soloCfg.suspects, Map.empty,
+          soloCfg.copy(settleSec = 0.0), soloCfg.budgetSec,
+          childRunner(Map.empty), sec => Thread.sleep((sec * 1000).toLong),
+          () => System.nanoTime() / 1e9)
+      }
+    // The front children saturated local[32] themselves; the pass_a gate
+    // below absorbs their decay tail like any other inter-pass tail.
     val spark = Sessions.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // JIT/classloading/parquet-reader warmup so the first timed query isn't
@@ -240,17 +318,6 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     graft.sources.Tables.events(spark, sfDir).limit(1).count()
-    // local-iteration filter: SPARK_GRAFT_ONLY=aj01_asof_backward,aj02_...
-    // (driver sets no filter and gets the full set)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // a typo'd OR empty filter must fail loudly, not print a plausible
-    // 0-query / 0.00s record
-    only.foreach { names =>
-      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
-    }
     // Pre-warm e14's memoized CSV fixture so BOTH timed runs measure the
     // same work (scan-only). Before r4 the fixture was written inside the
     // first timed run, so min recorded scan-only while the first run paid
@@ -411,38 +478,6 @@ object Bench {
           name -> Seq(a, b, passC.get(name).flatten).flatten
             .minOption.getOrElse(-1.0)
       }
-    // FRESH-JVM solo pass (r12 verdict #1): the r11 gc+reversed-pass
-    // design demonstrably left 4.5-8.5x suite-context inflation on the
-    // heaviest queries (dd14 recorded 23.28 s vs 2.74 judge-solo; dd13's
-    // UNCHANGED code "tripled" round-over-round) — whatever survives a
-    // full GC after ~127 plans in one JVM (code cache, metaspace,
-    // catalyst state, GC ergonomics) hits BOTH passes, so min-of-passes
-    // cannot remove it. The only sample that escapes that state is a
-    // fresh process — and measured here (r12), a fresh process is not
-    // enough: ONE child running the top-8 together read dd14 at 5.51 s
-    // where a single-query child reads 2.24 s, and a 4-query set with
-    // three CC queries read 4.30 s — five of the top-8 are
-    // checkpoint-heavy, and co-resident heavy plans distort each other
-    // 1.5-2.5x (checkpoint-block cleanup + JIT compile storms) even
-    // with gates green. So each top-N query gets its OWN child JVM
-    // (SPARK_GRAFT_ONLY=<one name> through this same harness, memo
-    // pre-warms, 120 s start gate to let the previous child's load tail
-    // decay, min-of-2 inside). Cross-round grading: `queries` for
-    // continuity, `queries_solo` for the trustworthy heavy-query
-    // signal. Skipped inside a child and under a local SPARK_GRAFT_ONLY
-    // iteration filter (such a run IS usually the solo probe).
-    val soloChild = sys.env.contains("SPARK_GRAFT_SOLO_CHILD")
-    // soloN 8 → 4 (r12 verdict #1): the judge's solo/in-suite comparison
-    // showed only the top couple of queries actually distort under suite
-    // pressure (dd14 29.17 recorded vs 2.98 solo; dd12 5.45 vs 1.64) while
-    // ranks 5-8 were within 10% — half the children bought no signal and
-    // their wall cost is what pushed the phase past the driver's bound.
-    val soloN = sys.env.get("SPARK_GRAFT_SOLO_N").map(_.toInt).getOrElse(4)
-    val soloTargets = results.filter(_._2 >= 0).sortBy(-_._2).take(soloN).map(_._1)
-    // SPARK_GRAFT_SOLO_FORCE runs the children even under an ONLY filter —
-    // local iteration on the solo machinery itself
-    val soloAttempted = !soloChild && soloTargets.nonEmpty &&
-      (only.isEmpty || sys.env.contains("SPARK_GRAFT_SOLO_FORCE"))
     // All gates have run by here, so the load annotation is final —
     // assembled BEFORE the solo pass so the pre-solo record below can
     // carry it. The gate fields ride the SAME string as the samples so a
@@ -472,72 +507,90 @@ object Bench {
         try java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
         catch { case NonFatal(_) => () }
       }
-    // Kill-safety: persist the MAIN record before the many-minute solo
-    // pass — a harness timeout mid-solo must cost the round its solo map
-    // (flagged solo_failed in this provisional record), never the whole
-    // bench artifact. Overwritten with the final record below.
-    if (soloAttempted) {
+    // BACK solo window: whatever the front window didn't land — a NEW
+    // query that climbed into the in-suite top-N, or a front suspect
+    // whose child failed — plus one time-spaced tail resample of the
+    // first front suspect (its front slot is the one a front-of-run
+    // contention era would poison; rerunning it HERE spaces the two
+    // samples by the entire suite, min kept — r12's bounded answer to
+    // multi-minute contention eras no load gate sees). Fresh child JVMs
+    // because suite-context inflation survives gc+reversed passes (r12:
+    // dd14 23.28 s in-suite vs 2.74 judge-solo), one query per child
+    // because co-resident heavy plans distort each other 1.5-2.5x even
+    // in a fresh process. Cross-round grading: `queries` for continuity,
+    // `queries_solo` for the trustworthy heavy-query signal.
+    val (backTargets, resampleOpt) =
+      if (!soloAttempted) (Nil, None)
+      else SoloScheduler.backPlan(frontPhase.figs, results, soloN, soloCfg)
+    val backWork = backTargets.nonEmpty || resampleOpt.nonEmpty
+    // Kill-safety: persist the MAIN record before the many-minute back
+    // window — a harness timeout mid-solo must cost the round the
+    // missing figures (flagged solo_failed in this provisional record),
+    // never the whole bench artifact. Overwritten with the final record
+    // below. The front figures already exist, so they ride it.
+    val frontFigMap = frontPhase.figs.toMap
+    if (soloAttempted && backWork) {
       val (preFull, _) = BenchRecord.render(
-        results, None, soloIncomplete = true, load, maxPending, sfDir,
+        results, if (frontFigMap.isEmpty) None else Some(frontFigMap),
+        soloIncomplete = true, load, maxPending, sfDir,
         materialized = matNames, prewarmed = prewarmed)
       persistFull(preFull)
     }
     // The parent's context stops BEFORE the children run, not after the
     // records render — nothing below needs Spark, and the children must
     // not share the box with a JVM holding 8 GB of post-suite garbage.
-    if (soloAttempted) spark.stop()
+    if (soloAttempted && backWork) spark.stop()
     // Measured decay (r12, two full preview runs): children launched in
     // the first ~5 min after the suite read 1.4-3.4x hot (dd14 7.03 s at
     // T+1 min vs 2.06 s from the IDENTICAL command on an idle box;
     // qp01 5.25 at T+4) while children past ~T+7 min read clean — with
     // every load gate green, parent stopped or not. Whatever the
     // post-saturation state is (dirty shuffle-litter writeback, CPU/VM
-    // settle — loadavg sees none of it), it decays over minutes. So a
-    // flat settle pause before the first child, then cheapest-first
-    // children inside SoloScheduler's HARD wall budget (r12 shipped
-    // rc=124 because this phase had no ceiling — see SoloScheduler's
-    // doc). Default budget 600 s: the suite passes themselves take
-    // ~6-10 min at sf0.1, so suite + solo stays well inside a
-    // half-hour driver bound while still fitting settle + 4 children +
-    // the heaviest's resample on the r12-measured child walls.
-    val soloSettle = sys.env.get("SPARK_GRAFT_SOLO_SETTLE_SEC").map(_.toInt).getOrElse(120)
-    val soloCfg = SoloScheduler.Config(
-      budgetSec = sys.env.get("SPARK_GRAFT_SOLO_BUDGET_SEC").map(_.toDouble).getOrElse(600.0),
-      settleSec = soloSettle.toDouble,
-      childCapSec = sys.env.get("SPARK_GRAFT_SOLO_CHILD_CAP_SEC").map(_.toDouble).getOrElse(300.0),
-      floorSec = 60.0,
-      // Pinned distortion suspects (r13 verdict #4): three straight rounds
-      // of judge quiet-box measurements put dd14 at 5-10x and dd12 at 3-6x
-      // their in-suite figures — the solo pass exists FOR these two, so
-      // they spend the budget first.
-      suspects = sys.env.get("SPARK_GRAFT_SOLO_SUSPECTS")
-        .map(_.split(",").toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq("dd14_policy_cut", "dd12_substring_dedup")))
+    // settle — loadavg sees none of it), it decays over minutes. So the
+    // back window keeps its flat settle pause before the first child,
+    // and the whole machinery spends from ONE hard budget: the back
+    // window gets what the front window left (r12 shipped rc=124
+    // because this phase had no ceiling — see SoloScheduler's doc).
+    val backBudget = math.max(0.0, soloCfg.budgetSec - frontPhase.spentSec)
+    val sleepSec = (sec: Double) => Thread.sleep((sec * 1000).toLong)
+    val nowSec = () => System.nanoTime() / 1e9
     val inSuiteOf = results.toMap
-    // SPARK_GRAFT_SOLO_DRYRUN=1 swaps the child for a stub (short sleep +
-    // a figure derived from the in-suite wall) so a full end-to-end bench
-    // run exercises the real scheduling/record path in seconds — the r12
-    // failure mode (composition never examined) stays testable outside
-    // sbt too. SoloSchedulerSpec drives the scheduler directly.
-    val childRunner: (String, Double) => Option[Double] =
-      if (sys.env.contains("SPARK_GRAFT_SOLO_DRYRUN"))
-        (name, _) => { Thread.sleep(500); Some(inSuiteOf.getOrElse(name, 1.0) * 0.9) }
-      else
-        (name, capSec) => runSoloChild(Seq(name), sfDir, capSec).flatMap(_.get(name))
-    val soloRes =
-      if (!soloAttempted) SoloScheduler.Result(Nil, Nil, Nil, 0.0)
-      else SoloScheduler.run(soloTargets, inSuiteOf, soloCfg, childRunner,
-        sec => Thread.sleep((sec * 1000).toLong), () => System.nanoTime() / 1e9)
+    val backPhase =
+      if (!soloAttempted || backTargets.isEmpty) SoloScheduler.Phase(Nil, backTargets, 0.0)
+      else SoloScheduler.phase(backTargets, inSuiteOf, soloCfg, backBudget,
+        childRunner(inSuiteOf), sleepSec, nowSec)
+    // Tail resample: one more child for the planned target, settle
+    // included when the back window hasn't already absorbed the suite
+    // tail, inside whatever budget remains. min-merged below.
+    val resamplePhase = resampleOpt match {
+      case Some(name)
+        if (frontFigMap.contains(name) || backPhase.figs.exists(_._1 == name)) &&
+          backBudget - backPhase.spentSec >= soloCfg.floorSec =>
+        SoloScheduler.phase(Seq(name), inSuiteOf,
+          if (backPhase.figs.nonEmpty) soloCfg.copy(settleSec = 0.0) else soloCfg,
+          backBudget - backPhase.spentSec, childRunner(inSuiteOf), sleepSec, nowSec)
+      case _ => SoloScheduler.Phase(Nil, Nil, 0.0)
+    }
+    val soloSpent = frontPhase.spentSec + backPhase.spentSec + resamplePhase.spentSec
+    val soloFigs: Map[String, Double] =
+      (frontPhase.figs ++ backPhase.figs ++ resamplePhase.figs)
+        .groupMapReduce(_._1)(_._2)(math.min)
     val solo: Option[Map[String, Double]] =
-      if (soloRes.figs.isEmpty) None else Some(soloRes.figs.toMap)
-    // `solo_failed` flags ANY missing figure — child failure, timeout, or
-    // budget-exhausted skip — a partial pass must not read as complete.
-    val soloIncomplete = soloAttempted && soloRes.figs.size < soloTargets.size
+      if (soloFigs.isEmpty) None else Some(soloFigs)
+    // `solo_failed` flags ANY missing figure across BOTH windows — child
+    // failure, timeout, or budget-exhausted skip — a partial pass must
+    // not read as complete. Targets = front suspects ∪ in-suite top-N.
+    val soloTargets =
+      if (!soloAttempted) Nil
+      else (soloCfg.suspects ++ backTargets).distinct
+    val soloMissing = soloTargets.filterNot(soloFigs.contains)
+    val soloIncomplete = soloAttempted && soloMissing.nonEmpty
+    val soloAnomalous = SoloScheduler.anomalous(soloFigs.toSeq.sortBy(_._1), inSuiteOf)
     def jlist(k: String, xs: Seq[String]): String =
       if (xs.isEmpty) "" else xs.map("\"" + _ + "\"").mkString(s""","$k":[""", ",", "]")
     val soloMeta =
       if (!soloAttempted) ""
-      else s""","solo_budget":{"sec":${f(soloCfg.budgetSec)},"spent":${f(soloRes.spentSec)}${jlist("skipped", soloRes.skipped)}${jlist("anomalous", soloRes.anomalous)}}"""
+      else s""","solo_budget":{"sec":${f(soloCfg.budgetSec)},"spent":${f(soloSpent)},"front_spent":${f(frontPhase.spentSec)}${jlist("skipped", soloMissing)}${jlist("anomalous", soloAnomalous)}}"""
     // Full record: per-query map FIRST, total LAST — the driver's record
     // keeps only the final 2000 chars of output, and at 87+ queries this
     // line is ~2.1k chars, so whatever clips must be the head, never the
@@ -554,7 +607,7 @@ object Bench {
     // any stdout capture window. The solo child redirects it away from
     // BENCH_FULL.json so it cannot clobber the parent's record.
     persistFull(full)
-    if (!soloAttempted) spark.stop()
+    if (!(soloAttempted && backWork)) spark.stop()
     // Print AFTER spark.stop() so no executor/shutdown log line can land
     // after the JSON; these must be the last stdout lines.
     println(full)
