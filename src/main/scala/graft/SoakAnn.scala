@@ -42,11 +42,13 @@ object SoakAnn {
     // deterministic clustered corpus: center ∈ [-0.8, 0.8) per (blob,
     // dim) via a Knuth-hash residue, jitter ∈ [-0.01, 0.01) per (vec,
     // dim) — separation ~1.4e13 on the integer grid vs in-blob spread
-    // ~2.6e10. SKEW=1 assigns blobs by the square of a uniform draw, so
-    // blob 0 holds ~½ the corpus and the tail blobs thin out — the hot
-    // CELL shape (an ANN index's tx26 analogue: the probe that lands in
-    // the hot cell scans half the corpus; the question is whether
-    // serving degrades gracefully, not whether it stays flat).
+    // ~2.6e10. SKEW=1 assigns blobs by the square of a uniform draw —
+    // floor(pmod(id,32)²/32) maps residues 0..5 to blob 0, so it holds
+    // ~19% of the corpus (6/32, ~6× a uniform blob's share) and the
+    // tail blobs thin out — the hot CELL shape (an ANN index's tx26
+    // analogue: the probe that lands in the hot cell scans ~6× the
+    // uniform cell's share; the question is whether serving degrades
+    // gracefully, not whether it stays flat).
     val blobExpr =
       if (skew) s"CAST(pmod(id, $blobs) * pmod(id, $blobs) / $blobs AS BIGINT)"
       else s"pmod(id, $blobs)"

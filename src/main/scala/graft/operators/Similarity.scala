@@ -206,9 +206,11 @@ object Similarity {
     * (seeds = the kCodes smallest vec_ids' residual sub-vectors, 2
     * rounds, integer-mean updates with empty codes keeping the prior,
     * ties to the lower code). Residuals re-shift by +2·10⁶ so every
-    * Lloyd value stays nonnegative — fv, cv ∈ [0, 2·10⁶] — and Spark's
-    * truncating `div` agrees with DuckDB's floor `//`: ss14's shift
-    * argument applied one level down (distances are shift-invariant).
+    * Lloyd value stays NONNEGATIVE — f−c+2·10⁶ with f, c ∈ [0, 2·10⁶]
+    * spans [0, 4·10⁶] — and nonnegativity is the only property the
+    * argument needs: Spark's truncating `div` agrees with DuckDB's
+    * floor `//` on nonnegative operands, ss14's shift argument applied
+    * one level down (distances are shift-invariant).
     *
     * Search (asymmetric distance, the paper's ADC): queries probe the
     * nprobe nearest cells exactly as ss18, compute their residual vs EACH
