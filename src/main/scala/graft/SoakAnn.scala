@@ -88,6 +88,12 @@ object SoakAnn {
     // in-blob radius ~2.6e10; r = 5e10 keeps hits within a blob
     val (n20, w20) = minWall(
       Similarity.ivfRangeSearch(corpus, k = 8, r = 50000000000L).count())
+    // ss21's cell-local pair join is the family's (n/k)² bound — the
+    // place a hot cell (SKEW=1) concentrates QUADRATIC cost where
+    // serving/search concentrate linear scan cost; the row prices that
+    // directly (edges shuffle, not pairs — WindowGroupLimit keeps a
+    // kG-row heap per vector map-side)
+    val (n21, w21) = minWall(Similarity.knnGraphEdges(corpus).count())
 
     // frozen-index serving (st13's split): build + cache the index ONCE
     // outside the timed region, then serve ~NVEC/100 arriving queries
@@ -106,9 +112,9 @@ object SoakAnn {
 
     def fmt(ws: Seq[Double]) = ws.map(w => f"$w%.2f").mkString(" ")
     println(s"ANNSOAK nvec=$nVec blobs=$blobs skew=$skew rowsBrute=$nBr rows18=$n18 " +
-      s"rows19=$n19 rangeHits=$n20 servedQueries=$nArr")
+      s"rows19=$n19 rangeHits=$n20 knnEdges=$n21 servedQueries=$nArr")
     println(s"ANNSOAK walls brute5q=[${fmt(wBr)}] ss18e2e=[${fmt(w18)}] " +
-      s"ss19e2e=[${fmt(w19)}] ss20range=[${fmt(w20)}] " +
+      s"ss19e2e=[${fmt(w19)}] ss20range=[${fmt(w20)}] ss21knn=[${fmt(w21)}] " +
       s"serveFrozen${nArr}q=[${fmt(wServe)}]")
 
     try spark.stop() catch { case NonFatal(_) => () }

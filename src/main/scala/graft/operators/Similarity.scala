@@ -343,6 +343,30 @@ object Similarity {
     * scan touches only the survivors' partitions — the corpus never
     * shuffles, and on clustered data (the regime IVF exists for) the
     * probed fraction tracks the ball volume, not k. */
+  /** ss21's body over an arbitrary (vec_id, embedding) frame: kG nearest
+    * same-cell neighbors per corpus vector under ss14-trained cells (see
+    * the ss21 entry's scaladoc for the full shape argument). Extracted so
+    * SoakAnn can price the cell-local pair join's (n/k)² per-cell bound
+    * on a large clustered corpus, hot-cell variant included. Unordered —
+    * the declared query adds its own orderBy. */
+  private[graft] def knnGraphEdges(e: DataFrame, k: Int = 8, kG: Int = 4): DataFrame = {
+    val feats = intFeatures(e)
+    val cents = fixedPointCentroids(feats, k, iters = 2)
+    val assigned = graft.Caches.track(
+      assignToCells(feats, cents).select(col("vec_id"), col("f"), col("cell")))
+    val b = assigned.select(col("cell"),
+      col("vec_id").as("neighbor_id"), col("f").as("fb"))
+    val w = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
+    assigned.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dist", expr(
+        "long_sqdist(f, fb)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kG)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("rk").cast("int").as("rk"), col("dist"))
+  }
+
   private[graft] def ivfRangeSearch(e: DataFrame, k: Int = 8,
       r: Long = 1300000000000L): DataFrame = {
     val feats = intFeatures(e)
@@ -830,25 +854,7 @@ object Similarity {
     // (ss15's analysis), so the edge set, not the pair set, is what
     // shuffles. Vectors alone in their cell emit no edges (absent by
     // semantics). All-integer — hash-exact.
-    "ss21_knn_graph" -> ((s, dir) => {
-      val kG = 4
-      val feats = intFeatures(emb(s, dir))
-      val cents = fixedPointCentroids(feats, k = 8, iters = 2)
-      val assigned = graft.Caches.track(
-        assignToCells(feats, cents).select(col("vec_id"), col("f"), col("cell")))
-      val b = assigned.select(col("cell"),
-        col("vec_id").as("neighbor_id"), col("f").as("fb"))
-      val w = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
-      assigned.join(b, Seq("cell"))
-        .filter(col("vec_id") =!= col("neighbor_id"))
-        .withColumn("dist", expr(
-          "long_sqdist(f, fb)"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= kG)
-        .select(col("vec_id"), col("neighbor_id"),
-          col("rk").cast("int").as("rk"), col("dist"))
-        .orderBy("vec_id", "rk")
-    }),
+    "ss21_knn_graph" -> ((s, dir) => knnGraphEdges(emb(s, dir)).orderBy("vec_id", "rk")),
 
     // IVF RANGE search (r14) — FAISS's range_search: everything within
     // ε², exactly; the index prunes cells via the triangle inequality

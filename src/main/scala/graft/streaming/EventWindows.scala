@@ -272,6 +272,41 @@ object EventWindows {
         .orderBy("query_id")
     }),
 
+    // Batch twin of the streaming EVAL-SUITE screen
+    // ([[Stateful.ingestEvalScreen]]) — qp07's triage report through the
+    // serving path, closing the family: st11 serves the substring half,
+    // st13 the similarity half; this composes BOTH frozen index halves
+    // (the (h → occ, sources) train aggregate and the banded LSH
+    // postings + shingle sidecar) into the per-eval-doc
+    // exact/near/clean verdict. Hash-exact on tx32 + tx31's licenses —
+    // the oracle is qp07's verbatim (identical folds), so the gate
+    // directly certifies stream-path ≡ batch-path on the marquee
+    // deliverable.
+    "st15_eval_screen_ingest" -> ((s, dir) => {
+      val Dd = graft.operators.Dedup
+      val Sk = graft.functions.SketchExprs
+      val idx = Dd.ddWinIndexPath(s, dir)
+      val trainAggH = s.read.parquet(s"$idx/wins")
+        .filter(col("doc_id") % 10 =!= 0)
+        .groupBy("h", "source").agg(count(lit(1)).as("n_occ"))
+        .groupBy("h").agg(sum("n_occ").as("occ_h"),
+          sort_array(collect_set("source")).as("srcs"))
+      val tsigs = Dd.fuzzySigs(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
+      val postings = tsigs
+        .select(col("doc_id").as("train_id"),
+          array((0 until 16).map(b =>
+            Sk.longSliceHash(col("sig"), b * 4, 4)): _*).as("tbb"))
+        .select(col("train_id"), col("tbb"),
+          posexplode(col("tbb")).as(Seq("band", "bucket")))
+      val sidecar = tsigs.select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
+      Stateful.ingestEvalScreen(
+        Tables.table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text"),
+        trainAggH, postings, sidecar, Dd.substringK)
+        .orderBy("eval_doc_id")
+    }),
+
     // Batch twin of the stream-stream interval join
     // ([[Stateful.intervalJoin]]): each purchase joins the same user's
     // clicks within the preceding 10 minutes. Runs through the EXACT
@@ -303,6 +338,11 @@ object EventWindows {
     // verbatim (the st06 ≡ dd07/dd08 precedent).
     "st11_attribution_ingest" ->
       graft.operators.TextAnalysis.oracle("tx32_contam_attribution"),
+    // st15 ≡ qp07 over the same folds — the serving report IS the batch
+    // analysis query, so it shares qp07's oracle verbatim (the st11/tx32
+    // precedent, now on the composed deliverable).
+    "st15_eval_screen_ingest" ->
+      graft.operators.TextAnalysis.oracle("qp07_eval_screen"),
     // Mirrors st14: odd assets whose payload md5 exists nowhere in the
     // even (corpus) fold. NOT EXISTS rather than NOT IN — a null text
     // would null the whole NOT IN predicate; the anti-join form matches

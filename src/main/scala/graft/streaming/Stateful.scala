@@ -410,4 +410,96 @@ object Stateful {
       .groupBy("eval_doc_id", "source")
       .agg(count(lit(1)).as("n_shared_windows"),
         sum("n_occ").as("n_train_occurrences"))
+
+  /** Serving-side EVAL-SUITE screen (st15) — qp07's triage report as the
+    * stream, the family's capstone: each arriving eval doc (the
+    * benchmark owner's ingest) pays its own tokenize/shingle/md5 (the
+    * dd11/dd17 honesty contract) and probes BOTH halves of the frozen
+    * train-side state — the substring (h → occurrences, sources)
+    * aggregate and the fuzzy banded index — emitting the per-doc
+    * exact/near/clean verdict row per trigger.
+    *
+    * Streaming legality shapes all three evidence paths into ONE
+    * aggregation (two would be an illegal multi-agg stream):
+    * roster/leak/near evidence rows UNION before a single groupBy(doc),
+    * with `when(kind = ...)` routing each statistic. The two exact
+    * COUNT(DISTINCT)s qp07 uses become (a) distinct-before-explode on
+    * the doc's own window hashes (st11's move — (doc, h) is unique
+    * without an exchange, so a plain count IS countDistinct(h)) and (b)
+    * [[graft.functions.SetUnionAgg.DistinctCount]] over the per-h
+    * source arrays (state bounded by the corpus's source inventory,
+    * TopKAgg's bounded-state contract). Candidate-pair dedup — batch
+    * qp07 inherits a `.distinct()` from the LSH pair stage — is the
+    * row-wise FIRST-MATCH rule instead: the frozen postings carry each
+    * train doc's full 16-slot band vector (`tbb`, 128 bytes — the index
+    * trades that width for never shuffling a pair exchange), and a
+    * matched (band, bucket) row survives only when no earlier band also
+    * matches, so each (eval, train) pair reaches the exact-jaccard
+    * verify exactly once. Every join is stream-static, every stage
+    * before the final aggregation a select/filter; one doc's group
+    * completes within its own micro-batch (a doc arrives once), so the
+    * per-trigger spec pins stream ≡ batch twin ≡ qp07 itself.
+    *
+    * `trainAggH`: (h, occ_h, srcs) — per-window-hash train occurrence
+    * total and sorted distinct source list. `postings`: (train_id, band,
+    * bucket, tbb). `sidecar`: (train_id, sh_t) sorted shingle hashes.
+    * All frozen offline; at 100 TB none of them shuffles at serve time. */
+  def ingestEvalScreen(docs: DataFrame, trainAggH: DataFrame,
+      postings: DataFrame, sidecar: DataFrame, k: Int): DataFrame = {
+    val Sk = graft.functions.SketchExprs
+    val base = docs.select(col("doc_id"), col("text"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+    val roster = base.select(col("doc_id").as("eval_doc_id"),
+      lit("roster").as("kind"), lit(null).cast("long").as("occ"),
+      lit(null).cast("array<string>").as("srcs"),
+      lit(null).cast("double").as("jac"),
+      greatest(size(col("ws")) - (k - 1), lit(0)).cast("int").as("n_windows"))
+    val leak = base.filter(size(col("ws")) >= k)
+      .select(col("doc_id").as("eval_doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${k - 1}), i -> " +
+          s"md5(cast(concat_ws(' ', slice(ws, i, $k)) AS binary))))")).as("h"))
+      .join(trainAggH, "h")
+      .select(col("eval_doc_id"), lit("leak").as("kind"),
+        col("occ_h").as("occ"), col("srcs"),
+        lit(null).cast("double").as("jac"), lit(null).cast("int").as("n_windows"))
+    val near = base
+      .select(col("doc_id").as("eval_doc_id"),
+        Sk.shingleHashes(col("text"), 3).as("sh_e"),
+        Sk.minhashSig(Sk.wordShingles(col("text"), 3), 64).as("sig"))
+      .withColumn("qbb", array((0 until 16).map(b =>
+        Sk.longSliceHash(col("sig"), b * 4, 4)): _*))
+      .select(col("eval_doc_id"), col("sh_e"), col("qbb"),
+        posexplode(col("qbb")).as(Seq("band", "bucket")))
+      .join(postings, Seq("band", "bucket"))
+      // first-match rule: bands 0..band-1 (slice is 1-based, length
+      // `band`) must all differ, so exactly one row per candidate pair
+      .filter(expr("size(filter(zip_with(slice(qbb, 1, band), " +
+        "slice(tbb, 1, band), (x, y) -> x = y), z -> z)) = 0"))
+      .join(sidecar, "train_id")
+      .withColumn("inter", Sk.sortedLongIntersectCount(col("sh_e"), col("sh_t")))
+      .withColumn("jac",
+        col("inter") / (size(col("sh_e")) + size(col("sh_t")) - col("inter")))
+      .filter(col("jac") >= 0.7)
+      .select(col("eval_doc_id"), lit("near").as("kind"),
+        lit(null).cast("long").as("occ"),
+        lit(null).cast("array<string>").as("srcs"), col("jac"),
+        lit(null).cast("int").as("n_windows"))
+    val distinctSrcs = udaf(new graft.functions.SetUnionAgg.DistinctCount())
+    roster.unionByName(leak).unionByName(near)
+      .groupBy("eval_doc_id")
+      .agg(
+        max(when(col("kind") === "roster", col("n_windows"))).as("n_windows"),
+        count(when(col("kind") === "leak", lit(1))).as("n_leaked_windows"),
+        distinctSrcs(when(col("kind") === "leak", col("srcs"))).as("n_sources"),
+        coalesce(sum(when(col("kind") === "leak", col("occ"))), lit(0L))
+          .as("n_train_occurrences"),
+        count(when(col("kind") === "near", lit(1))).as("n_near_dup_train"),
+        max(when(col("kind") === "near", col("jac"))).as("max_jaccard"))
+      .withColumn("verdict",
+        when(col("n_leaked_windows") > 0, "exact")
+          .when(col("n_near_dup_train") > 0, "near")
+          .otherwise("clean"))
+      .select("eval_doc_id", "n_windows", "n_leaked_windows", "n_sources",
+        "n_train_occurrences", "n_near_dup_train", "max_jaccard", "verdict")
+  }
 }

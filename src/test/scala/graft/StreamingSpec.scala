@@ -410,6 +410,60 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
   }
 
+  test("st15 streaming eval screen: one-file-at-a-time equals the batch twin and qp07") {
+    // The serving capstone: arriving eval docs probe BOTH frozen index
+    // halves (substring (h → occ, srcs) aggregate + banded LSH postings
+    // with the full band vector for first-match pair dedup) and emit
+    // qp07's per-doc triage. Equality to qp07 pins that the
+    // union-of-evidence single-aggregation serving form reproduces the
+    // batch analysis (two countDistincts and a pair-distinct included)
+    // exactly; the one-file-at-a-time run pins micro-batch-boundary
+    // invariance of the whole composition.
+    val Dd = graft.operators.Dedup
+    val Sk = graft.functions.SketchExprs
+    val idx = Dd.ddWinIndexPath(spark, sf001)
+    val trainAggH = spark.read.parquet(s"$idx/wins")
+      .filter(col("doc_id") % 10 =!= 0)
+      .groupBy("h", "source").agg(count(lit(1)).as("n_occ"))
+      .groupBy("h").agg(sum("n_occ").as("occ_h"),
+        sort_array(collect_set("source")).as("srcs"))
+    val tsigs = Dd.fuzzySigs(
+      Tables.table(spark, sf001, "documents").filter(col("doc_id") % 10 =!= 0))
+    val postings = tsigs
+      .select(col("doc_id").as("train_id"),
+        array((0 until 16).map(b =>
+          Sk.longSliceHash(col("sig"), b * 4, 4)): _*).as("tbb"))
+      .select(col("train_id"), col("tbb"),
+        posexplode(col("tbb")).as(Seq("band", "bucket")))
+    val sidecar = tsigs.select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
+    val evalDocs = Tables.table(spark, sf001, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), Option(r.get(6)), r.getString(7))).toSet
+    val expected = asTuples(graft.streaming.EventWindows
+      .queries("st15_eval_screen_ingest")(spark, sf001).collect())
+    assert(expected.map(_._8).contains("exact") && expected.map(_._8).contains("clean"),
+      "gate corpus must contain both leaked and clean eval docs")
+    assert(expected.exists(_._6 > 0), "gate corpus must contain near-dup pairs")
+    val qp07 = asTuples(SparkEntry.queries("qp07_eval_screen")(spark, sf001).collect())
+    assert(qp07 == expected, "st15 must equal qp07 over the same folds")
+    val tmp = java.nio.file.Files.createTempDirectory("st15").toString
+    evalDocs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val stream = graft.streaming.Stateful.ingestEvalScreen(
+      spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(evalDocs.schema).parquet(tmp),
+      trainAggH, postings, sidecar, Dd.substringK)
+    val q = stream.writeStream.format("memory").queryName("st15_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = asTuples(spark.sql("SELECT * FROM st15_test").collect())
+    assert(streamed == expected,
+      s"stream emitted ${streamed.size} rows, batch twin ${expected.size}")
+  }
+
   test("st09 streaming quality gate: one-file-at-a-time equals the batch twin") {
     // The gate is stateless per doc (score + broadcast threshold
     // compare), so batch-boundary invariance is by construction — this
@@ -478,10 +532,15 @@ class StreamingSpec extends SparkSpec {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val (cents, assigned) = Sim.trainedIvfIndex(e.filter(col("vec_id") % 2 === 0))
     val queries = e.filter(col("vec_id") % 2 === 1)
+    // The DECLARED twin serializes the two arrays for the driver's gate
+    // (r15, the e05/e06 convention); parse them back so this spec still
+    // compares rank-ordered lists against the helper's raw-array output.
     val expected = graft.streaming.EventWindows
       .queries("st13_ann_serving")(spark, sf001)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))
+      .map(r => (r.getLong(0),
+        r.getString(1).split('|').filter(_.nonEmpty).map(_.toLong).toList,
+        r.getString(2).split('|').filter(_.nonEmpty).map(_.toLong).toList))
       .toSet
     assert(expected.nonEmpty)
     assert(expected.forall { case (_, ids, ds) =>
