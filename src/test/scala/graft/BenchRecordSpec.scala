@@ -55,6 +55,43 @@ class BenchRecordSpec extends AnyFunSuite {
       .contains(Map("q_fast" -> 0.5, "q_heavy" -> 3.25)))
   }
 
+  test("value_solo_adjusted substitutes min(in-suite, solo) per soloed query, both lines") {
+    // q_heavy: in-suite 3.25, solo 1.5 → counted at 1.5; q_fast unsoloed →
+    // counted at its in-suite 0.5. Adjusted = 2.0 while value stays 3.75.
+    val (full, compact) = BenchRecord.render(
+      results, Some(Map("q_heavy" -> 1.5)), soloIncomplete = false,
+      load, 0, "/d", Nil, Nil)
+    for (line <- Seq(full, compact)) {
+      val j = parse(line)
+      assert((j \ "value").values == 3.75, line)
+      assert((j \ "value_solo_adjusted").values == 2.0, line)
+    }
+    // a solo figure ABOVE the in-suite wall (inter-child decay tail) must
+    // not inflate the adjusted total: min keeps the in-suite evidence
+    val (f2, _) = BenchRecord.render(
+      results, Some(Map("q_heavy" -> 9.0)), soloIncomplete = false,
+      load, 0, "/d", Nil, Nil)
+    assert((parse(f2) \ "value_solo_adjusted").values == 3.75)
+    // no solo map → no adjusted field; failed run → sentinel total, no
+    // adjusted field (an adjusted sum over a failure would hide it).
+    // Field-shaped match: the timing prose legitimately names the key.
+    val (f3, c3) = BenchRecord.render(
+      results, None, soloIncomplete = false, load, 0, "/d", Nil, Nil)
+    for (line <- Seq(f3, c3)) assert(!line.contains("\"value_solo_adjusted\":"), line)
+    val (f4, _) = BenchRecord.render(
+      Seq("a" -> 1.0, "b" -> -1.0), Some(Map("a" -> 0.9)),
+      soloIncomplete = false, load, 0, "/d", Nil, Nil)
+    assert(!f4.contains("\"value_solo_adjusted\":"), f4)
+  }
+
+  test("query_diag rides the full line only, as handed in") {
+    val dm = ""","query_diag":{"q_heavy":{"a":{"wall":3.25,"gc_ms":12}}}"""
+    val (full, compact) = BenchRecord.render(
+      results, None, soloIncomplete = false, load, 0, "/d", Nil, Nil, diagMeta = dm)
+    assert((parse(full) \ "query_diag" \ "q_heavy" \ "a" \ "gc_ms").values == 12)
+    assert(!compact.contains("query_diag"), compact)
+  }
+
   test("a failed query keeps the sentinel total beside the solo field in both lines") {
     val (full, compact) = BenchRecord.render(
       Seq("a" -> 1.0, "b" -> -1.0), Some(Map("a" -> 0.9)),

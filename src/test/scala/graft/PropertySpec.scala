@@ -177,4 +177,39 @@ object EtlProperties extends Properties("graft.etl") {
       rows.length == math.max(0, words.length - n + 1) &&
         rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i }
     }
+
+  // SetUnionAgg.DistinctCount (st15's streaming COUNT(DISTINCT) stand-in):
+  // the buffer is canonical (sorted distinct), so ANY partitioning of the
+  // input multiset into partial buffers, merged in ANY order, must land on
+  // the same buffer and final count — the property the streaming answer's
+  // hash-exactness rides on. Null and empty inputs route through the
+  // `when(kind === 'leak', srcs)` path by design and must contribute
+  // nothing.
+  private val setUnionInputs: Gen[List[Seq[String]]] =
+    Gen.listOfN(24, Gen.oneOf(
+      Gen.const(null: Seq[String]),
+      Gen.const(Seq.empty[String]),
+      Gen.listOfN(3, Gen.oneOf("cc", "wiki", "books", "code", "news", "cc")).map(_.toSeq)))
+
+  property("SetUnionAgg: any partition/permutation merges to the same canonical buffer") =
+    Prop.forAllNoShrink(for {
+      xs <- setUnionInputs
+      shuffled <- Gen.const(new scala.util.Random(xs.hashCode).shuffle(xs))
+      cut1 <- Gen.chooseNum(0, xs.length)
+      cut2 <- Gen.chooseNum(0, xs.length)
+    } yield (xs, shuffled, cut1, cut2)) { case (xs, shuffled, cut1, cut2) =>
+      val agg = new graft.functions.SetUnionAgg.DistinctCount
+      def fold(part: List[Seq[String]]) = part.foldLeft(agg.zero)(agg.reduce)
+      def run(order: List[Seq[String]], cut: Int) = {
+        val (l, r) = order.splitAt(cut)
+        agg.merge(fold(l), fold(r))
+      }
+      val a = run(xs, cut1)
+      val b = run(shuffled, cut2)
+      val c = agg.merge(run(shuffled, cut2), run(xs, cut1)) // merge is idempotent-union
+      val expected = xs.filter(_ != null).flatten.distinct.sorted
+      a.vals == expected && b.vals == expected && c.vals == expected &&
+        agg.finish(a) == expected.length.toLong &&
+        a.vals == a.vals.distinct.sorted // canonical: sorted distinct
+    }
 }
