@@ -46,6 +46,21 @@ def close(a, b):
         return abs(a[1] - b[1]) <= 1e-9 * max(1.0, abs(a[1]), abs(b[1]))
     return False
 
+def nested_cols(description):
+    """Columns whose DuckDB type is nested (list/struct/map/array).
+
+    The driver's pandas comparer requires FLAT top-level schemas on BOTH
+    sides; OutputShapeSpec lints the Spark side, but an oracle returning
+    `list(...)` without `array_to_string` would until now only surface as
+    a hash mismatch at driver time. Lint it here on every run instead
+    (r15 verdict optional #6)."""
+    bad = []
+    for d in description:
+        t = str(d[1]).upper()
+        if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "ARRAY", "UNION")):
+            bad.append((d[0], str(d[1])))
+    return bad
+
 def check_rows_only(con, out_dir, rerun_dir, oracle, only):
     """Compare no-oracle query outputs across two Verify dumps."""
     n_ok = n_bad = 0
@@ -104,6 +119,7 @@ def main():
             continue
         try:
             oc = con.execute(sql)
+            bad_shape = nested_cols(oc.description)
             ocols = [d[0] for d in oc.description]
             orows = oc.fetchall()
             sc = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -111,6 +127,12 @@ def main():
             srows = sc.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        if bad_shape:
+            print(f"FAIL {name} [shape]: oracle returns nested column(s) "
+                  f"{bad_shape} — driver comparer requires flat schemas "
+                  f"(serialize with array_to_string/to_json in the SQL)")
             n_bad += 1
             continue
         oc2, orws = rows_key(ocols, orows)
