@@ -849,7 +849,11 @@ object Similarity {
     // ITSELF: the pair join is a cell-local equi-join with no broadcast
     // side, per-cell cost (n/k)² — bounded by scaling k with the corpus,
     // the qp05/SemDeDup argument (swap to ss08's LSH tables if cells
-    // must stay small). The per-vector rank plans as WindowGroupLimit —
+    // must stay small). Measured at 100k vectors (SOAK_r16.md): ~472 s
+    // at fixed k=8 vs ~2 s at 2k — the quadratic is the family's scale
+    // hazard and the k-scaling rule is mandatory; a ~4.5×-pair hot cell
+    // left the wall FLAT (AQE skew-split + compute-proportional total).
+    // The per-vector rank plans as WindowGroupLimit —
     // each map task keeps a kG-row heap per vector BEFORE the exchange
     // (ss15's analysis), so the edge set, not the pair set, is what
     // shuffles. Vectors alone in their cell emit no edges (absent by
