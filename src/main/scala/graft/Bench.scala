@@ -126,6 +126,42 @@ private[graft] object BenchRecord {
   def qmap(entries: Iterable[(String, Double)]): String =
     entries.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
 
+  /** One timed run's JVM telemetry (r15 verdict #1 / optional #7): all
+    * captured OUTSIDE the query clock. `gcMs`/`gcN` are collector deltas
+    * across the timed region; `gcSettleSec` is the pre-run System.gc()'s
+    * own wall; heap figures bracket the run; `storageFreeMb` is executor
+    * storage memory before the run; `dirtyMb` the box's Dirty+Writeback
+    * page total before the run (the one suite-context carrier neither
+    * loadavg nor the JVM can see). */
+  final case class RunDiag(wall: Double, gcSettleSec: Double, gcMs: Long,
+    gcN: Long, heapPreMb: Long, heapPostMb: Long, storageFreeMb: Long,
+    dirtyMb: Long)
+
+  /** The `query_diag` fragment (full record line only): per-pass vectors
+    * for the queries worth diagnosing — min wall ≥ `slowSec` (capped to
+    * the `cap` slowest) plus anything the passes disagreed on (`flagged`)
+    * — so a suite-context pathology localizes to a pass and a carrier
+    * from ONE round's artifact. Runs render in pass order (a, b, c). */
+  def diagMeta(
+      results: Seq[(String, Double)],
+      flagged: Seq[String],
+      diag: collection.Map[String, List[(String, RunDiag)]],
+      slowSec: Double = 1.5,
+      cap: Int = 20): String = {
+    val names = (results.filter(_._2 >= slowSec).sortBy(-_._2).take(cap).map(_._1)
+      ++ flagged).distinct
+    if (names.isEmpty) ""
+    else {
+      val body = names.map { n =>
+        val runs = diag.getOrElse(n, Nil).reverse.map { case (p, d) =>
+          s""""$p":{"wall":${f(d.wall)},"gc_settle":${f(d.gcSettleSec)},"gc_ms":${d.gcMs},"gc_n":${d.gcN},"heap0_mb":${d.heapPreMb},"heap1_mb":${d.heapPostMb},"storage_free_mb":${d.storageFreeMb},"dirty_mb":${d.dirtyMb}}"""
+        }.mkString(",")
+        s""""$n":{$runs}"""
+      }.mkString(",")
+      s""","query_diag":{$body}"""
+    }
+  }
+
   /** Extract the per-query map from a bench record line — the parent's
     * parse of the solo child's full record. Matches the FIRST
     * `"queries":{...}` (the child never emits `queries_solo`). */
@@ -429,8 +465,7 @@ object Bench {
     // storage memory before the run. BENCH_FULL carries the per-pass
     // vectors for the slow/flagged queries (r15 optional #7) so a
     // pathological figure localizes from ONE round's artifact.
-    final case class RunDiag(wall: Double, gcSettleSec: Double, gcMs: Long,
-      gcN: Long, heapPreMb: Long, heapPostMb: Long, storageFreeMb: Long)
+    import BenchRecord.RunDiag
     val diag = scala.collection.mutable.Map.empty[String, List[(String, RunDiag)]]
     def gcStats(): (Long, Long) = {
       var ms = 0L; var n = 0L
@@ -439,6 +474,22 @@ object Bench {
       }
       (ms, n)
     }
+    // Dirty + under-writeback page total: the one suite-context carrier
+    // loadavg and the JVM can't see (the r12 decay-window notes suspected
+    // "dirty shuffle-litter writeback"); a disk-heavy query (dd14 reads +
+    // reshuffles + caches the persisted window index) stalls on it while
+    // CPU-bound neighbors don't.
+    def dirtyMb(): Long =
+      try {
+        val mi = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/meminfo"))
+        var kb = 0L
+        mi.forEach { l =>
+          if (l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+            kb += l.split("\\s+")(1).toLong
+        }
+        kb / 1024
+      } catch { case NonFatal(_) => -1L }
     def heapUsedMb(): Long = {
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -477,6 +528,7 @@ object Bench {
           .map(_._2).sum / (1024 * 1024)
         catch { case NonFatal(_) => -1L }
       val heapPre = heapUsedMb()
+      val dirtyPre = dirtyMb()
       val (gcMs0, gcN0) = gcStats()
       val t0 = System.nanoTime()
       try {
@@ -484,7 +536,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val (gcMs1, gcN1) = gcStats()
         diag(name) = (pass -> RunDiag(dt, gcSettle, gcMs1 - gcMs0, gcN1 - gcN0,
-          heapPre, heapUsedMb(), storageFreeMb)) :: diag.getOrElse(name, Nil)
+          heapPre, heapUsedMb(), storageFreeMb, dirtyPre)) :: diag.getOrElse(name, Nil)
         maxPending = math.max(maxPending, Caches.pending)
         Some(dt)
       } catch { case NonFatal(_) => None }
@@ -546,22 +598,9 @@ object Bench {
     // Per-pass diagnostic vectors (full record only): the slow set plus
     // anything the passes disagreed on — the data that localizes a
     // suite-context pathology (r15: dd14 63.8 s in-suite vs 3.45 s solo)
-    // to a pass and a carrier (GC wall, heap floor, storage pressure)
-    // without a rerun.
-    val diagNames = (results.filter(_._2 >= 1.5).sortBy(-_._2).take(20).map(_._1)
-      ++ flagged.map(_._1)).distinct
-    val diagMeta =
-      if (diagNames.isEmpty) ""
-      else {
-        import BenchRecord.{f => ff}
-        val body = diagNames.map { n =>
-          val runs = diag.getOrElse(n, Nil).reverse.map { case (p, d) =>
-            s""""$p":{"wall":${ff(d.wall)},"gc_settle":${ff(d.gcSettleSec)},"gc_ms":${d.gcMs},"gc_n":${d.gcN},"heap0_mb":${d.heapPreMb},"heap1_mb":${d.heapPostMb},"storage_free_mb":${d.storageFreeMb}}"""
-          }.mkString(",")
-          s""""$n":{$runs}"""
-        }.mkString(",")
-        s""","query_diag":{$body}"""
-      }
+    // to a pass and a carrier (GC wall, heap floor, storage/dirty
+    // pressure) without a rerun. Shape pinned by BenchRecordSpec.
+    val diagMeta = BenchRecord.diagMeta(results, flagged.map(_._1), diag)
     // All gates have run by here, so the load annotation is final —
     // assembled BEFORE the solo pass so the pre-solo record below can
     // carry it. The gate fields ride the SAME string as the samples so a

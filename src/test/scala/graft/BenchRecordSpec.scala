@@ -92,6 +92,28 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!compact.contains("query_diag"), compact)
   }
 
+  test("diagMeta: slow + flagged queries only, passes in a/b/c order, parseable") {
+    import BenchRecord.RunDiag
+    def rd(w: Double) = RunDiag(w, 0.1, 42, 3, 100, 900, 4000, 7)
+    val diag = Map(
+      "slow" -> List("b" -> rd(2.2), "a" -> rd(2.5)), // prepended = reverse order
+      "flaky" -> List("c" -> rd(0.3), "b" -> rd(0.9), "a" -> rd(0.2)),
+      "fast" -> List("b" -> rd(0.1), "a" -> rd(0.1)))
+    val dm = BenchRecord.diagMeta(
+      Seq("slow" -> 2.2, "flaky" -> 0.2, "fast" -> 0.1),
+      flagged = Seq("flaky"), diag = diag)
+    val j = parse("{" + dm.stripPrefix(",") + "}")
+    assert((j \ "query_diag" \ "slow" \ "a" \ "wall").values == 2.5)
+    assert((j \ "query_diag" \ "slow" \ "b" \ "wall").values == 2.2)
+    assert((j \ "query_diag" \ "slow" \ "a" \ "dirty_mb").values == 7)
+    // flagged rides even though it is under the slow threshold
+    assert((j \ "query_diag" \ "flaky" \ "c" \ "wall").values == 0.3)
+    // a fast, unflagged query does not
+    assert(!dm.contains("\"fast\""), dm)
+    // no candidates at all -> empty fragment, not an empty object
+    assert(BenchRecord.diagMeta(Seq("fast" -> 0.1), Nil, diag) == "")
+  }
+
   test("a failed query keeps the sentinel total beside the solo field in both lines") {
     val (full, compact) = BenchRecord.render(
       Seq("a" -> 1.0, "b" -> -1.0), Some(Map("a" -> 0.9)),
