@@ -367,6 +367,67 @@ object Similarity {
         col("rk").cast("int").as("rk"), col("dist"))
   }
 
+  /** ss22's body: ONE deterministic NN-Descent round (Dong et al., WWW
+    * 2011) over the union of two seed graphs — ss21's cell-local kNN
+    * edges and a kG-nearest graph within fixed id-buckets of width
+    * `bucketW` (the derandomized stand-in for NN-Descent's random seed
+    * graph; consecutive ids are unrelated to trained cells, so bucket
+    * edges BRIDGE cells, which pure cell-local 2-hop paths never can).
+    * The round is the paper's local join made deterministic: undirected
+    * seed neighborhoods (reverse edges capped at 2·kG per vertex by
+    * source id — ρ-sampling with the randomness removed), every ordered
+    * pair of a shared vertex's neighbors becomes a candidate, and the
+    * final graph is the exact-integer top-kG per vertex over candidates
+    * ∪ seed edges. Seed ⊆ candidates makes the round MONOTONE: no
+    * vertex's kth distance can get worse (spec-pinned pointwise).
+    *
+    * Shape at 100 TB: candidates are ≤ (4·kG)² rows per vertex — LINEAR
+    * in n with a constant the reverse cap enforces even around hub
+    * vectors — and every join is edges-to-edges; vectors, like pairs,
+    * never shuffle as a quadratic set. One round costs ~n·(4kG)²
+    * long_sqdist evals regardless of cell sizes, the complement to
+    * ss21's (n/k)² cell bound that SOAK_r16 priced; production iterates
+    * rounds to convergence (empirically O(log n), the paper's result) —
+    * declared here as one round so the oracle can mirror it exactly. */
+  private[graft] def nnDescentEdges(
+      e: DataFrame, k: Int = 8, kG: Int = 4, bucketW: Int = 16): DataFrame = {
+    val feats = intFeatures(e)
+    val cellG = knnGraphEdges(e, k, kG).select("vec_id", "neighbor_id")
+    val fb = feats.select(col("vec_id"), col("f"),
+      expr(s"vec_id div $bucketW").as("bk"))
+    val wSeed = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
+    val bucketG = fb.join(
+        fb.select(col("bk"), col("vec_id").as("neighbor_id"), col("f").as("fn")),
+        Seq("bk"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dist", expr("long_sqdist(f, fn)"))
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= kG)
+      .select("vec_id", "neighbor_id")
+    val seed = cellG.union(bucketG).distinct()
+    val wRev = Window.partitionBy("vec_id").orderBy("neighbor_id")
+    val rev = seed.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"))
+      .withColumn("rn", row_number().over(wRev))
+      .filter(col("rn") <= 2 * kG)
+      .select("vec_id", "neighbor_id")
+    val und = seed.union(rev).distinct()
+    val localJoin = und.join(
+        und.select(col("vec_id"), col("neighbor_id").as("nb2")), Seq("vec_id"))
+      .filter(col("neighbor_id") =!= col("nb2"))
+      .select(col("neighbor_id").as("vec_id"), col("nb2").as("neighbor_id"))
+    val cand = localJoin.union(und).distinct()
+    val w = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
+    cand.join(feats, Seq("vec_id"))
+      .join(feats.select(col("vec_id").as("neighbor_id"), col("f").as("fn")),
+        Seq("neighbor_id"))
+      .withColumn("dist", expr("long_sqdist(f, fn)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kG)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("rk").cast("int").as("rk"), col("dist"))
+  }
+
   private[graft] def ivfRangeSearch(e: DataFrame, k: Int = 8,
       r: Long = 1300000000000L): DataFrame = {
     val feats = intFeatures(e)
@@ -859,6 +920,21 @@ object Similarity {
     // shuffles. Vectors alone in their cell emit no edges (absent by
     // semantics). All-integer — hash-exact.
     "ss21_knn_graph" -> ((s, dir) => knnGraphEdges(emb(s, dir)).orderBy("vec_id", "rk")),
+
+    // NN-DESCENT refinement (ss22, r16 — Dong et al., WWW 2011): one
+    // deterministic round of the graph-improvement loop production runs
+    // on top of ss21's blocked seed, motivated directly by SOAK_r16's
+    // measurement — the cell-local graph is quadratic per cell AND blind
+    // to true neighbors across cell boundaries; NN-Descent's local join
+    // fixes the blindness at LINEAR cost (≤ (4kG)² candidates per
+    // vertex, reverse edges capped at 2kG = the paper's ρ-sampling
+    // derandomized; the cross-cell bridge comes from a fixed-width
+    // id-bucket seed graph, the derandomized random-seed stand-in).
+    // Monotone by construction (seed ⊆ candidates), all-integer,
+    // hash-exact — the oracle unrolls seed graphs, the capped reverse,
+    // the local join, and the exact re-rank as CTEs. See
+    // [[nnDescentEdges]] for the full shape argument.
+    "ss22_nn_descent" -> ((s, dir) => nnDescentEdges(emb(s, dir)).orderBy("vec_id", "rk")),
 
     // IVF RANGE search (r14) — FAISS's range_search: everything within
     // ε², exactly; the index prunes cells via the triangle inequality
@@ -1372,6 +1448,66 @@ object Similarity {
         |  SELECT vec_id, neighbor_id, dist,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
         |  FROM pairs)
+        |WHERE rk <= 4
+        |ORDER BY vec_id, rk""".stripMargin),
+    // Mirrors ss22 term-for-term on top of ss21's chain: the cell-local
+    // seed (g0), the id-bucket seed (bg, vec_id // 16), their union, the
+    // 2kG-capped reverse, the local join (ordered pairs of a shared
+    // vertex's undirected neighbors), candidates ∪ seed, and the exact
+    // integer re-rank to kG. Reused CTEs are MATERIALIZEd by the
+    // assembly pass.
+    "ss22_nn_descent" ->
+      (kmeansOracleCtes + """,
+        |cpairs AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    SUM((fa.fv - fb.fv) * (fa.fv - fb.fv)) AS dist
+        |  FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |  JOIN f fa ON fa.vec_id = a.vec_id
+        |  JOIN f fb ON fb.vec_id = b.vec_id AND fb.dim = fa.dim
+        |  GROUP BY 1, 2),
+        |g0 AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT vec_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
+        |    FROM cpairs) WHERE rk <= 4),
+        |bpairs AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    SUM((a.fv - b.fv) * (a.fv - b.fv)) AS dist
+        |  FROM f a JOIN f b ON b.dim = a.dim
+        |    AND a.vec_id // 16 = b.vec_id // 16 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |bg AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT vec_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
+        |    FROM bpairs) WHERE rk <= 4),
+        |sd AS (SELECT vec_id, neighbor_id FROM g0
+        |       UNION SELECT vec_id, neighbor_id FROM bg),
+        |rev AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY neighbor_id ORDER BY vec_id) AS rn
+        |    FROM sd) WHERE rn <= 8),
+        |und AS (SELECT vec_id, neighbor_id FROM sd
+        |        UNION SELECT vec_id, neighbor_id FROM rev),
+        |cand AS (
+        |  SELECT a.neighbor_id AS vec_id, b.neighbor_id AS neighbor_id
+        |  FROM und a JOIN und b ON b.vec_id = a.vec_id
+        |    AND a.neighbor_id <> b.neighbor_id
+        |  UNION SELECT vec_id, neighbor_id FROM und),
+        |cd AS (
+        |  SELECT c.vec_id, c.neighbor_id,
+        |    SUM((fa.fv - fb.fv) * (fa.fv - fb.fv)) AS dist
+        |  FROM cand c
+        |  JOIN f fa ON fa.vec_id = c.vec_id
+        |  JOIN f fb ON fb.vec_id = c.neighbor_id AND fb.dim = fa.dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, neighbor_id, CAST(rk AS INT) AS rk,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM (
+        |  SELECT vec_id, neighbor_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
+        |  FROM cd)
         |WHERE rk <= 4
         |ORDER BY vec_id, rk""".stripMargin),
     // ss20's oracle is DELIBERATELY index-free: the brute-force range

@@ -610,6 +610,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ss22 nn-descent: pointwise no-worse than ss21, recall vs brute force, WindowGroupLimit") {
+    val feats = intFeats()
+    val df = Similarity.queries("ss22_nn_descent")(spark, sf001)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "the final per-vertex rank must plan as WindowGroupLimit")
+    val nd = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val cellG = Similarity.queries("ss21_knn_graph")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(nd.nonEmpty)
+    // edges carry exact integer distances; no self-edges; ≤ kG per vertex
+    nd.foreach { case (v, n, _, d) =>
+      assert(v != n && BigInt(d) == sqd(feats(v), feats(n)),
+        s"edge ($v,$n) distance is not the exact integer L2")
+    }
+    nd.groupBy(_._1).foreach { case (_, es) => assert(es.length <= 4) }
+    // MONOTONE pointwise: for every vertex and rank r present in BOTH
+    // graphs, the refined r-th distance is <= ss21's (seed ⊆ candidates,
+    // so the refinement can only improve or tie a vertex's list)
+    val byV21 = cellG.groupBy(_._1).map { case (v, es) =>
+      v -> es.sortBy(_._3).map(_._4).toVector }
+    val byV22 = nd.groupBy(_._1).map { case (v, es) =>
+      v -> es.sortBy(_._3).map(_._4).toVector }
+    byV21.foreach { case (v, d21) =>
+      val d22 = byV22.getOrElse(v, Vector.empty)
+      assert(d22.length >= d21.length,
+        s"vertex $v lost edges in refinement ($d21 -> $d22)")
+      d21.zip(d22).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(b <= a, s"vertex $v rank ${i + 1} got worse: $a -> $b")
+      }
+    }
+    // recall@4 vs the brute-force true top-4 must not drop — and on this
+    // fixture the bucket-bridged round should genuinely help, because the
+    // cell seed alone cannot see cross-cell neighbors
+    def recall(edges: Map[Long, Vector[Long]],
+        truth: Map[Long, Set[Long]]): Double = {
+      val hits = truth.toSeq.map { case (v, t) =>
+        edges.getOrElse(v, Vector.empty).count(t).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val truth = feats.map { case (v, fv) =>
+      v -> feats.toSeq.filter(_._1 != v)
+        .map { case (n, fn) => (sqd(fv, fn), n) }.sorted.take(4)
+        .map(_._2).toSet
+    }
+    val n21 = cellG.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toVector }
+    val n22 = nd.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toVector }
+    val (r21, r22) = (recall(n21, truth), recall(n22, truth))
+    info(f"recall@4 vs brute force: ss21 $r21%.4f -> ss22 $r22%.4f")
+    assert(r22 >= r21, s"refinement dropped recall: $r21 -> $r22")
+    assert(r22 > r21,
+      "one bucket-bridged round should strictly improve recall on the " +
+        "sf0.001 fixture (cells hide true cross-cell neighbors)")
+  }
+
   test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {
     import org.apache.spark.sql.functions._
     // The DuckDB oracle pins qp05 hash-exact; this spec is the in-repo
