@@ -57,14 +57,19 @@ private[graft] object SoloScheduler {
       budgetSec: Double, settleSec: Double, childCapSec: Double, floorSec: Double,
       suspects: Seq[String] = Nil)
   /** One child window: settle, then children most-suspect-first (pinned
-    * `suspects` in list order, then the rest cheapest-first — r13
-    * verdict #4 inverted the old cheapest-first policy after it made the
-    * most-distorted target the first casualty of the budget) inside the
-    * given budget. `figs` — walls from the children that landed;
-    * `skipped` — targets never attempted because the budget ran out;
-    * `spentSec` — the window's actual wall. Anomaly flagging lives in
-    * [[anomalous]]: the front window runs before the in-suite witnesses
-    * exist, so it cannot be a per-window concern. */
+    * `suspects` in list order, then the rest SLOWEST-first by in-suite
+    * wall — r13 verdict #4 killed cheapest-first for the suspects after
+    * it made the most-distorted target the first casualty of the budget,
+    * and r16's preview run replayed the same failure in the back window:
+    * cheapest-first spent the remaining budget landing the top-6's
+    * 4.5 s tail while the two heaviest new entrants got a timeout and a
+    * skip. Children all cost roughly the same wall, so running the
+    * heaviest first sacrifices the least-valuable figures to the budget,
+    * never the most) inside the given budget. `figs` — walls from the
+    * children that landed; `skipped` — targets never attempted because
+    * the budget ran out; `spentSec` — the window's actual wall. Anomaly
+    * flagging lives in [[anomalous]]: the front window runs before the
+    * in-suite witnesses exist, so it cannot be a per-window concern. */
   final case class Phase(
       figs: Seq[(String, Double)], skipped: Seq[String], spentSec: Double)
 
@@ -77,7 +82,7 @@ private[graft] object SoloScheduler {
     sleep(math.max(0.0, math.min(cfg.settleSec, remaining)))
     val suspectRank = cfg.suspects.zipWithIndex.toMap
     val order = targets.sortBy(n =>
-      (suspectRank.getOrElse(n, Int.MaxValue), inSuite.getOrElse(n, 0.0)))
+      (suspectRank.getOrElse(n, Int.MaxValue), -inSuite.getOrElse(n, 0.0)))
     val figs = Seq.newBuilder[(String, Double)]
     val skipped = Seq.newBuilder[String]
     order.foreach { name =>
@@ -304,34 +309,48 @@ object Bench {
     val soloSettle = sys.env.get("SPARK_GRAFT_SOLO_SETTLE_SEC").map(_.toInt).getOrElse(120)
     val soloCfg = SoloScheduler.Config(
       // 600 → 720 (r14 verdict #3): 600 ran dry at 596/600 with two of
-      // four targets skipped. 720 → 960 (r15 verdict #3): the pin list
-      // grew to six so the in-suite top-6 all land front figures; a
-      // measured quiet child costs ~85 s plus ~60 s of inter-child load
-      // gating (~145 s steady-state), so six cost ~810 s. 960 covers
-      // them with slack; the tail resample is the sacrificial item when
-      // the budget runs dry (its guard now prices the settle, so a
-      // skipped resample costs zero sleep). Suite + solo must stay
-      // inside the half-hour driver bound — do not raise this past
-      // ~1000 without trimming the suite.
-      budgetSec = sys.env.get("SPARK_GRAFT_SOLO_BUDGET_SEC").map(_.toDouble).getOrElse(960.0),
+      // four targets skipped. 720 → 960 → 800 (r15 verdict #3, then the
+      // two r16 preview runs): a measured quiet child costs ~85-110 s
+      // wall including the inter-child load-gate decay, so five front
+      // pins cost ~550 s and the back window's settle + one child fits
+      // in the remaining ~250. 960 covered eight targets but pushed the
+      // WHOLE bench (solo + 2×177-query passes + inter-pass gates) to
+      // ~30+ min on the preview box — at the driver's kill bound, and an
+      // rc=124 round loses every figure. 800 keeps the driver total near
+      // r15's ~25-27 min; the sacrificial items when the budget runs dry
+      // are the resample and the top-6 TAIL (slowest-first ordering —
+      // see SoloScheduler.phase), never the heavy head.
+      budgetSec = sys.env.get("SPARK_GRAFT_SOLO_BUDGET_SEC").map(_.toDouble).getOrElse(800.0),
       settleSec = soloSettle.toDouble,
       childCapSec = sys.env.get("SPARK_GRAFT_SOLO_CHILD_CAP_SEC").map(_.toDouble).getOrElse(300.0),
-      floorSec = 60.0,
-      // The stable heavy set, most-distorted first (r13 verdict #4 +
-      // r14 verdict #3): four rounds of judge quiet-box measurements put
-      // dd14 at 5-10x and dd12 at 3-6x their in-suite figures, with
-      // qp03/qp06 the next two heaviest. r15 verdict #3 widened the list
-      // to the full stable in-suite top-6 (st15 and ss16 joined at r15,
-      // ranks 5-6) so the back window isn't needed for a steady-state
-      // round. This doubles as the FRONT window's target list — set
-      // SPARK_GRAFT_SOLO_SUSPECTS="" to disable the front window
+      // 60 → 120 (r16 preview): a child needs ~85-110 s to produce any
+      // figure (start-gate decay + JVM boot + warmups + min-of-2), so
+      // spawning one with 60-110 s left just burns the remainder in a
+      // timeout — the preview lost 110 s and a target's figure to
+      // exactly that. Below 120 s remaining, skipping is strictly
+      // better: the budget line reports it and nothing is wasted.
+      floorSec = 120.0,
+      // The chronic distortion suspect + the stable in-suite top-4
+      // (r13 verdict #4 → r15 verdict #3 → r16 preview runs): dd14 stays
+      // pinned because five rounds of driver-box history put its
+      // in-suite figure at 5-10x (63.8 s at r15) while its fresh-JVM
+      // truth sits under 4 s — when that recurs, its child is the single
+      // most valuable figure of the round. qp03/qp06/st15/ss22 are the
+      // stable heavy head, best measured on the quiet pre-suite box.
+      // dd12 and ss16 left the pin list in r16: both have read reliable
+      // in-suite for two rounds (dd12 2.4-3.3 s), and the back window's
+      // slowest-first ordering now covers EXACTLY the queries that
+      // climb the in-suite top-N — a distorted dd12 would be the top
+      // target there, with value_solo_adjusted neutralizing the total
+      // either way. This doubles as the FRONT window's target list —
+      // set SPARK_GRAFT_SOLO_SUSPECTS="" to disable the front window
       // entirely (all solo work then lands in the post-suite window,
       // the pre-r15 behavior).
       suspects = sys.env.get("SPARK_GRAFT_SOLO_SUSPECTS")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq("dd14_policy_cut", "dd12_substring_dedup",
-          "qp03_incremental_manifest", "qp06_gopher_manifest",
-          "st15_eval_screen_ingest", "ss16_kcenter_seeds"))
+        .getOrElse(Seq("dd14_policy_cut", "qp03_incremental_manifest",
+          "qp06_gopher_manifest", "st15_eval_screen_ingest",
+          "ss22_nn_descent"))
         .filter(SparkEntry.queries.contains))
     // SPARK_GRAFT_SOLO_FORCE runs the solo machinery even under an ONLY
     // filter — local iteration on the machinery itself

@@ -40,15 +40,27 @@ class SoloSchedulerSpec extends AnyFunSuite {
   private val inSuite = Map("cheap" -> 1.0, "mid" -> 5.0, "heavy" -> 20.0)
   private val targets = Seq("heavy", "mid", "cheap") // caller passes slowest-first
 
-  test("phase: children run cheapest-first when no suspects are pinned") {
+  test("phase: children run slowest-first when no suspects are pinned (r16)") {
+    // The back window's targets are the in-suite top-N; children all cost
+    // roughly the same wall, so the heaviest figure — the most valuable
+    // and the likeliest distortion victim — must never be the budget's
+    // casualty. (The r16 preview's cheapest-first spent the budget on the
+    // 4.5 s tail while the two heaviest new entrants got nothing.)
     val b = new Box
     val r = SoloScheduler.phase(targets, inSuite, Config(600, 120, 300, 60), 600,
       b.child(Map.empty.withDefaultValue(30.0), n => Some(inSuite(n) * 0.8)),
       b.sleep, b.now)
-    assert(b.calls.map(_._1).toList == List("cheap", "mid", "heavy"))
+    assert(b.calls.map(_._1).toList == List("heavy", "mid", "cheap"))
     assert(r.figs.toMap == inSuite.map { case (k, v) => k -> v * 0.8 })
     assert(r.skipped.isEmpty)
     assert(r.spentSec == 120.0 + 3 * 30.0) // settle + 3 children x 30 s
+    // exhaustion sacrifices the TAIL: budget fits settle + two children
+    val b2 = new Box
+    val r2 = SoloScheduler.phase(targets, inSuite, Config(600, 120, 300, 60), 260,
+      b2.child(Map.empty.withDefaultValue(60.0), n => Some(inSuite(n))),
+      b2.sleep, b2.now)
+    assert(b2.calls.map(_._1).toList == List("heavy", "mid"))
+    assert(r2.skipped == Seq("cheap"))
   }
 
   test("phase: pinned suspects run first in list order; exhaustion skips non-suspects (r13 #4)") {
@@ -77,8 +89,8 @@ class SoloSchedulerSpec extends AnyFunSuite {
     val r = SoloScheduler.phase(targets, inSuite, Config(600, 120, 300, 60), 300,
       b.child(Map.empty.withDefaultValue(1e9), _ => None), b.sleep, b.now)
     // child 1 got cap = remaining (180), timed out at it; remaining 0 < floor
-    assert(b.calls.toList == List("cheap" -> 180.0))
-    assert(r.skipped == Seq("mid", "heavy"))
+    assert(b.calls.toList == List("heavy" -> 180.0))
+    assert(r.skipped == Seq("mid", "cheap"))
     assert(r.figs.isEmpty)
     assert(r.spentSec <= 300.0 + 1e-9, s"spent ${r.spentSec} past budget")
   }
@@ -88,7 +100,7 @@ class SoloSchedulerSpec extends AnyFunSuite {
     SoloScheduler.phase(targets, inSuite, Config(600, 0, 250, 60), 600,
       b.child(Map.empty.withDefaultValue(240.0), n => Some(inSuite(n))), b.sleep, b.now)
     // child1 cap 250 (childCap), child2 cap min(250, 360)=250, child3 min(250,120)=120
-    assert(b.calls.toList == List("cheap" -> 250.0, "mid" -> 250.0, "heavy" -> 120.0))
+    assert(b.calls.toList == List("heavy" -> 250.0, "mid" -> 250.0, "cheap" -> 120.0))
     b.calls.zip(Iterator.iterate(600.0)(_ - 240.0).take(b.calls.size).toSeq)
       .foreach { case ((_, cap), rem) => assert(cap <= rem + 1e-9) }
   }
