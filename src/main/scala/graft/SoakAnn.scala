@@ -94,6 +94,15 @@ object SoakAnn {
     // directly (edges shuffle, not pairs — WindowGroupLimit keeps a
     // kG-row heap per vector map-side)
     val (n21, w21) = minWall(Similarity.knnGraphEdges(corpus).count())
+    // NNDESCENT=1 adds ss22's row: the full refinement pipeline REBUILDS
+    // the ss21 seed inside its plan, so (w22 − w21) prices the marginal
+    // cost of one NN-Descent round — the ≤(4kG)² candidates/vertex
+    // linear claim, measured. Gated because it re-pays the quadratic
+    // seed (~w21 per rep) on top of the default soak.
+    val nnd = sys.env.get("NNDESCENT").contains("1")
+    val (n22, w22) =
+      if (nnd) minWall(Similarity.nnDescentEdges(corpus).count())
+      else (0L, Seq.empty[Double])
 
     // frozen-index serving (st13's split): build + cache the index ONCE
     // outside the timed region, then serve ~NVEC/100 arriving queries
@@ -111,10 +120,12 @@ object SoakAnn {
     frozenC.unpersist(); frozenA.unpersist(); Caches.releaseAll()
 
     def fmt(ws: Seq[Double]) = ws.map(w => f"$w%.2f").mkString(" ")
+    val nndRows = if (nnd) s" nnDescentEdges=$n22" else ""
+    val nndWalls = if (nnd) s" ss22nnd=[${fmt(w22)}]" else ""
     println(s"ANNSOAK nvec=$nVec blobs=$blobs skew=$skew rowsBrute=$nBr rows18=$n18 " +
-      s"rows19=$n19 rangeHits=$n20 knnEdges=$n21 servedQueries=$nArr")
+      s"rows19=$n19 rangeHits=$n20 knnEdges=$n21$nndRows servedQueries=$nArr")
     println(s"ANNSOAK walls brute5q=[${fmt(wBr)}] ss18e2e=[${fmt(w18)}] " +
-      s"ss19e2e=[${fmt(w19)}] ss20range=[${fmt(w20)}] ss21knn=[${fmt(w21)}] " +
+      s"ss19e2e=[${fmt(w19)}] ss20range=[${fmt(w20)}] ss21knn=[${fmt(w21)}]$nndWalls " +
       s"serveFrozen${nArr}q=[${fmt(wServe)}]")
 
     try spark.stop() catch { case NonFatal(_) => () }
