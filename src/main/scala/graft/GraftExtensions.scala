@@ -61,6 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("uuid5", 1 to 1)(a => graft.functions.Uuid5(a.head))
     reg("dot_product", 2 to 2)(a => SketchExprs.DotProduct(a(0), a(1)))
     reg("long_sqdist", 2 to 2)(a => SketchExprs.LongSqDist(a(0), a(1)))
+    reg("pack_ints", 1 to 1)(a => SketchExprs.PackInts(a.head))
+    reg("packed_sqdist", 2 to 2)(a => SketchExprs.BinIntSqDist(a(0), a(1)))
     reg("l2_norm", 1 to 1)(a => SketchExprs.L2Norm(a.head))
     reg("l2_norm_squared", 1 to 1)(a => SketchExprs.L2NormSquared(a.head))
     reg("simhash64", 1 to 1)(a => SketchExprs.SimHash64(a.head))

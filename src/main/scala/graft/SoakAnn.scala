@@ -82,18 +82,25 @@ object SoakAnn {
         .filter(col("rk") <= 10).count()
     }
 
-    val (nBr, wBr) = minWall(brute)
-    val (n18, w18) = minWall(Similarity.ivfTrainedAnn(corpus).count())
-    val (n19, w19) = minWall(Similarity.ivfPqAnn(corpus).count())
+    // SOAK_SKIP_BASE=1 skips the standing family rows (brute/ss18/ss19/
+    // ss20/ss21/serve) so a gated NN-Descent run prices ONLY its target
+    // — ss21 alone is ~8 min/rep at 100k, and re-paying it to measure
+    // the linear twin would bury the comparison the run exists to make.
+    val baseOn = !sys.env.get("SOAK_SKIP_BASE").contains("1")
+    def baseWall(f: => Long): (Long, Seq[Double]) =
+      if (baseOn) minWall(f) else (0L, Seq.empty[Double])
+    val (nBr, wBr) = baseWall(brute)
+    val (n18, w18) = baseWall(Similarity.ivfTrainedAnn(corpus).count())
+    val (n19, w19) = baseWall(Similarity.ivfPqAnn(corpus).count())
     // in-blob radius ~2.6e10; r = 5e10 keeps hits within a blob
-    val (n20, w20) = minWall(
+    val (n20, w20) = baseWall(
       Similarity.ivfRangeSearch(corpus, k = 8, r = 50000000000L).count())
     // ss21's cell-local pair join is the family's (n/k)² bound — the
     // place a hot cell (SKEW=1) concentrates QUADRATIC cost where
     // serving/search concentrate linear scan cost; the row prices that
     // directly (edges shuffle, not pairs — WindowGroupLimit keeps a
     // kG-row heap per vector map-side)
-    val (n21, w21) = minWall(Similarity.knnGraphEdges(corpus).count())
+    val (n21, w21) = baseWall(Similarity.knnGraphEdges(corpus).count())
     // NNDESCENT=1 adds ss22's row: the full refinement pipeline REBUILDS
     // the ss21 seed inside its plan, so (w22 − w21) prices the marginal
     // cost of one NN-Descent round — the ≤(4kG)² candidates/vertex
@@ -103,26 +110,44 @@ object SoakAnn {
     val (n22, w22) =
       if (nnd) minWall(Similarity.nnDescentEdges(corpus).count())
       else (0L, Seq.empty[Double])
+    // NNDESCENT2=1 adds ss23's row: the linear-end-to-end twin — the
+    // projection-rank seed + BOTH NN-Descent rounds at working width 8,
+    // nothing quadratic anywhere — so w23 vs w21 is the round's headline
+    // comparison (r16 verdict #1: the declared twin's 100k wall must sit
+    // far under the 472 s quadratic seed). Runs fine under the default
+    // 8 GB heap since the re-rank ships pack_ints features (r16 #2).
+    val nnd2 = sys.env.get("NNDESCENT2").contains("1")
+    val (n23, w23) =
+      if (nnd2) minWall(Similarity.nnDescentIterEdges(corpus).count())
+      else (0L, Seq.empty[Double])
 
     // frozen-index serving (st13's split): build + cache the index ONCE
     // outside the timed region, then serve ~NVEC/100 arriving queries
-    val (cents, assigned) = Similarity.trainedIvfIndex(corpus)
-    val frozenC = cents.cache(); val frozenA = assigned.cache()
-    frozenC.count(); frozenA.count()
-    val arrivals = corpus.filter(col("vec_id") % 100 === 7)
-    val nArr = arrivals.count()
-    val wServe = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      graft.streaming.Stateful
-        .ingestAnnTopK(arrivals, frozenC, frozenA, nprobe = 3, k = 10).count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    frozenC.unpersist(); frozenA.unpersist(); Caches.releaseAll()
+    val (nArr, wServe) =
+      if (!baseOn) (0L, Seq.empty[Double])
+      else {
+        val (cents, assigned) = Similarity.trainedIvfIndex(corpus)
+        val frozenC = cents.cache(); val frozenA = assigned.cache()
+        frozenC.count(); frozenA.count()
+        val arrivals = corpus.filter(col("vec_id") % 100 === 7)
+        val na = arrivals.count()
+        val ws = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          graft.streaming.Stateful
+            .ingestAnnTopK(arrivals, frozenC, frozenA, nprobe = 3, k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        frozenC.unpersist(); frozenA.unpersist(); Caches.releaseAll()
+        (na, ws)
+      }
 
     def fmt(ws: Seq[Double]) = ws.map(w => f"$w%.2f").mkString(" ")
-    val nndRows = if (nnd) s" nnDescentEdges=$n22" else ""
-    val nndWalls = if (nnd) s" ss22nnd=[${fmt(w22)}]" else ""
-    println(s"ANNSOAK nvec=$nVec blobs=$blobs skew=$skew rowsBrute=$nBr rows18=$n18 " +
+    val nndRows = (if (nnd) s" nnDescentEdges=$n22" else "") +
+      (if (nnd2) s" nnDescentIterEdges=$n23" else "")
+    val nndWalls = (if (nnd) s" ss22nnd=[${fmt(w22)}]" else "") +
+      (if (nnd2) s" ss23nndIter=[${fmt(w23)}]" else "")
+    println(s"ANNSOAK nvec=$nVec blobs=$blobs skew=$skew skipBase=${!baseOn} " +
+      s"rowsBrute=$nBr rows18=$n18 " +
       s"rows19=$n19 rangeHits=$n20 knnEdges=$n21$nndRows servedQueries=$nArr")
     println(s"ANNSOAK walls brute5q=[${fmt(wBr)}] ss18e2e=[${fmt(w18)}] " +
       s"ss19e2e=[${fmt(w19)}] ss20range=[${fmt(w20)}] ss21knn=[${fmt(w21)}]$nndWalls " +

@@ -84,12 +84,21 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!f4.contains("\"value_solo_adjusted\":"), f4)
   }
 
-  test("query_diag rides the full line only, as handed in") {
+  test("query_diag rides the full line only, as handed in, BEFORE the figures (r16 advice)") {
     val dm = ""","query_diag":{"q_heavy":{"a":{"wall":3.25,"gc_ms":12}}}"""
     val (full, compact) = BenchRecord.render(
       results, None, soloIncomplete = false, load, 0, "/d", Nil, Nil, diagMeta = dm)
     assert((parse(full) \ "query_diag" \ "q_heavy" \ "a" \ "gc_ms").values == 12)
     assert(!compact.contains("query_diag"), compact)
+    // head-positioned: the driver keeps only the final 2000 chars, so a
+    // KB-scale diag block must clip before the per-query map and total do
+    assert(full.indexOf("query_diag") < full.indexOf("\"queries\":"),
+      "query_diag must precede the figures in the full line")
+    // extractQueryDiag recovers the nested fragment by brace counting —
+    // the parent's stderr surface for an anomalous solo child's vectors
+    assert(BenchRecord.extractQueryDiag(full)
+      .contains("""{"q_heavy":{"a":{"wall":3.25,"gc_ms":12}}}"""))
+    assert(BenchRecord.extractQueryDiag(compact).isEmpty)
   }
 
   test("diagMeta: slow + flagged queries only, passes in a/b/c order, parseable") {

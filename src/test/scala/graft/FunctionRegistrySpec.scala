@@ -38,6 +38,33 @@ class FunctionRegistrySpec extends SparkSpec {
     assert(hof.getAs[Long]("d") == 29L)
   }
 
+  test("pack_ints/packed_sqdist: value-identical to long_sqdist, loud on overflow") {
+    // the packed path must be a pure row-width optimization — every
+    // distance the NN-Descent re-ranks compute through it has to equal
+    // the long-array form bit for bit, negatives and grid extremes
+    // included (ss14's grid spans [0, ~2e6]; negatives appear in tests)
+    val r = spark.sql("""
+      SELECT packed_sqdist(pack_ints(array(1L, 5L, -2L)),
+                           pack_ints(array(4L, 1L, 0L))) AS d,
+             packed_sqdist(pack_ints(array(2000000L, 0L)),
+                           pack_ints(array(0L, 2000000L))) AS dGrid,
+             long_sqdist(array(2000000L, 0L), array(0L, 2000000L)) AS dRef,
+             length(pack_ints(array(1L, 2L, 3L))) AS nbytes
+    """).collect()(0)
+    assert(r.getAs[Long]("d") == 29L)
+    assert(r.getAs[Long]("dGrid") == r.getAs[Long]("dRef"))
+    assert(r.getAs[Int]("nbytes") == 12, "4 bytes per element")
+    // an element outside int32 must throw, not wrap — silent truncation
+    // would corrupt every downstream distance
+    val e = intercept[Exception] {
+      spark.sql("SELECT packed_sqdist(pack_ints(array(3000000000L)), pack_ints(array(0L)))")
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("out of int32 range")), msgs.mkString(" | "))
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig(word_shingles('a b'), CAST(rand() * 4 AS INT))").collect()

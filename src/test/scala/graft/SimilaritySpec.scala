@@ -666,6 +666,70 @@ class SimilaritySpec extends SparkSpec {
         "sf0.001 fixture (cells hide true cross-cell neighbors)")
   }
 
+  test("ss23 iterated nn-descent: linear plan, monotone rounds, recall beats ss22") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val feats = intFeats()
+    val df = Similarity.queries("ss23_nn_descent_iter")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-vertex ranks must plan as WindowGroupLimit (map-side kG-row heaps)")
+    // the linear-end-to-end claim, structurally: no trained-cell argmin
+    // anywhere in the plan — ss21's centroid machinery would show up as
+    // the broadcast-nested-loop centroid pack (r16 verdict #1: the scale
+    // twin must not call knnGraphEdges)
+    assert(!plan.contains("BroadcastNestedLoop"),
+      "ss23's plan must not contain the trained-cell centroid cross join")
+    val it2 = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    val e = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val it1 = Similarity.nnDescentIterEdges(e, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    val nd22 = Similarity.queries("ss22_nn_descent")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(it2.nonEmpty)
+    it2.foreach { case (v, n, _, d) =>
+      assert(v != n && BigInt(d) == sqd(feats(v), feats(n)),
+        s"edge ($v,$n) distance is not the exact integer L2")
+    }
+    it2.groupBy(_._1).foreach { case (_, es) => assert(es.length <= 4) }
+    // MONOTONE round-over-round: round 2's r-th distance per vertex is
+    // <= round 1's (each round's candidates include its seed)
+    val byV1 = it1.groupBy(_._1).map { case (v, es) =>
+      v -> es.sortBy(_._3).map(_._4).toVector }
+    val byV2 = it2.groupBy(_._1).map { case (v, es) =>
+      v -> es.sortBy(_._3).map(_._4).toVector }
+    byV1.foreach { case (v, d1) =>
+      val d2 = byV2.getOrElse(v, Vector.empty)
+      assert(d2.length >= d1.length, s"vertex $v lost edges in round 2")
+      d1.zip(d2).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(b <= a, s"vertex $v rank ${i + 1} got worse in round 2: $a -> $b")
+      }
+    }
+    // recall@4 vs brute force: the bucket-only seed knows nothing of
+    // geometry, so two rounds must climb past ss22's cell+bucket-seeded
+    // single round for the linear twin to be the better declared path
+    val truth = feats.map { case (v, fv) =>
+      v -> feats.toSeq.filter(_._1 != v)
+        .map { case (n, fn) => (sqd(fv, fn), n) }.sorted.take(4)
+        .map(_._2).toSet
+    }
+    def recall(edges: Map[Long, Vector[Long]]): Double = {
+      val hits = truth.toSeq.map { case (v, t) =>
+        edges.getOrElse(v, Vector.empty).count(t).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val n22 = nd22.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toVector }
+    val n23 = it2.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toVector }
+    val (r22, r23) = (recall(n22), recall(n23))
+    info(f"recall@4 vs brute force: ss22 $r22%.4f -> ss23 $r23%.4f")
+    assert(r23 >= r22,
+      s"the linear twin must match or beat ss22's recall: $r22 -> $r23")
+  }
+
   test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {
     import org.apache.spark.sql.functions._
     // The DuckDB oracle pins qp05 hash-exact; this spec is the in-repo

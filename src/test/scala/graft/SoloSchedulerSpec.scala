@@ -95,6 +95,21 @@ class SoloSchedulerSpec extends AnyFunSuite {
     assert(r.spentSec <= 300.0 + 1e-9, s"spent ${r.spentSec} past budget")
   }
 
+  test("phase: attempted lists every spawned target, landed or not; skipped never overlap (r16 advice)") {
+    // A target whose child ran and died must be distinguishable from one
+    // the budget never reached — the main classifies attempted-anywhere
+    // as FAILED even when another window later budget-skipped it.
+    val b = new Box
+    val r = SoloScheduler.phase(targets, inSuite, Config(600, 120, 300, 60), 260,
+      b.child(Map.empty.withDefaultValue(60.0),
+        n => if (n == "heavy") None else Some(inSuite(n))), // heavy's child dies
+      b.sleep, b.now)
+    assert(r.attempted == Seq("heavy", "mid"), "both spawned children are attempted")
+    assert(r.skipped == Seq("cheap"), "only the never-spawned target is skipped")
+    assert(r.attempted.intersect(r.skipped).isEmpty)
+    assert(r.figs.map(_._1) == Seq("mid"), "the dead child lands no figure")
+  }
+
   test("phase: per-child cap is min(childCap, remaining) — never hands out more than is left") {
     val b = new Box
     SoloScheduler.phase(targets, inSuite, Config(600, 0, 250, 60), 600,
