@@ -272,7 +272,7 @@ private[graft] object BenchRecord {
     // query_diag can reach several KB — whatever clips must be the
     // diagnostics, never the figures/total at the tail.
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17: solo children run their target once UNTIMED before the min-of-2 — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 177 plans, and charging it to the solo figure read tx33 3.7x high at r16); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17: solo children run their target once UNTIMED before the min-of-2 — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 177 plans, and charging it to the solo figure read tx33 3.7x high at r16; BENCH_FULL's persisted record carries query_diag for EVERY query — only this stdout copy keeps the 20-slowest cap, which exists for the driver's tail-capture window); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal), the
@@ -681,6 +681,15 @@ object Bench {
     // to a pass and a carrier (GC wall, heap floor, storage/dirty
     // pressure) without a rerun. Shape pinned by BenchRecordSpec.
     val diagMeta = BenchRecord.diagMeta(results, flagged.map(_._1), diag)
+    // The PERSISTED copy carries the vectors for EVERY query (r16 next
+    // #7): cross-round per-query diffs were top-N-censored because only
+    // the stdout-bound record needs the 20-slowest cap (it exists for
+    // the driver's tail-capture window, which a file never passes
+    // through). ~177 queries × 3 passes ≈ 80 KB — file-sized, not
+    // stdout-sized.
+    val diagMetaAll =
+      BenchRecord.diagMeta(results, flagged.map(_._1), diag,
+        slowSec = 0.0, cap = Int.MaxValue)
     // All gates have run by here, so the load annotation is final —
     // assembled BEFORE the solo pass so the pre-solo record below can
     // carry it. The gate fields ride the SAME string as the samples so a
@@ -736,7 +745,7 @@ object Bench {
       val (preFull, _) = BenchRecord.render(
         results, if (frontFigMap.isEmpty) None else Some(frontFigMap),
         soloIncomplete = true, load, maxPending, sfDir,
-        materialized = matNames, prewarmed = prewarmed, diagMeta = diagMeta)
+        materialized = matNames, prewarmed = prewarmed, diagMeta = diagMetaAll)
       persistFull(preFull)
     }
     // The parent's context stops BEFORE the children run, not after the
@@ -824,9 +833,16 @@ object Bench {
       materialized = matNames, prewarmed = prewarmed, soloMeta = soloMeta,
       diagMeta = diagMeta)
     // Belt-and-braces artifact: the complete record as a file, immune to
-    // any stdout capture window. The solo child redirects it away from
-    // BENCH_FULL.json so it cannot clobber the parent's record.
-    persistFull(full)
+    // any stdout capture window — rendered with the UNCENSORED diag map
+    // (diagMetaAll) so BENCH_FULL carries per-pass vectors for every
+    // query, making cross-round per-query diffs exact. The solo child
+    // redirects it away from BENCH_FULL.json so it cannot clobber the
+    // parent's record.
+    val (fullPersisted, _) = BenchRecord.render(
+      results, solo, soloIncomplete, load, maxPending, sfDir,
+      materialized = matNames, prewarmed = prewarmed, soloMeta = soloMeta,
+      diagMeta = diagMetaAll)
+    persistFull(fullPersisted)
     if (!(soloAttempted && backWork)) spark.stop()
     // Print AFTER spark.stop() so no executor/shutdown log line can land
     // after the JSON; these must be the last stdout lines.

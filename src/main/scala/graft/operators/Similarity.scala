@@ -352,15 +352,22 @@ object Similarity {
   private[graft] def knnGraphEdges(e: DataFrame, k: Int = 8, kG: Int = 4): DataFrame = {
     val feats = intFeatures(e)
     val cents = fixedPointCentroids(feats, k, iters = 2)
+    // The cell-local pair join is the family's (n/k)² bound (SOAK_r16:
+    // 472 s / 100k vectors); pack_ints halves what every candidate pair
+    // carries through the join and the rank's local sort (the r17 8 GB
+    // soak OOM'd with the 8-byte long-array form on BOTH sides), and
+    // packed_sqdist keeps distances value-identical to long_sqdist so
+    // the declared hash is unchanged.
     val assigned = graft.Caches.track(
-      assignToCells(feats, cents).select(col("vec_id"), col("f"), col("cell")))
+      assignToCells(feats, cents)
+        .select(col("vec_id"), expr("pack_ints(f)").as("fp"), col("cell")))
     val b = assigned.select(col("cell"),
-      col("vec_id").as("neighbor_id"), col("f").as("fb"))
+      col("vec_id").as("neighbor_id"), col("fp").as("fbp"))
     val w = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
     assigned.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("dist", expr(
-        "long_sqdist(f, fb)"))
+        "packed_sqdist(fp, fbp)"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= kG)
       .select(col("vec_id"), col("neighbor_id"),
@@ -393,7 +400,13 @@ object Similarity {
       e: DataFrame, k: Int = 8, kG: Int = 4, bucketW: Int = 16): DataFrame = {
     val feats = intFeatures(e)
     val cellG = knnGraphEdges(e, k, kG).select("vec_id", "neighbor_id")
-    val seed = cellG.union(idBucketSeed(feats, kG, bucketW)).distinct()
+    // Tracked-cached: nnDescentRound references its graph ~6× (reverse,
+    // union, both sides of the shared-vertex self-join); without the
+    // cache each reference's lineage holds the QUADRATIC cell-local
+    // pair join, and exchange reuse is an optimization, not a contract
+    // — the 3kG-edges/vertex seed is tiny, the join it pins is not.
+    val seed = graft.Caches.track(
+      cellG.union(idBucketSeed(feats, kG, bucketW)).distinct())
     nnDescentRound(seed, packedFeatures(feats), kG)
   }
 
@@ -587,6 +600,26 @@ object Similarity {
       r += 1
     }
     out.filter(col("rk") <= kOut)
+  }
+
+  /** qp08's body: the per-vector dedup verdict over ss23's linear kNN
+    * graph — see the `qp08_graph_dedup_manifest` entry for the full
+    * contract. `e` is the raw embedding frame (vec_id, v). */
+  private[graft] def graphDedupManifest(
+      e: DataFrame, epsSq: Long = 1300000000000L): DataFrame = {
+    // consumed twice (rank-1 evidence + the ε-prune); the cache pins
+    // the whole two-round chain to one materialization
+    val edges = graft.Caches.track(nnDescentIterEdges(e))
+    val nn1 = edges.filter(col("rk") === 1)
+      .select(col("vec_id"), col("neighbor_id").as("nn_id"),
+        col("dist").as("nn_dist"))
+    val dropped = edges
+      .filter(col("dist") <= epsSq && col("neighbor_id") < col("vec_id"))
+      .select("vec_id").distinct().withColumn("is_drop", lit(true))
+    nn1.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nn_id"), col("nn_dist"),
+        when(col("is_drop"), lit("drop")).otherwise(lit("keep")).as("verdict"))
+      .orderBy("vec_id")
   }
 
   private[graft] def ivfRangeSearch(e: DataFrame, k: Int = 8,
@@ -1184,6 +1217,25 @@ object Similarity {
         .orderBy("cluster", "rk")
     }),
 
+    // GRAPH-BASED semantic-dedup manifest (qp08, r17) — qp05's SemDeDup
+    // recipe with its quadratic stage swapped for the family's linear
+    // scale path: instead of the in-cell all-pairs ε-scan (per-cell cost
+    // (n/k)², the SOAK_r16-measured hazard), the near-dup pair source is
+    // ss23's iterated-NN-Descent top-4 graph — every stage O(n). A
+    // vector is DROPPED iff one of its graph neighbors with a LOWER id
+    // sits within ε² (ss10's min-id-survivor rule over edges), and the
+    // manifest emits one verdict row per vector with its rank-1 neighbor
+    // as evidence: (vec_id, nn_id, nn_dist, keep|drop). The graph
+    // under-reports far pairs, so vs the exact scan this is the
+    // APPROXIMATE production recipe — the spec measures drop recall
+    // against the brute-force ε-pair truth set on the fixture; as a
+    // declared query it is hash-exact because the oracle mirrors the
+    // same graph chain. ε² = qp05's 1.3e12. Shape at 100 TB: ss23's
+    // linear chain + an n·4-edge filter + one broadcast-sized anti-join
+    // key set — nothing quadratic anywhere, the manifest you'd actually
+    // run over a 100 TB embedding corpus.
+    "qp08_graph_dedup_manifest" -> ((s, dir) => graphDedupManifest(emb(s, dir))),
+
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
     // subspaces × 16 centroids, trained with two deterministic Lloyd
     // iterations seeded from the first K vectors. Each corpus vector is then
@@ -1634,6 +1686,36 @@ object Similarity {
         |      JOIN f fb ON fb.vec_id = b.vec_id AND fb.dim = fa.dim
         |      GROUP BY 1, 2) pr) WHERE rk <= $k)""".stripMargin
 
+  /** ss23's full oracle CTE chain — integer features, the four ±1 sign
+    * projections (prj), each ranked / width-16-bucketed / kNN'd to the
+    * working width 8 ([[projSeedOracle]]), their union as the seed g0,
+    * then [[nnDescentOracleRound]] unrolls both NN-Descent rounds at
+    * k=8, ending at the final candidate set `cd2`. Shared by the ss23
+    * oracle (which ranks cd2 to the emitted 4) and qp08's manifest
+    * oracle (which additionally applies the min-id ε-prune). */
+  private lazy val nnDescentIterCtes: String =
+    """WITH f AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+        |      + 1000000 AS fv
+        |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+        |        FROM embeddings)),
+        |prj AS (
+        |  SELECT vec_id,
+        |    SUM(fv) AS p0,
+        |    SUM(CASE WHEN dim % 2 = 0 THEN fv ELSE -fv END) AS p1,
+        |    SUM(CASE WHEN dim < 32 THEN fv ELSE -fv END) AS p2,
+        |    SUM(CASE WHEN (dim // 16) % 2 = 0 THEN fv ELSE -fv END) AS p3
+        |  FROM f GROUP BY 1)""".stripMargin +
+      (0 to 3).map(j => projSeedOracle(j, s"p$j", 8)).mkString + """,
+        |g0 AS (
+        |  SELECT vec_id, neighbor_id FROM sp0
+        |  UNION SELECT vec_id, neighbor_id FROM sp1
+        |  UNION SELECT vec_id, neighbor_id FROM sp2
+        |  UNION SELECT vec_id, neighbor_id FROM sp3)""".stripMargin +
+      nnDescentOracleRound(1, "g0", 8) +
+      nnDescentOracleRound(2, "g1", 8, emitG = false)
+
   val oracle: Map[String, String] = Map(
     // Mirrors ss14 term-for-term with the two Lloyd rounds unrolled as
     // CTEs over the flattened (vec_id, dim, fv) integer features: seed
@@ -1765,27 +1847,7 @@ object Similarity {
     // round; the final select ranks the last candidate set to the
     // emitted 4. Reused CTEs are MATERIALIZEd by the assembly pass.
     "ss23_nn_descent_iter" ->
-      ("""WITH f AS (
-        |  SELECT vec_id, i AS dim,
-        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
-        |      + 1000000 AS fv
-        |  FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
-        |        FROM embeddings)),
-        |prj AS (
-        |  SELECT vec_id,
-        |    SUM(fv) AS p0,
-        |    SUM(CASE WHEN dim % 2 = 0 THEN fv ELSE -fv END) AS p1,
-        |    SUM(CASE WHEN dim < 32 THEN fv ELSE -fv END) AS p2,
-        |    SUM(CASE WHEN (dim // 16) % 2 = 0 THEN fv ELSE -fv END) AS p3
-        |  FROM f GROUP BY 1)""".stripMargin +
-        (0 to 3).map(j => projSeedOracle(j, s"p$j", 8)).mkString + """,
-        |g0 AS (
-        |  SELECT vec_id, neighbor_id FROM sp0
-        |  UNION SELECT vec_id, neighbor_id FROM sp1
-        |  UNION SELECT vec_id, neighbor_id FROM sp2
-        |  UNION SELECT vec_id, neighbor_id FROM sp3)""".stripMargin +
-        nnDescentOracleRound(1, "g0", 8) +
-        nnDescentOracleRound(2, "g1", 8, emitG = false) + """
+      (nnDescentIterCtes + """
         |SELECT vec_id, neighbor_id, CAST(rk AS INT) AS rk,
         |  CAST(dist AS BIGINT) AS dist
         |FROM (
@@ -1794,6 +1856,32 @@ object Similarity {
         |  FROM cd2)
         |WHERE rk <= 4
         |ORDER BY vec_id, rk""".stripMargin),
+    // Mirrors qp08 on ss23's chain: the final candidate set cd2 ranked
+    // to the emitted top-4 (exactly the ss23 select), then the min-id
+    // ε-prune over those edges and the per-vector verdict row — the
+    // rank-1 neighbor as evidence, 'drop' iff a lower-id top-4 neighbor
+    // sits within ε². The shared `edges` CTE is referenced twice and is
+    // MATERIALIZEd by the assembly pass.
+    "qp08_graph_dedup_manifest" ->
+      (nnDescentIterCtes + """,
+        |edges AS (
+        |  SELECT vec_id, neighbor_id, dist FROM (
+        |    SELECT vec_id, neighbor_id, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
+        |    FROM cd2) WHERE rk <= 4),
+        |nn1 AS (
+        |  SELECT vec_id, neighbor_id AS nn_id, CAST(dist AS BIGINT) AS nn_dist
+        |  FROM (
+        |    SELECT vec_id, neighbor_id, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
+        |    FROM edges) WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT vec_id FROM edges
+        |  WHERE dist <= 1300000000000 AND neighbor_id < vec_id)
+        |SELECT n.vec_id, n.nn_id, n.nn_dist,
+        |  CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM nn1 n LEFT JOIN dropped d ON d.vec_id = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin),
     // ss20's oracle is DELIBERATELY index-free: the brute-force range
     // join over the integer features is the truth set the pruned scan
     // must reproduce exactly — completeness of the triangle-inequality

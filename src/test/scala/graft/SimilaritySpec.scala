@@ -730,6 +730,49 @@ class SimilaritySpec extends SparkSpec {
       s"the linear twin must match or beat ss22's recall: $r22 -> $r23")
   }
 
+  test("qp08 graph-dedup manifest: one verdict per vector, drops certified, planted duplicates dropped") {
+    import org.apache.spark.sql.functions.col
+    val feats = intFeats()
+    val eps = BigInt(1300000000000L)
+    val m = Similarity.queries("qp08_graph_dedup_manifest")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    graft.Caches.releaseAll()
+    // one verdict row per corpus vector, evidence is an exact integer
+    // distance to a real, distinct vector
+    assert(m.length == feats.size && m.map(_._1).distinct.length == feats.size)
+    m.foreach { case (v, n, d, verdict) =>
+      assert(v != n && BigInt(d) == sqd(feats(v), feats(n)),
+        s"evidence edge ($v,$n) distance is not the exact integer L2")
+      assert(verdict == "keep" || verdict == "drop")
+    }
+    // precision 1 by construction (graph distances are exact): every
+    // drop verdict is certified by a TRUE lower-id ε-neighbor
+    m.filter(_._4 == "drop").foreach { case (v, _, _, _) =>
+      assert(feats.exists { case (n, fn) => n < v && sqd(feats(v), fn) <= eps },
+        s"dropped $v has no true lower-id ε-neighbor in the corpus")
+    }
+    // recall on the easiest true pairs — planted EXACT duplicates:
+    // append copies of ~1/17 of the corpus under fresh higher ids. Each
+    // copy's nearest neighbor is its original at distance 0 and every
+    // projection ranks the pair adjacently (identical projection values,
+    // vec_id tie-break), so the seed or a shared-neighbor round must
+    // surface the edge and the manifest must drop (nearly) every copy.
+    val base = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val maxId = feats.keys.max
+    val dups = base.filter(col("vec_id") % 17 === 3)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("v"))
+    val copies = dups.collect().map(_.getLong(0)).toSet
+    val pm = Similarity.graphDedupManifest(base.union(dups)).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    graft.Caches.releaseAll()
+    val droppedCopies = pm.count { case (v, verd) => copies(v) && verd == "drop" }
+    info(s"planted ${copies.size} exact duplicates, dropped $droppedCopies")
+    assert(copies.nonEmpty)
+    assert(droppedCopies * 10 >= copies.size * 9,
+      s"graph dedup missed too many planted duplicates: $droppedCopies/${copies.size}")
+  }
+
   test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {
     import org.apache.spark.sql.functions._
     // The DuckDB oracle pins qp05 hash-exact; this spec is the in-repo
