@@ -95,6 +95,10 @@ class PlanCensusSpec extends SparkSpec {
     // aggregates (leak, fuzzy) whose outputs all prune under a bare
     // count — eliminated like the dd16/dd19 twins above
     "qp07_eval_screen",
+    // qp08's final is the rank-1 evidence rows LEFT-joined to the
+    // distinct dropped-id set — the verdict CASE prunes under a bare
+    // count and the unique-key join is eliminated like the twins above
+    "qp08_graph_dedup_manifest",
     // tx30 ends in the dd12-family shape (span aggregate joined to the
     // unique-doc_id sidecar, ratio projection on top) — the projection
     // prunes under a bare count and the plan collapses like dd12's; the
