@@ -483,6 +483,9 @@ object Bench {
           "dd17_incremental_substring", "dd18_batch_novelty",
           "dd19_refreshed_stats", "qp03_incremental_manifest",
           "st08_substring_ingest"),
+      // persisted corpus kNN-graph artifact (r17) — built by the qp08
+      // plan's builder via knnGraphArtifactPath, probed by the query
+      "qp08_graph_dedup_manifest" -> Seq("qp08_graph_dedup_manifest"),
       "tx15_subword_tokens" -> Seq("tx15_subword_tokens", "tx16_pack_subword"),
       "tx17_subword_merged" -> Seq("tx17_subword_merged"),
       "e16_jsonl_scan" -> Seq("e16_jsonl_scan"), // fixture write at builder time, like e14

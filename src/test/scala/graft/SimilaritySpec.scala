@@ -763,7 +763,9 @@ class SimilaritySpec extends SparkSpec {
     val dups = base.filter(col("vec_id") % 17 === 3)
       .select((col("vec_id") + maxId + 1).as("vec_id"), col("v"))
     val copies = dups.collect().map(_.getLong(0)).toSet
-    val pm = Similarity.graphDedupManifest(base.union(dups)).collect()
+    val pm = Similarity
+      .graphDedupManifest(Similarity.nnDescentIterEdges(base.union(dups)))
+      .collect()
       .map(r => (r.getLong(0), r.getString(3)))
     graft.Caches.releaseAll()
     val droppedCopies = pm.count { case (v, verd) => copies(v) && verd == "drop" }
