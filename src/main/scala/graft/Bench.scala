@@ -369,13 +369,18 @@ object Bench {
       // exactly that. Below 120 s remaining, skipping is strictly
       // better: the budget line reports it and nothing is wasted.
       floorSec = 120.0,
-      // The chronic distortion suspect + the stable in-suite top-4
+      // The chronic distortion suspect + the stable in-suite top set
       // (r13 verdict #4 → r15 verdict #3 → r16 preview runs): dd14 stays
       // pinned because five rounds of driver-box history put its
       // in-suite figure at 5-10x (63.8 s at r15) while its fresh-JVM
       // truth sits under 4 s — when that recurs, its child is the single
       // most valuable figure of the round. qp03/qp06/st15/ss22 are the
       // stable heavy head, best measured on the quiet pre-suite box.
+      // ss23 joined the pins in r17: at ~12-13 s it is the slowest query
+      // in the suite, and both r17 preview runs lost its figure to the
+      // back window (child timeout on the 26 s unfused form, then a
+      // budget skip when front children ran slow) — the suite's heaviest
+      // query must not be the one with no fresh-JVM witness.
       // dd12 and ss16 left the pin list in r16: both have read reliable
       // in-suite for two rounds (dd12 2.4-3.3 s), and the back window's
       // slowest-first ordering now covers EXACTLY the queries that
@@ -387,9 +392,9 @@ object Bench {
       // the pre-r15 behavior).
       suspects = sys.env.get("SPARK_GRAFT_SOLO_SUSPECTS")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq("dd14_policy_cut", "qp03_incremental_manifest",
-          "qp06_gopher_manifest", "st15_eval_screen_ingest",
-          "ss22_nn_descent"))
+        .getOrElse(Seq("ss23_nn_descent_iter", "dd14_policy_cut",
+          "qp03_incremental_manifest", "qp06_gopher_manifest",
+          "st15_eval_screen_ingest", "ss22_nn_descent"))
         .filter(SparkEntry.queries.contains))
     // SPARK_GRAFT_SOLO_FORCE runs the solo machinery even under an ONLY
     // filter — local iteration on the machinery itself
