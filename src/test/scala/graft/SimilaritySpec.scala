@@ -666,6 +666,39 @@ class SimilaritySpec extends SparkSpec {
         "sf0.001 fixture (cells hide true cross-cell neighbors)")
   }
 
+  test("exactRankWithin equals the single-partition ROW_NUMBER per group, no unpartitioned window in its plan") {
+    import org.apache.spark.sql.functions.{col, expr, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // adversarial grouping: duplicate keys within and across groups,
+    // empty-ish groups, values that collide across group boundaries —
+    // rank must be computed strictly WITHIN sys and match the
+    // single-partition window's answer exactly
+    val df = spark.range(997).select(
+      (col("id") % 5).cast("int").as("sys"),
+      col("id").as("vec_id"),
+      (col("id") * 37 % 101).as("p"))
+    val got = Similarity
+      .exactRankWithin(df, "rnk", "sys", col("p"), col("vec_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+    graft.Caches.releaseAll()
+    val want = df.withColumn("rnk",
+        row_number().over(Window.partitionBy("sys").orderBy("p", "vec_id")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(3).toLong).toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, v) =>
+      assert(got(k) == v, s"rank mismatch at $k: got ${got(k)}, want $v")
+    }
+    // and the distributed form must not plan the single-partition
+    // WindowExec the naive unpartitioned ROW_NUMBER would (its window
+    // runs within (_pid, sys); the offset window runs over <=
+    // shuffle-partitions rows)
+    val plan = Similarity.exactRankWithin(df, "rnk", "sys", col("p"), col("vec_id"))
+      .queryExecution.executedPlan.toString
+    graft.Caches.releaseAll()
+    assert(!plan.contains("SinglePartition"),
+      "exactRankWithin must not move the ranked data to a single partition")
+  }
+
   test("ss23 iterated nn-descent: linear plan, monotone rounds, recall beats ss22") {
     import org.apache.spark.sql.functions.{col, expr}
     val feats = intFeats()
