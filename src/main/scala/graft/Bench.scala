@@ -147,10 +147,19 @@ private[graft] object BenchRecord {
     * own wall; heap figures bracket the run; `storageFreeMb` is executor
     * storage memory before the run; `dirtyMb` the box's Dirty+Writeback
     * page total before the run (the one suite-context carrier neither
-    * loadavg nor the JVM can see). */
+    * loadavg nor the JVM can see). The `cpu*J` fields (r17 verdict #2)
+    * are box-wide /proc/stat jiffy DELTAS across the timed region — the
+    * JVM-side vectors exonerated GC/heap/dirty three rounds running
+    * without naming dd14's chronic 8-15x transient's carrier, and the
+    * missing evidence class is OS-level: `cpuStealJ` names a hypervisor
+    * co-tenant, `cpuIowaitJ` a storage stall, `cpuUserJ`/`cpuSysJ` a
+    * co-resident burn (capacity = wall × nCPU × USER_HZ(100) jiffies;
+    * the bench's own local[32] work rides cpuUserJ, so read it against
+    * the PASS's other queries, not zero). -1 = /proc/stat unreadable. */
   final case class RunDiag(wall: Double, gcSettleSec: Double, gcMs: Long,
     gcN: Long, heapPreMb: Long, heapPostMb: Long, storageFreeMb: Long,
-    dirtyMb: Long)
+    dirtyMb: Long, cpuUserJ: Long = -1L, cpuSysJ: Long = -1L,
+    cpuIowaitJ: Long = -1L, cpuStealJ: Long = -1L)
 
   /** The `query_diag` fragment (full record line only): per-pass vectors
     * for the queries worth diagnosing — min wall ≥ `slowSec` (capped to
@@ -169,7 +178,7 @@ private[graft] object BenchRecord {
     else {
       val body = names.map { n =>
         val runs = diag.getOrElse(n, Nil).reverse.map { case (p, d) =>
-          s""""$p":{"wall":${f(d.wall)},"gc_settle":${f(d.gcSettleSec)},"gc_ms":${d.gcMs},"gc_n":${d.gcN},"heap0_mb":${d.heapPreMb},"heap1_mb":${d.heapPostMb},"storage_free_mb":${d.storageFreeMb},"dirty_mb":${d.dirtyMb}}"""
+          s""""$p":{"wall":${f(d.wall)},"gc_settle":${f(d.gcSettleSec)},"gc_ms":${d.gcMs},"gc_n":${d.gcN},"heap0_mb":${d.heapPreMb},"heap1_mb":${d.heapPostMb},"storage_free_mb":${d.storageFreeMb},"dirty_mb":${d.dirtyMb},"cpu_user_j":${d.cpuUserJ},"cpu_sys_j":${d.cpuSysJ},"cpu_iowait_j":${d.cpuIowaitJ},"cpu_steal_j":${d.cpuStealJ}}"""
         }.mkString(",")
         s""""$n":{$runs}"""
       }.mkString(",")
@@ -272,7 +281,7 @@ private[graft] object BenchRecord {
     // query_diag can reach several KB — whatever clips must be the
     // diagnostics, never the figures/total at the tail.
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17: solo children run their target once UNTIMED before the min-of-2 — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 177 plans, and charging it to the solo figure read tx33 3.7x high at r16; BENCH_FULL's persisted record carries query_diag for EVERY query — only this stdout copy keeps the 20-slowest cap, which exists for the driver's tail-capture window); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17: solo children run their target once UNTIMED before the min-of-2 — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 177 plans, and charging it to the solo figure read tx33 3.7x high at r16; the stdout record caps query_diag to the 20 slowest queries (for the driver's tail-capture window) while the persisted BENCH_FULL record is uncensored; r18: the front solo window spends at most SOLO_FRONT_FRAC (default 0.6) of the budget so the back window ALWAYS gets its remainder — r17's front burned the whole 800 s on a hot box and no solo figure landed; query_diag adds box-wide /proc/stat cpu jiffy deltas per pass (user/sys/iowait/steal) so a dd14-class transient names its contention class from the round's own artifact); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal), the
@@ -369,32 +378,26 @@ object Bench {
       // exactly that. Below 120 s remaining, skipping is strictly
       // better: the budget line reports it and nothing is wasted.
       floorSec = 120.0,
-      // The chronic distortion suspect + the stable in-suite top set
-      // (r13 verdict #4 → r15 verdict #3 → r16 preview runs): dd14 stays
-      // pinned because five rounds of driver-box history put its
-      // in-suite figure at 5-10x (63.8 s at r15) while its fresh-JVM
-      // truth sits under 4 s — when that recurs, its child is the single
-      // most valuable figure of the round. qp03/qp06/st15/ss22 are the
-      // stable heavy head, best measured on the quiet pre-suite box.
-      // ss23 joined the pins in r17: at ~12-13 s it is the slowest query
-      // in the suite, and both r17 preview runs lost its figure to the
-      // back window (child timeout on the 26 s unfused form, then a
-      // budget skip when front children ran slow) — the suite's heaviest
-      // query must not be the one with no fresh-JVM witness.
-      // dd12 and ss16 left the pin list in r16: both have read reliable
-      // in-suite for two rounds (dd12 2.4-3.3 s), and the back window's
-      // slowest-first ordering now covers EXACTLY the queries that
-      // climb the in-suite top-N — a distorted dd12 would be the top
-      // target there, with value_solo_adjusted neutralizing the total
-      // either way. This doubles as the FRONT window's target list —
-      // set SPARK_GRAFT_SOLO_SUSPECTS="" to disable the front window
+      // The two chronic targets, ONLY (r17 verdict #7 shrank the list
+      // from six): dd14 stays pinned because six rounds of driver-box
+      // history put its in-suite figure at 5-15x (63.8 s at r15,
+      // 61-93 s at r17) while its fresh-JVM truth sits under 4 s — when
+      // that recurs, its child is the single most valuable figure of
+      // the round. ss23 stays pinned as the suite's heaviest query
+      // (~12-13 s): it must never be the one with no fresh-JVM witness
+      // (r17 lost its figure twice). qp03/qp06/st15/ss22 left the pins
+      // in r18: the r17 driver run proved six pins are a budget hazard
+      // (the front window burned all 800 s and landed NOTHING), and the
+      // back window's slowest-first top-N ordering covers exactly the
+      // queries that climb the in-suite top set, with
+      // value_solo_adjusted neutralizing the total either way. This
+      // doubles as the FRONT window's target list — set
+      // SPARK_GRAFT_SOLO_SUSPECTS="" to disable the front window
       // entirely (all solo work then lands in the post-suite window,
       // the pre-r15 behavior).
       suspects = sys.env.get("SPARK_GRAFT_SOLO_SUSPECTS")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq("ss23_nn_descent_iter", "dd14_policy_cut",
-          "qp03_incremental_manifest", "qp06_gopher_manifest",
-          "st15_eval_screen_ingest", "ss22_nn_descent"))
+        .getOrElse(Seq("ss23_nn_descent_iter", "dd14_policy_cut"))
         .filter(SparkEntry.queries.contains))
     // SPARK_GRAFT_SOLO_FORCE runs the solo machinery even under an ONLY
     // filter — local iteration on the machinery itself
@@ -420,13 +423,23 @@ object Bench {
     // before the parent session exists — so the known heavy set spends
     // the budget here, with no settle and nothing co-resident. The
     // post-suite window below covers whatever the front didn't land.
+    // FAIL-SOFT CAP (r17 verdict #1): the front window spends from a
+    // capped FRACTION of the budget, never the whole of it — on the r17
+    // driver box three hot children burned 800.36/800 s in the front
+    // phase, the back window got zero, no solo figure landed anywhere,
+    // and value_solo_adjusted (the artifact that makes a noisy round
+    // comparable) was never emitted. 0.6 × 800 fits the two-pin front
+    // list (~200 s quiet) threefold over; however hot the box, the back
+    // window is now GUARANTEED ≥ 0.4 × budget for the post-suite top-N.
+    val frontFrac = sys.env.get("SPARK_GRAFT_SOLO_FRONT_FRAC")
+      .map(_.toDouble).getOrElse(0.6)
     val frontPhase =
       if (!soloAttempted) SoloScheduler.Phase(Nil, Nil, 0.0)
       else {
         System.err.println(
           s"[bench] front solo window: ${soloCfg.suspects.mkString(",")}")
         SoloScheduler.phase(soloCfg.suspects, Map.empty,
-          soloCfg.copy(settleSec = 0.0), soloCfg.budgetSec,
+          soloCfg.copy(settleSec = 0.0), soloCfg.budgetSec * frontFrac,
           childRunner(Map.empty), sec => Thread.sleep((sec * 1000).toLong),
           () => System.nanoTime() / 1e9)
       }
@@ -560,6 +573,20 @@ object Bench {
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
     }
+    // Box-wide cpu jiffies from /proc/stat's aggregate line (r17 verdict
+    // #2): user+nice, system+irq+softirq, iowait, steal. Snapshot pairs
+    // bracket each timed region; the deltas ride query_diag so the next
+    // dd14-class transient names its contention class (steal = hypervisor
+    // co-tenant, iowait = storage stall, user/sys burn with a flat
+    // in-JVM profile = co-resident process) from the round's artifact.
+    def cpuJiffies(): Option[(Long, Long, Long, Long)] =
+      try {
+        val c = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+          .split("\\s+").drop(1).map(_.toLong)
+        if (c.length < 8) None
+        else Some((c(0) + c(1), c(2) + c(5) + c(6), c(4), c(7)))
+      } catch { case NonFatal(_) => None }
     // per-query action decision (see BenchAction), computed once outside
     // the timed region — optimizing the probe plans is not query work
     val collapses = scala.collection.mutable.Map.empty[String, Boolean]
@@ -595,14 +622,19 @@ object Bench {
         catch { case NonFatal(_) => -1L }
       val heapPre = heapUsedMb()
       val dirtyPre = dirtyMb()
+      val cpu0 = cpuJiffies()
       val (gcMs0, gcN0) = gcStats()
       val t0 = System.nanoTime()
       try {
         BenchAction.run(fn(spark, sfDir), mat)
         val dt = (System.nanoTime() - t0) / 1e9
         val (gcMs1, gcN1) = gcStats()
+        val (cU, cS, cW, cT) = cpu0.zip(cpuJiffies()).map { case (a, b) =>
+          (b._1 - a._1, b._2 - a._2, b._3 - a._3, b._4 - a._4)
+        }.getOrElse((-1L, -1L, -1L, -1L))
         diag(name) = (pass -> RunDiag(dt, gcSettle, gcMs1 - gcMs0, gcN1 - gcN0,
-          heapPre, heapUsedMb(), storageFreeMb, dirtyPre)) :: diag.getOrElse(name, Nil)
+          heapPre, heapUsedMb(), storageFreeMb, dirtyPre,
+          cU, cS, cW, cT)) :: diag.getOrElse(name, Nil)
         maxPending = math.max(maxPending, Caches.pending)
         Some(dt)
       } catch { case NonFatal(_) => None }

@@ -120,6 +120,42 @@ object SoakAnn {
     val (n23, w23) =
       if (nnd2) minWall(Similarity.nnDescentIterEdges(corpus).count())
       else (0L, Seq.empty[Double])
+    // NND2_RECALL=1 measures ss23's recall AT SCALE (r17 verdict #6):
+    // the 0.943 recall pin lives on the 2k fixture, and two-round
+    // convergence at 50x the corpus was asserted by the seed-connectivity
+    // argument, not measured. Sample ~100 query vectors, take ss23's
+    // top-4 for them, and compare against the exact brute-force top-4
+    // for JUST those queries (nQ × n distance evals — linear, a broadcast
+    // of 100 query rows against one corpus scan, never all-pairs).
+    // Ties at the rank-4/5 boundary count against recall; both sides
+    // break ties by (dist, neighbor_id), so the penalty is shared.
+    val recallOn = sys.env.get("NND2_RECALL").contains("1")
+    if (recallOn) {
+      spark.catalog.clearCache(); Caches.releaseAll()
+      val qStep = math.max(1L, nVec / 100)
+      val feats = Similarity.intFeatures(corpus)
+      val q = feats.filter(pmod(col("vec_id"), lit(qStep)) === 3)
+        .select(col("vec_id").as("query_id"), col("f").as("qf"))
+      val w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+      val exact = feats.join(broadcast(q), feats("vec_id") =!= q("query_id"))
+        .withColumn("dist", expr("long_sqdist(qf, f)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val approx = Similarity.nnDescentIterEdges(corpus)
+        .filter(pmod(col("vec_id"), lit(qStep)) === 3)
+        .select(col("vec_id").as("query_id"), col("neighbor_id"))
+      val t0 = System.nanoTime()
+      val exactCached = exact.cache()
+      val truthRows = exactCached.count()
+      val matched = exactCached.join(approx, Seq("query_id", "neighbor_id")).count()
+      val wallRecall = (System.nanoTime() - t0) / 1e9
+      exactCached.unpersist(); Caches.releaseAll()
+      val recall = if (truthRows == 0) 0.0 else matched.toDouble / truthRows
+      println(f"ANNSOAK ss23recall nvec=$nVec nQueries=${truthRows / 4} " +
+        f"truthRows=$truthRows matched=$matched recall=$recall%.4f " +
+        f"wall=$wallRecall%.2f")
+    }
 
     // frozen-index serving (st13's split): build + cache the index ONCE
     // outside the timed region, then serve ~NVEC/100 arriving queries

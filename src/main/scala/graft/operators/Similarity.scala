@@ -659,15 +659,22 @@ object Similarity {
     * form, so qp08's oracle deliberately re-derives the full chain. */
   private val knnGraphArtifacts =
     new java.util.concurrent.ConcurrentHashMap[String, () => String]()
-  private[graft] def knnGraphArtifactPath(s: SparkSession, dir: String): String = {
-    val key = dir + "|" + EtlQueries.contentFingerprint(s"$dir/embeddings.parquet")
+  private[graft] def knnGraphArtifactPath(s: SparkSession, dir: String,
+      kWork: Int = 8, kOut: Int = 4, bucketW: Int = 16,
+      rounds: Int = 2): String = {
+    // the build PARAMETERS are part of the memo key (r17 advice): two
+    // callers requesting different graph shapes over one corpus snapshot
+    // must get two artifacts, never silently share the first one built
+    val key = dir + "|" + EtlQueries.contentFingerprint(s"$dir/embeddings.parquet") +
+      s"|k$kWork-$kOut-w$bucketW-r$rounds"
     knnGraphArtifacts.computeIfAbsent(key, { _ =>
       lazy val built: String = {
         EtlQueries.sweepStaleFixtures("graft_knngraph_")
         val f = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_knngraph_${ProcessHandle.current().pid()}_${EtlQueries.fixtureKey(key)}")
         val path = f.getAbsolutePath
-        nnDescentIterEdges(emb(s, dir)).write.mode("overwrite").parquet(path)
+        nnDescentIterEdges(emb(s, dir), kWork, kOut, bucketW, rounds)
+          .write.mode("overwrite").parquet(path)
         sys.addShutdownHook {
           def rm(x: java.io.File): Unit = {
             Option(x.listFiles()).foreach(_.foreach(rm))
@@ -683,16 +690,26 @@ object Similarity {
 
   /** qp08's body: the per-vector dedup verdict over ss23's linear kNN
     * graph `edges` (vec_id, neighbor_id, rk, dist) — see the
-    * `qp08_graph_dedup_manifest` entry for the full contract. */
+    * `qp08_graph_dedup_manifest` entry for the full contract. The verdict
+    * frame is driven by the CORPUS id set, not by the edge set (r17
+    * advice): a vector with no graph edges is possible (a singleton rank
+    * bucket under every projection), and deriving rows from nn1 alone
+    * would silently skip it — it must still get a row, `keep` with null
+    * evidence (no neighbor observed ⇒ no lower-id ε-neighbor observed).
+    * `corpus` needs only a `vec_id` column; the one distinct + two
+    * left joins on it stay linear and broadcast-friendly. */
   private[graft] def graphDedupManifest(
-      edges: DataFrame, epsSq: Long = 1300000000000L): DataFrame = {
+      edges: DataFrame, corpus: DataFrame,
+      epsSq: Long = 1300000000000L): DataFrame = {
+    val ids = corpus.select("vec_id").distinct()
     val nn1 = edges.filter(col("rk") === 1)
       .select(col("vec_id"), col("neighbor_id").as("nn_id"),
         col("dist").as("nn_dist"))
     val dropped = edges
       .filter(col("dist") <= epsSq && col("neighbor_id") < col("vec_id"))
       .select("vec_id").distinct().withColumn("is_drop", lit(true))
-    nn1.join(dropped, Seq("vec_id"), "left")
+    ids.join(nn1, Seq("vec_id"), "left")
+      .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("nn_id"), col("nn_dist"),
         when(col("is_drop"), lit("drop")).otherwise(lit("keep")).as("verdict"))
       .orderBy("vec_id")
@@ -1301,7 +1318,11 @@ object Similarity {
     // vector is DROPPED iff one of its graph neighbors with a LOWER id
     // sits within ε² (ss10's min-id-survivor rule over edges), and the
     // manifest emits one verdict row per vector with its rank-1 neighbor
-    // as evidence: (vec_id, nn_id, nn_dist, keep|drop). The graph
+    // as evidence: (vec_id, nn_id, nn_dist, keep|drop). The verdict frame
+    // is driven by the corpus id set (r17 advice, see
+    // [[graphDedupManifest]]), so "one row per vector" holds even for a
+    // vector the graph left edge-less — it keeps, with null evidence. The
+    // graph
     // under-reports far pairs, so vs the exact scan this is the
     // APPROXIMATE production recipe — the spec measures drop recall
     // against the brute-force ε-pair truth set on the fixture; as a
@@ -1317,7 +1338,7 @@ object Similarity {
     // probe, not the build. Byte-identical to the recompute form; the
     // oracle deliberately re-derives the full chain.
     "qp08_graph_dedup_manifest" -> ((s, dir) =>
-      graphDedupManifest(s.read.parquet(knnGraphArtifactPath(s, dir)))),
+      graphDedupManifest(s.read.parquet(knnGraphArtifactPath(s, dir)), emb(s, dir))),
 
     // Product-quantization ANN (PQ + asymmetric distance): 64 dims → 8
     // subspaces × 16 centroids, trained with two deterministic Lloyd
@@ -1943,7 +1964,10 @@ object Similarity {
     // to the emitted top-4 (exactly the ss23 select), then the min-id
     // ε-prune over those edges and the per-vector verdict row — the
     // rank-1 neighbor as evidence, 'drop' iff a lower-id top-4 neighbor
-    // sits within ε². The shared `edges` CTE is referenced twice and is
+    // sits within ε². The verdict frame is driven by the corpus id set
+    // (r17 advice): a graph-edge-less vector still gets a keep row with
+    // null evidence, mirrored here by LEFT-joining nn1 from the distinct
+    // embeddings ids. The shared `edges` CTE is referenced twice and is
     // MATERIALIZEd by the assembly pass.
     "qp08_graph_dedup_manifest" ->
       (nnDescentIterCtes + """,
@@ -1960,11 +1984,14 @@ object Similarity {
         |    FROM edges) WHERE rk = 1),
         |dropped AS (
         |  SELECT DISTINCT vec_id FROM edges
-        |  WHERE dist <= 1300000000000 AND neighbor_id < vec_id)
-        |SELECT n.vec_id, n.nn_id, n.nn_dist,
+        |  WHERE dist <= 1300000000000 AND neighbor_id < vec_id),
+        |ids AS (SELECT DISTINCT vec_id FROM embeddings)
+        |SELECT i.vec_id, n.nn_id, n.nn_dist,
         |  CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
-        |FROM nn1 n LEFT JOIN dropped d ON d.vec_id = n.vec_id
-        |ORDER BY n.vec_id""".stripMargin),
+        |FROM ids i
+        |LEFT JOIN nn1 n ON n.vec_id = i.vec_id
+        |LEFT JOIN dropped d ON d.vec_id = i.vec_id
+        |ORDER BY i.vec_id""".stripMargin),
     // ss20's oracle is DELIBERATELY index-free: the brute-force range
     // join over the integer features is the truth set the pruned scan
     // must reproduce exactly — completeness of the triangle-inequality

@@ -103,7 +103,8 @@ class BenchRecordSpec extends AnyFunSuite {
 
   test("diagMeta: slow + flagged queries only, passes in a/b/c order, parseable") {
     import BenchRecord.RunDiag
-    def rd(w: Double) = RunDiag(w, 0.1, 42, 3, 100, 900, 4000, 7)
+    def rd(w: Double) = RunDiag(w, 0.1, 42, 3, 100, 900, 4000, 7,
+      cpuUserJ = 9000, cpuSysJ = 300, cpuIowaitJ = 55, cpuStealJ = 2)
     val diag = Map(
       "slow" -> List("b" -> rd(2.2), "a" -> rd(2.5)), // prepended = reverse order
       "flaky" -> List("c" -> rd(0.3), "b" -> rd(0.9), "a" -> rd(0.2)),
@@ -115,6 +116,11 @@ class BenchRecordSpec extends AnyFunSuite {
     assert((j \ "query_diag" \ "slow" \ "a" \ "wall").values == 2.5)
     assert((j \ "query_diag" \ "slow" \ "b" \ "wall").values == 2.2)
     assert((j \ "query_diag" \ "slow" \ "a" \ "dirty_mb").values == 7)
+    // the OS-level contention vectors (r17 verdict #2) ride every pass
+    assert((j \ "query_diag" \ "slow" \ "a" \ "cpu_iowait_j").values == 55)
+    assert((j \ "query_diag" \ "slow" \ "a" \ "cpu_steal_j").values == 2)
+    assert((j \ "query_diag" \ "slow" \ "a" \ "cpu_user_j").values == 9000)
+    assert((j \ "query_diag" \ "slow" \ "a" \ "cpu_sys_j").values == 300)
     // flagged rides even though it is under the slow threshold
     assert((j \ "query_diag" \ "flaky" \ "c" \ "wall").values == 0.3)
     // a fast, unflagged query does not

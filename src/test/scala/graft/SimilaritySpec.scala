@@ -797,7 +797,8 @@ class SimilaritySpec extends SparkSpec {
       .select((col("vec_id") + maxId + 1).as("vec_id"), col("v"))
     val copies = dups.collect().map(_.getLong(0)).toSet
     val pm = Similarity
-      .graphDedupManifest(Similarity.nnDescentIterEdges(base.union(dups)))
+      .graphDedupManifest(Similarity.nnDescentIterEdges(base.union(dups)),
+        base.union(dups))
       .collect()
       .map(r => (r.getLong(0), r.getString(3)))
     graft.Caches.releaseAll()
@@ -806,6 +807,57 @@ class SimilaritySpec extends SparkSpec {
     assert(copies.nonEmpty)
     assert(droppedCopies * 10 >= copies.size * 9,
       s"graph dedup missed too many planted duplicates: $droppedCopies/${copies.size}")
+  }
+
+  test("qp08 manifest: an edge-less corpus vector still gets a keep row with null evidence (r17 advice)") {
+    import spark.implicits._
+    // handcrafted graph: vectors 1 and 2 share an edge within ε, vector 3
+    // is isolated (possible in production: a singleton rank bucket under
+    // every projection leaves a vector with no seed edges and, bucket
+    // membership being symmetric, no reverse edges) — the verdict frame
+    // is driven by the CORPUS id set, so the isolated vector must appear,
+    // keep, with null nn evidence, never silently vanish
+    val edges = Seq((1L, 2L, 1, 100L), (2L, 1L, 1, 100L))
+      .toDF("vec_id", "neighbor_id", "rk", "dist")
+    val corpus = Seq(1L, 2L, 3L).toDF("vec_id")
+    val m = Similarity.graphDedupManifest(edges, corpus, epsSq = 1000L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3)))
+    assert(m.map(_._1).toSeq == Seq(1L, 2L, 3L), "one row per corpus vector")
+    assert(m(0) == ((1L, Some(2L), Some(100L), "keep")),
+      "min-id survivor keeps (no lower-id neighbor)")
+    assert(m(1) == ((2L, Some(1L), Some(100L), "drop")),
+      "lower-id ε-neighbor certifies the drop")
+    assert(m(2) == ((3L, None, None, "keep")),
+      "the isolated vector keeps with null evidence")
+  }
+
+  test("qp08 kNN-graph artifact is row-for-row equal to the recompute form (r17 verdict #4)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // The scaladoc claims the persisted artifact is byte-identical to the
+    // recompute and qp08's oracle re-derives the chain — so drift WOULD
+    // hash-mismatch at the driver gate, but only there. This is the
+    // unit-level contract (like dd19's refresh ≡ rebuild): the artifact
+    // the memo serves equals nnDescentIterEdges at the same parameters.
+    val cols = Seq("vec_id", "neighbor_id", "rk", "dist")
+    val art = spark.read
+      .parquet(Similarity.knnGraphArtifactPath(spark, sf001))
+      .select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    graft.Caches.releaseAll()
+    val e = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val rec = Similarity.nnDescentIterEdges(e)
+      .select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
+    graft.Caches.releaseAll()
+    assert(art.nonEmpty && art == rec,
+      s"artifact (${art.size} edges) != recompute (${rec.size} edges)")
   }
 
   test("qp05 curation: in-cell prototypes pairwise separated by eps², planted duplicates never sampled") {

@@ -158,6 +158,34 @@ class SoloSchedulerSpec extends AnyFunSuite {
     assert(back3 == Seq("b"))
   }
 
+  test("front cap is fail-soft: hot front children cannot starve the back window (r17 verdict #1)") {
+    // r17's failure: the front window spent from the WHOLE budget, three
+    // hot children burned 800.36/800 s, the back window got zero and no
+    // solo figure landed anywhere. With the front handed frac × budget
+    // (main's SOLO_FRONT_FRAC, default 0.6), even children that all run
+    // to their caps leave the back window >= (1 - frac) × budget.
+    val budget = 800.0
+    val frac = 0.6
+    val cfg = Config(budget, 120, 300, 120, suspects = Seq("heavy", "mid"))
+    val b = new Box
+    // every child hangs to its cap and lands nothing — the r17 box
+    val front = SoloScheduler.phase(cfg.suspects, Map.empty,
+      cfg.copy(settleSec = 0.0), budget * frac,
+      b.child(Map.empty.withDefaultValue(1e9), _ => None), b.sleep, b.now)
+    assert(front.figs.isEmpty, "hot children land nothing")
+    assert(front.spentSec <= budget * frac + 1e-9,
+      s"front spent ${front.spentSec}, past its ${budget * frac} cap")
+    val backBudget = math.max(0.0, budget - front.spentSec)
+    assert(backBudget >= budget * (1 - frac) - 1e-9,
+      s"back window handed $backBudget, starved below ${budget * (1 - frac)}")
+    // and the back window can still settle + run at least one child
+    assert(backBudget >= cfg.settleSec + cfg.floorSec,
+      "the guaranteed remainder must fit settle + one child")
+    // front children were capped so a cap-hitting child is killed at the
+    // remaining front budget, never at the global childCap beyond it
+    b.calls.foreach { case (_, cap) => assert(cap <= 300.0 + 1e-9) }
+  }
+
   test("composed front+back shares one budget: back gets exactly budget - front.spent") {
     val cfg = Config(400, 120, 300, 60, suspects = Seq("heavy", "mid"))
     val b = new Box
