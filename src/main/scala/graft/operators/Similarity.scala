@@ -602,7 +602,16 @@ object Similarity {
     * pins both), all-integer — hash-exact. SOAK_r17.md prices the 100k
     * wall against the 472 s quadratic seed SOAK_r16 measured. The
     * intermediate round graphs are tracked-cached: each is consumed 4×
-    * by the next round and its lineage holds every prior round. */
+    * by the next round and its lineage holds every prior round.
+    *
+    * The DEFAULTS are fixture-scale settings. SOAK_r18.md measures the
+    * recall curve at 100k vectors: (8/16/2) reads 0.60 where the 2k
+    * fixture reads 0.94, and the knob that restores it is the WORKING
+    * WIDTH, not the round count — (16/32/3) reads 0.88 at 242 s, still
+    * linear and under the quadratic seed's 472 s, while extra rounds at
+    * K=8 plateau (+4 pts/round) and K=24 without a third round is worse
+    * on both axes. Production scales kWork/bucketW with corpus density
+    * (Dong et al. run K≈20 at million scale) and stops at 2-3 rounds. */
   private[graft] def nnDescentIterEdges(
       e: DataFrame, kWork: Int = 8, kOut: Int = 4, bucketW: Int = 16,
       rounds: Int = 2): DataFrame = {
