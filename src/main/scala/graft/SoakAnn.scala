@@ -129,8 +129,17 @@ object SoakAnn {
     // of 100 query rows against one corpus scan, never all-pairs).
     // Ties at the rank-4/5 boundary count against recall; both sides
     // break ties by (dist, neighbor_id), so the penalty is shared.
+    // NND2_ROUNDS / NND2_KWORK / NND2_BUCKETW override the declared
+    // query's parameters (2 / 8 / 16): the r18 measurement found two
+    // rounds reach only ~0.60 at 100k — NN-Descent's round count is the
+    // convergence knob and grows slowly with n (Dong et al. report ~5
+    // iterations at web scale), so the soak prices the recall-vs-rounds
+    // curve each round being O(n).
     val recallOn = sys.env.get("NND2_RECALL").contains("1")
     if (recallOn) {
+      val rRounds = sys.env.getOrElse("NND2_ROUNDS", "2").toInt
+      val rKWork = sys.env.getOrElse("NND2_KWORK", "8").toInt
+      val rBucketW = sys.env.getOrElse("NND2_BUCKETW", "16").toInt
       spark.catalog.clearCache(); Caches.releaseAll()
       val qStep = math.max(1L, nVec / 100)
       val feats = Similarity.intFeatures(corpus)
@@ -142,7 +151,9 @@ object SoakAnn {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 4)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      val approx = Similarity.nnDescentIterEdges(corpus)
+      val approx = Similarity
+        .nnDescentIterEdges(corpus, kWork = rKWork, bucketW = rBucketW,
+          rounds = rRounds)
         .filter(pmod(col("vec_id"), lit(qStep)) === 3)
         .select(col("vec_id").as("query_id"), col("neighbor_id"))
       val t0 = System.nanoTime()
@@ -152,7 +163,8 @@ object SoakAnn {
       val wallRecall = (System.nanoTime() - t0) / 1e9
       exactCached.unpersist(); Caches.releaseAll()
       val recall = if (truthRows == 0) 0.0 else matched.toDouble / truthRows
-      println(f"ANNSOAK ss23recall nvec=$nVec nQueries=${truthRows / 4} " +
+      println(f"ANNSOAK ss23recall nvec=$nVec rounds=$rRounds kWork=$rKWork " +
+        f"bucketW=$rBucketW nQueries=${truthRows / 4} " +
         f"truthRows=$truthRows matched=$matched recall=$recall%.4f " +
         f"wall=$wallRecall%.2f")
     }

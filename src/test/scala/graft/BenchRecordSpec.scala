@@ -33,13 +33,17 @@ class BenchRecordSpec extends AnyFunSuite {
       results, None, soloIncomplete = true, load, 0, "/d", Nil, Nil)
     assert((parse(full) \ "solo_failed").values == true)
     assert((parse(compact) \ "solo_failed").values == true)
-    // a PARTIAL pass carries both the figures that landed and the flag
+    // a PARTIAL pass carries the figures that landed, the flag, AND the
+    // adjusted total (r17 verdict #1: partial adjustment beats a missing
+    // artifact — the round that lost every solo figure also lost the one
+    // cross-round comparable number; whatever DID land must adjust)
     val (fp, cp) = BenchRecord.render(
       results, Some(Map("q_heavy" -> 1.5)), soloIncomplete = true,
       load, 0, "/d", Nil, Nil)
     for (line <- Seq(fp, cp)) {
       assert((parse(line) \ "queries_solo" \ "q_heavy").values == 1.5, line)
       assert((parse(line) \ "solo_failed").values == true, line)
+      assert((parse(line) \ "value_solo_adjusted").values == 2.0, line)
     }
     val (f2, c2) = BenchRecord.render(
       results, None, soloIncomplete = false, load, 0, "/d", Nil, Nil)
