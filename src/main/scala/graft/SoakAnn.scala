@@ -140,6 +140,7 @@ object SoakAnn {
       val rRounds = sys.env.getOrElse("NND2_ROUNDS", "2").toInt
       val rKWork = sys.env.getOrElse("NND2_KWORK", "8").toInt
       val rBucketW = sys.env.getOrElse("NND2_BUCKETW", "16").toInt
+      val rSystems = sys.env.getOrElse("NND2_SYSTEMS", "4").toInt
       spark.catalog.clearCache(); Caches.releaseAll()
       val qStep = math.max(1L, nVec / 100)
       val feats = Similarity.intFeatures(corpus)
@@ -153,7 +154,7 @@ object SoakAnn {
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
       val approx = Similarity
         .nnDescentIterEdges(corpus, kWork = rKWork, bucketW = rBucketW,
-          rounds = rRounds)
+          rounds = rRounds, systems = rSystems)
         .filter(pmod(col("vec_id"), lit(qStep)) === 3)
         .select(col("vec_id").as("query_id"), col("neighbor_id"))
       val t0 = System.nanoTime()
@@ -164,7 +165,7 @@ object SoakAnn {
       exactCached.unpersist(); Caches.releaseAll()
       val recall = if (truthRows == 0) 0.0 else matched.toDouble / truthRows
       println(f"ANNSOAK ss23recall nvec=$nVec rounds=$rRounds kWork=$rKWork " +
-        f"bucketW=$rBucketW nQueries=${truthRows / 4} " +
+        f"bucketW=$rBucketW systems=$rSystems nQueries=${truthRows / 4} " +
         f"truthRows=$truthRows matched=$matched recall=$recall%.4f " +
         f"wall=$wallRecall%.2f")
     }

@@ -553,6 +553,22 @@ object Similarity {
     "acc + IF(i < 32, f[i], -f[i])",
     "acc + IF((i div 16) % 2 = 0, f[i], -f[i])")
 
+  /** Four MORE Walsh sign patterns (dim-index masks 8, 4, 2 and 48 —
+    * sign = parity of popcount(i & mask), pairwise orthogonal to each
+    * other and to [[projPatterns]]' masks 0/1/32/16) for the soak's
+    * seed-DIVERSITY axis. SOAK_r18's 100k measurements: diversity alone
+    * at narrow K buys little (8 systems at K=8: 0.66 vs 0.60), and K
+    * alone flattens ~0.88, but the axes COMPOSE — 8 systems at K=16
+    * crosses 0.91 with every stage still linear (each extra system adds
+    * n·bucketW seed evals on the SAME fused exchange via the `sys`
+    * discriminator). The declared queries stay at the oracle-mirrored
+    * four. */
+  private val projPatternsExt: Seq[String] = Seq(
+    "acc + IF((i div 8) % 2 = 0, f[i], -f[i])",
+    "acc + IF((i div 4) % 2 = 0, f[i], -f[i])",
+    "acc + IF((i div 2) % 2 = 0, f[i], -f[i])",
+    "acc + IF(((i div 16) + (i div 32)) % 2 = 0, f[i], -f[i])")
+
   /** kG nearest neighbors within the buckets of `fb` (vec_id, fb, bk;
     * pack_ints vectors) — the seed-graph pair join shared by the
     * id-bucket and projection-rank systems. Bucket size is FIXED
@@ -606,15 +622,19 @@ object Similarity {
     *
     * The DEFAULTS are fixture-scale settings. SOAK_r18.md measures the
     * recall curve at 100k vectors: (8/16/2) reads 0.60 where the 2k
-    * fixture reads 0.94, and the knob that restores it is the WORKING
-    * WIDTH, not the round count — (16/32/3) reads 0.88 at 242 s, still
-    * linear and under the quadratic seed's 472 s, while extra rounds at
-    * K=8 plateau (+4 pts/round) and K=24 without a third round is worse
-    * on both axes. Production scales kWork/bucketW with corpus density
+    * fixture reads 0.94, and the knobs that restore it are the WORKING
+    * WIDTH and SEED DIVERSITY, not the round count — (16/32/3) reads
+    * 0.88 at 242 s, 8 projection systems at K=16 cross 0.91 at 654 s,
+    * both still linear everywhere, while extra rounds at K=8 plateau
+    * (+4 pts/round) and K=24 without a third round is worse on both
+    * axes. Production scales kWork/bucketW/systems with corpus density
     * (Dong et al. run K≈20 at million scale) and stops at 2-3 rounds. */
   private[graft] def nnDescentIterEdges(
       e: DataFrame, kWork: Int = 8, kOut: Int = 4, bucketW: Int = 16,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2, systems: Int = 4): DataFrame = {
+    require(systems >= 1 && systems <= projPatterns.size + projPatternsExt.size,
+      s"systems=$systems outside the defined Walsh pattern family")
+    val pats = (projPatterns ++ projPatternsExt).take(systems)
     val feats = intFeatures(e)
     val fbin = graft.Caches.track(packedFeatures(feats))
     // FUSED seed (r17 bench finding): the four projection systems ride
@@ -625,7 +645,7 @@ object Similarity {
     // overhead at 2k vectors). Per-system values are identical: rank,
     // buckets and the in-bucket kNN are all computed within `sys`, so
     // the unioned seed — and the per-system oracle CTEs — are unchanged.
-    val pArr = array(projPatterns.map(pat =>
+    val pArr = array(pats.map(pat =>
       expr(s"aggregate(sequence(0, size(f) - 1), 0L, (acc, i) -> $pat)")): _*)
     // rank THIN (sys, vec_id, p) rows — the vectors don't ride the range
     // exchange; the bucket assignment joins them back by id

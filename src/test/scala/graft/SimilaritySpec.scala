@@ -809,6 +809,32 @@ class SimilaritySpec extends SparkSpec {
       s"graph dedup missed too many planted duplicates: $droppedCopies/${copies.size}")
   }
 
+  test("ss23 seed-diversity knob: 8 Walsh systems yield exact edges; out-of-family counts rejected") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the soak's `systems` axis (SOAK_r18): the extended Walsh family
+    // rides the same fused exchange and must keep every emitted edge an
+    // exact integer distance; the family is defined for 1..8 only
+    val feats = intFeats()
+    val e = graft.sources.Tables.table(spark, sf001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val m = Similarity.nnDescentIterEdges(e, systems = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(m.nonEmpty)
+    m.foreach { case (v, n, _, d) =>
+      assert(v != n && BigInt(d) == sqd(feats(v), feats(n)),
+        s"edge ($v,$n) distance is not the exact integer L2")
+    }
+    m.groupBy(_._1).foreach { case (_, es) => assert(es.length <= 4) }
+    intercept[IllegalArgumentException] {
+      Similarity.nnDescentIterEdges(e, systems = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.nnDescentIterEdges(e, systems = 0)
+    }
+  }
+
   test("qp08 manifest: an edge-less corpus vector still gets a keep row with null evidence (r17 advice)") {
     import spark.implicits._
     // handcrafted graph: vectors 1 and 2 share an edge within ε, vector 3
