@@ -281,7 +281,7 @@ private[graft] object BenchRecord {
     // query_diag can reach several KB — whatever clips must be the
     // diagnostics, never the figures/total at the tail.
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17: solo children run their target once UNTIMED before the min-of-2 — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 177 plans, and charging it to the solo figure read tx33 3.7x high at r16; the stdout record caps query_diag to the 20 slowest queries (for the driver's tail-capture window) while the persisted BENCH_FULL record is uncensored; r18: the front solo window spends at most SOLO_FRONT_FRAC (default 0.6) of the budget so the back window ALWAYS gets its remainder — r17's front burned the whole 800 s on a hot box and no solo figure landed; query_diag adds box-wide /proc/stat cpu jiffy deltas per pass (user/sys/iowait/steal) so a dd14-class transient names its contention class from the round's own artifact); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17/r18: solo children run their target UNTIMED before the min-of-2, repeating (max 3) until the warmup wall stops improving >20% — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 179 plans, and charging it to the solo figure read tx33 3.7x high at r16 and every r18-preview front child 1.3-1.8x high under one warmup; the stdout record caps query_diag to the 20 slowest queries (for the driver's tail-capture window) while the persisted BENCH_FULL record is uncensored; r18: the front solo window spends at most SOLO_FRONT_FRAC (default 0.6) of the budget so the back window ALWAYS gets its remainder — r17's front burned the whole 800 s on a hot box and no solo figure landed; query_diag adds box-wide /proc/stat cpu jiffy deltas per pass (user/sys/iowait/steal) so a dd14-class transient names its contention class from the round's own artifact); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal), the
@@ -648,19 +648,37 @@ object Bench {
     // passes (the plan is rebuilt per pass; the generic warmups above
     // compile Spark's scan machinery, not the query's wide HOF
     // projections), where the suite amortizes that across 177 plans.
-    // The child therefore runs its ONE target once UNTIMED first, with
-    // the same cache hygiene as a timed run, so min-of-2 measures the
-    // plan, not the JIT. Child only: the suite's own figures keep their
+    // The child therefore runs its ONE target UNTIMED first, with the
+    // same cache hygiene as a timed run, so min-of-2 measures the plan,
+    // not the JIT. ADAPTIVE since r18: ONE warmup was not enough — in
+    // the r18 preview runs every front child still read 1.3-1.8x its
+    // in-suite witness (all four of preview 3's children flagged
+    // anomalous) because a single pass compiles tier-1 but not the C2
+    // tier of a many-stage plan's Spark internals, which the suite's
+    // 179 plans saturate. Warmups repeat (max 3) until the wall stops
+    // improving by >20%, so a plan that is warm after one pass pays at
+    // most one confirming extra run and a JIT-bound plan gets the runs
+    // it needs. Child only: the suite's own figures keep their
     // cross-round meaning.
     if (soloChild) suite.foreach { case (name, fn) =>
       try {
         val mat = collapses.getOrElseUpdate(name,
           try BenchAction.countCollapses(fn(spark, sfDir))
           catch { case NonFatal(_) => false })
-        spark.catalog.clearCache()
-        Caches.releaseAll()
-        operators.Layout.resetRefusedCounters()
-        BenchAction.run(fn(spark, sfDir), mat)
+        var prev = Double.MaxValue
+        var improving = true
+        var i = 0
+        while (improving && i < 3) {
+          spark.catalog.clearCache()
+          Caches.releaseAll()
+          operators.Layout.resetRefusedCounters()
+          val t0 = System.nanoTime()
+          BenchAction.run(fn(spark, sfDir), mat)
+          val w = (System.nanoTime() - t0) / 1e9
+          improving = w < prev * 0.8
+          prev = w
+          i += 1
+        }
       } catch { case NonFatal(_) => () }
     }
     // INTERLEAVED min-of-2: time the whole suite, then repeat the whole
