@@ -143,8 +143,12 @@ object SoakAnn {
       val rSystems = sys.env.getOrElse("NND2_SYSTEMS", "4").toInt
       spark.catalog.clearCache(); Caches.releaseAll()
       val qStep = math.max(1L, nVec / 100)
+      // residue guaranteed in range (r18 advice): pmod(id, qStep) === 3
+      // selects ZERO queries whenever qStep <= 3 (NVEC < ~400) and the
+      // soak would print a plausible-looking recall=0 line
+      val qRes = math.min(3L, qStep - 1)
       val feats = Similarity.intFeatures(corpus)
-      val q = feats.filter(pmod(col("vec_id"), lit(qStep)) === 3)
+      val q = feats.filter(pmod(col("vec_id"), lit(qStep)) === qRes)
         .select(col("vec_id").as("query_id"), col("f").as("qf"))
       val w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
       val exact = feats.join(broadcast(q), feats("vec_id") =!= q("query_id"))
@@ -155,19 +159,31 @@ object SoakAnn {
       val approx = Similarity
         .nnDescentIterEdges(corpus, kWork = rKWork, bucketW = rBucketW,
           rounds = rRounds, systems = rSystems)
-        .filter(pmod(col("vec_id"), lit(qStep)) === 3)
+        .filter(pmod(col("vec_id"), lit(qStep)) === qRes)
         .select(col("vec_id").as("query_id"), col("neighbor_id"))
-      val t0 = System.nanoTime()
+      // Timed SEPARATELY (r18 advice): the old single 'wall=' conflated
+      // the NN-Descent graph build with the brute-force truth
+      // construction + match join — oracle-harness cost that no serving
+      // deployment pays — skewing the recall-vs-cost curve the SOAK
+      // notes quote. approx_wall prices the ANN chain; harness_wall the
+      // truth/match scaffolding.
+      val tA = System.nanoTime()
+      val approxCached = approx.cache()
+      approxCached.count()
+      val wallApprox = (System.nanoTime() - tA) / 1e9
+      val tT = System.nanoTime()
       val exactCached = exact.cache()
       val truthRows = exactCached.count()
-      val matched = exactCached.join(approx, Seq("query_id", "neighbor_id")).count()
-      val wallRecall = (System.nanoTime() - t0) / 1e9
-      exactCached.unpersist(); Caches.releaseAll()
+      val matched = exactCached
+        .join(approxCached, Seq("query_id", "neighbor_id")).count()
+      val wallHarness = (System.nanoTime() - tT) / 1e9
+      exactCached.unpersist(); approxCached.unpersist(); Caches.releaseAll()
       val recall = if (truthRows == 0) 0.0 else matched.toDouble / truthRows
+      val empty = if (truthRows == 0) " NO_QUERIES_SAMPLED" else ""
       println(f"ANNSOAK ss23recall nvec=$nVec rounds=$rRounds kWork=$rKWork " +
         f"bucketW=$rBucketW systems=$rSystems nQueries=${truthRows / 4} " +
         f"truthRows=$truthRows matched=$matched recall=$recall%.4f " +
-        f"wall=$wallRecall%.2f")
+        f"approx_wall=$wallApprox%.2f harness_wall=$wallHarness%.2f$empty")
     }
 
     // frozen-index serving (st13's split): build + cache the index ONCE

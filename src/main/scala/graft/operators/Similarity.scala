@@ -628,7 +628,12 @@ object Similarity {
     * both still linear everywhere, while extra rounds at K=8 plateau
     * (+4 pts/round) and K=24 without a third round is worse on both
     * axes. Production scales kWork/bucketW/systems with corpus density
-    * (Dong et al. run K≈20 at million scale) and stops at 2-3 rounds. */
+    * (Dong et al. run K≈20 at million scale) and stops at 2-3 rounds.
+    * That production profile — (kWork 16 / bucketW 32 / 2 rounds / 8
+    * systems), recall 0.91 at 100k with every stage O(n) — is DECLARED
+    * as `ss24_nn_descent_scale` with its own unrolled oracle (r18
+    * verdict #3), so the scale-parameter rule is a hash-checked contract
+    * rather than a scaladoc promise; SOAK_r19 re-pins the 100k recall. */
   private[graft] def nnDescentIterEdges(
       e: DataFrame, kWork: Int = 8, kOut: Int = 4, bucketW: Int = 16,
       rounds: Int = 2, systems: Int = 4): DataFrame = {
@@ -690,19 +695,20 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, () => String]()
   private[graft] def knnGraphArtifactPath(s: SparkSession, dir: String,
       kWork: Int = 8, kOut: Int = 4, bucketW: Int = 16,
-      rounds: Int = 2): String = {
-    // the build PARAMETERS are part of the memo key (r17 advice): two
+      rounds: Int = 2, systems: Int = 4): String = {
+    // the build PARAMETERS are part of the memo key (r17 advice; r18
+    // advice added `systems` when the seed-diversity axis landed): two
     // callers requesting different graph shapes over one corpus snapshot
     // must get two artifacts, never silently share the first one built
     val key = dir + "|" + EtlQueries.contentFingerprint(s"$dir/embeddings.parquet") +
-      s"|k$kWork-$kOut-w$bucketW-r$rounds"
+      s"|k$kWork-$kOut-w$bucketW-r$rounds-s$systems"
     knnGraphArtifacts.computeIfAbsent(key, { _ =>
       lazy val built: String = {
         EtlQueries.sweepStaleFixtures("graft_knngraph_")
         val f = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_knngraph_${ProcessHandle.current().pid()}_${EtlQueries.fixtureKey(key)}")
         val path = f.getAbsolutePath
-        nnDescentIterEdges(emb(s, dir), kWork, kOut, bucketW, rounds)
+        nnDescentIterEdges(emb(s, dir), kWork, kOut, bucketW, rounds, systems)
           .write.mode("overwrite").parquet(path)
         sys.addShutdownHook {
           def rm(x: java.io.File): Unit = {
@@ -1279,6 +1285,24 @@ object Similarity {
     "ss23_nn_descent_iter" ->
       ((s, dir) => nnDescentIterEdges(emb(s, dir)).orderBy("vec_id", "rk")),
 
+    // PRODUCTION-PROFILE iterated NN-Descent (ss24, r19 — r18 verdict
+    // #3): ss23's exact machinery at the parameters SOAK_r18 measured to
+    // hold recall at 100k vectors — working width 16, seed buckets 32,
+    // ALL EIGHT orthogonal Walsh projection systems, 2 rounds — where
+    // the fixture-scale (8/16/4/2) read 0.60 at 100k vs 0.94 at 2k.
+    // SOAK_r18's 100k row for this profile: recall 0.9100, every stage
+    // still O(n) (seed n·32·8 distance evals on ONE fused range
+    // exchange via the sys discriminator; each round ≤ (4·16)²
+    // candidates/vertex under the 2·16 reverse cap). Declaring it makes
+    // the scale profile an ORACLE-CHECKED property, not a soak footnote:
+    // the oracle unrolls the eight projection seeds + both rounds at
+    // k=16 via the same parameterized CTE builder ss23 uses. ss23 stays
+    // declared beside it as the fixture profile (2k vectors saturate at
+    // width 8; its oracle is 4× lighter). All-integer — hash-exact.
+    "ss24_nn_descent_scale" ->
+      ((s, dir) => nnDescentIterEdges(emb(s, dir), kWork = 16, kOut = 4,
+        bucketW = 32, rounds = 2, systems = 8).orderBy("vec_id", "rk")),
+
     // IVF RANGE search (r14) — FAISS's range_search: everything within
     // ε², exactly; the index prunes cells via the triangle inequality
     // but the answer is the brute-force truth set (see [[ivfRangeSearch]]
@@ -1799,13 +1823,15 @@ object Similarity {
         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
         |    FROM cd$i) WHERE rk <= $k)""".stripMargin)
 
-  /** One ss23 seed system as oracle CTEs: rank the corpus by projection
-    * `pcol` (a `prj` column), cut into width-16 buckets, kNN to `k`
-    * within the bucket — [[exactRank]] + [[bucketSeed]] mirrored. */
-  private def projSeedOracle(j: Int, pcol: String, k: Int): String =
+  /** One ss23/ss24 seed system as oracle CTEs: rank the corpus by
+    * projection `pcol` (a `prj` column), cut into width-`bucketW`
+    * buckets, kNN to `k` within the bucket — [[exactRank]] +
+    * [[bucketSeed]] mirrored. */
+  private def projSeedOracle(j: Int, pcol: String, k: Int,
+      bucketW: Int = 16): String =
     s""",
         |bk$j AS (
-        |  SELECT vec_id, (ROW_NUMBER() OVER (ORDER BY $pcol, vec_id) - 1) // 16 AS bk
+        |  SELECT vec_id, (ROW_NUMBER() OVER (ORDER BY $pcol, vec_id) - 1) // $bucketW AS bk
         |  FROM prj),
         |sp$j AS (
         |  SELECT vec_id, neighbor_id FROM (
@@ -1819,15 +1845,32 @@ object Similarity {
         |      JOIN f fb ON fb.vec_id = b.vec_id AND fb.dim = fa.dim
         |      GROUP BY 1, 2) pr) WHERE rk <= $k)""".stripMargin
 
-  /** ss23's full oracle CTE chain — integer features, the four ±1 sign
-    * projections (prj), each ranked / width-16-bucketed / kNN'd to the
-    * working width 8 ([[projSeedOracle]]), their union as the seed g0,
-    * then [[nnDescentOracleRound]] unrolls both NN-Descent rounds at
-    * k=8, ending at the final candidate set `cd2`. Shared by the ss23
-    * oracle (which ranks cd2 to the emitted 4) and qp08's manifest
-    * oracle (which additionally applies the min-id ε-prune). */
-  private lazy val nnDescentIterCtes: String =
-    """WITH f AS (
+  /** The eight Walsh sign patterns as DuckDB SUM expressions over the
+    * flattened (vec_id, dim, fv) features — [[projPatterns]] (masks
+    * 0/1/32/16) then [[projPatternsExt]] (masks 8/4/2/48), index-aligned
+    * with the Spark side so `systems = n` means THE SAME first n
+    * projections in both engines. */
+  private val projSqlExprs: Seq[String] = Seq(
+    "fv",
+    "CASE WHEN dim % 2 = 0 THEN fv ELSE -fv END",
+    "CASE WHEN dim < 32 THEN fv ELSE -fv END",
+    "CASE WHEN (dim // 16) % 2 = 0 THEN fv ELSE -fv END",
+    "CASE WHEN (dim // 8) % 2 = 0 THEN fv ELSE -fv END",
+    "CASE WHEN (dim // 4) % 2 = 0 THEN fv ELSE -fv END",
+    "CASE WHEN (dim // 2) % 2 = 0 THEN fv ELSE -fv END",
+    "CASE WHEN ((dim // 16) + (dim // 32)) % 2 = 0 THEN fv ELSE -fv END")
+
+  /** [[nnDescentIterEdges]]'s oracle chain at arbitrary parameters —
+    * integer features, the first `systems` ±1 sign projections (prj),
+    * each ranked / width-`bucketW`-bucketed / kNN'd to the working width
+    * `k` ([[projSeedOracle]]), their union as the seed g0, then
+    * [[nnDescentOracleRound]] unrolls each NN-Descent round at `k`,
+    * ending at the final candidate set `cd$rounds`. The consumer ranks
+    * that set to its emitted kOut (and qp08 additionally applies the
+    * min-id ε-prune). */
+  private def nnDescentIterCtesAt(
+      k: Int, bucketW: Int, systems: Int, rounds: Int): String =
+    s"""WITH f AS (
         |  SELECT vec_id, i AS dim,
         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
         |      + 1000000 AS fv
@@ -1835,19 +1878,22 @@ object Similarity {
         |        FROM embeddings)),
         |prj AS (
         |  SELECT vec_id,
-        |    SUM(fv) AS p0,
-        |    SUM(CASE WHEN dim % 2 = 0 THEN fv ELSE -fv END) AS p1,
-        |    SUM(CASE WHEN dim < 32 THEN fv ELSE -fv END) AS p2,
-        |    SUM(CASE WHEN (dim // 16) % 2 = 0 THEN fv ELSE -fv END) AS p3
+        |    ${(0 until systems).map(j => s"SUM(${projSqlExprs(j)}) AS p$j")
+             .mkString(",\n    ")}
         |  FROM f GROUP BY 1)""".stripMargin +
-      (0 to 3).map(j => projSeedOracle(j, s"p$j", 8)).mkString + """,
+      (0 until systems).map(j => projSeedOracle(j, s"p$j", k, bucketW)).mkString +
+      s""",
         |g0 AS (
-        |  SELECT vec_id, neighbor_id FROM sp0
-        |  UNION SELECT vec_id, neighbor_id FROM sp1
-        |  UNION SELECT vec_id, neighbor_id FROM sp2
-        |  UNION SELECT vec_id, neighbor_id FROM sp3)""".stripMargin +
-      nnDescentOracleRound(1, "g0", 8) +
-      nnDescentOracleRound(2, "g1", 8, emitG = false)
+        |  ${(0 until systems).map(j => s"SELECT vec_id, neighbor_id FROM sp$j")
+             .mkString("\n  UNION ")})""".stripMargin +
+      (1 to rounds).map(i =>
+        nnDescentOracleRound(i, s"g${i - 1}", k, emitG = i < rounds)).mkString
+
+  /** ss23's full oracle CTE chain — the declared fixture parameters
+    * (working width 8, bucket width 16, 4 systems, 2 rounds); shared by
+    * the ss23 oracle and qp08's manifest oracle. ss24 instantiates the
+    * same builder at the production profile. */
+  private lazy val nnDescentIterCtes: String = nnDescentIterCtesAt(8, 16, 4, 2)
 
   val oracle: Map[String, String] = Map(
     // Mirrors ss14 term-for-term with the two Lloyd rounds unrolled as
@@ -1981,6 +2027,20 @@ object Similarity {
     // emitted 4. Reused CTEs are MATERIALIZEd by the assembly pass.
     "ss23_nn_descent_iter" ->
       (nnDescentIterCtes + """
+        |SELECT vec_id, neighbor_id, CAST(rk AS INT) AS rk,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM (
+        |  SELECT vec_id, neighbor_id, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS rk
+        |  FROM cd2)
+        |WHERE rk <= 4
+        |ORDER BY vec_id, rk""".stripMargin),
+    // Mirrors ss24: the SAME parameterized CTE builder as ss23,
+    // instantiated at the production profile — working width 16, bucket
+    // width 32, all eight Walsh sign projections (p0–p7), both NN-Descent
+    // rounds unrolled at k=16 — final select ranks cd2 to the emitted 4.
+    "ss24_nn_descent_scale" ->
+      (nnDescentIterCtesAt(16, 32, 8, 2) + """
         |SELECT vec_id, neighbor_id, CAST(rk AS INT) AS rk,
         |  CAST(dist AS BIGINT) AS dist
         |FROM (

@@ -19,6 +19,32 @@ object TextAnalysis {
   private val EnStop = "\\b(the|a|of|and|to|in|is|on|for|with)\\b"
   private val Punct = "[.,!?;:]"
 
+  /** tx19's seeded deterministic shard + write position, appended to any
+    * frame carrying `doc_id` (other columns ride through): h = md5 over
+    * seed + doc_id (stable across runs AND cluster layouts, unlike any
+    * rand()), shard = h's first `nibbles` hex chars, pos = rank within
+    * the shard by (h, doc_id). Shared by tx19/tx37 and the qp01/qp02/
+    * qp03/qp06 manifests.
+    *
+    * `nibbles` is the SHARD-WIDTH knob (r18 verdict #4): one nibble = 16
+    * shards = 16 reducer tasks under the rank window — right for the
+    * fixture and for oracle stability, but at 100 TB that is ~6 TB
+    * through each reducer. Production runs 2–4 nibbles (256–65,536
+    * shards); the rank SEMANTICS are nibble-count-independent — widening
+    * the prefix only REFINES the shards (every w+1-nibble shard is a
+    * subset of its w-nibble parent) and the within-shard order is the
+    * same (h, doc_id) sort at every width, so two docs sharing the wider
+    * shard keep their relative order from the narrower one
+    * (TextAnalysisSpec pins both properties). */
+  private[graft] def seededShardPos(df: DataFrame, nibbles: Int = 1): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
+    df.withColumn("h", h)
+      .withColumn("shard", substring(col("h"), 1, nibbles))
+      .withColumn("pos",
+        row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: stopword-density heuristic over lowered text.
     "tx01_langid" -> ((s, dir) => {
@@ -314,11 +340,7 @@ object TextAnalysis {
         .filter(!substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1)
           .isin("d", "e", "f"))
         .select("doc_id")
-      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
-      train.select(col("doc_id"), h.as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos",
-          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+      seededShardPos(train.select("doc_id"))
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
     }),
@@ -350,11 +372,7 @@ object TextAnalysis {
         .join(broadcast(budgets), "lang")
         .filter(col("rk") <= col("budget"))
       val train = mixed.filter(!substring(col("fp"), 1, 1).isin("d", "e", "f"))
-      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
-      train.select(col("doc_id"), col("lang"), h.as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos",
-          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+      seededShardPos(train.select(col("doc_id"), col("lang")))
         .select("doc_id", "lang", "shard", "pos")
         .orderBy("doc_id")
     }),
@@ -417,11 +435,7 @@ object TextAnalysis {
           (col("n_ws") - col("n_cut_tokens")).cast("int").as("n_tokens_kept"))
       val train = accepted.join(batch.select("doc_id", "fp"), "doc_id")
         .filter(!substring(col("fp"), 1, 1).isin("d", "e", "f"))
-      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
-      train.select(col("doc_id"), h.as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos",
-          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+      seededShardPos(train.select("doc_id"))
         .join(tokensKept, "doc_id")
         .select("doc_id", "shard", "pos", "n_tokens_kept")
         .orderBy("doc_id")
@@ -476,11 +490,7 @@ object TextAnalysis {
           row_number().over(W.partitionBy("fp").orderBy("doc_id")))
         .filter(col("rn") === 1)
       val train = first.filter(!substring(col("fp"), 1, 1).isin("d", "e", "f"))
-      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
-      train.select(col("doc_id"), h.as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos",
-          row_number().over(W.partitionBy("shard").orderBy("h", "doc_id")))
+      seededShardPos(train.select("doc_id"))
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
     }),
@@ -869,17 +879,22 @@ object TextAnalysis {
     // then a per-shard sort — exactly the shuffle a sharded writer pays
     // anyway, never a global single-partition order. Changing the seed
     // literal reshuffles everything deterministically.
-    "tx19_shuffle_shards" -> ((s, dir) => {
-      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")).cast("binary"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("h", "doc_id")
-      table(s, dir, "documents")
-        .select(col("doc_id"), h.as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-        .withColumn("pos", row_number().over(w))
+    "tx19_shuffle_shards" -> ((s, dir) =>
+      seededShardPos(table(s, dir, "documents").select("doc_id"))
         .select("doc_id", "shard", "pos")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // tx19 at PRODUCTION shard width (tx37, r19 — r18 verdict #4): the
+    // same seeded shuffle cut on the hash's first TWO nibbles — 256
+    // shards, so the rank window has 256 partitions instead of 16 (~6 TB
+    // per reducer at 100 TB shrinks to ~400 GB; production picks 2–4
+    // nibbles by corpus size). Declared with its own mirrored oracle so
+    // the width knob is hash-checked, not just spec-asserted; see
+    // [[seededShardPos]] for the width-independence contract.
+    "tx37_shuffle_shards_wide" -> ((s, dir) =>
+      seededShardPos(table(s, dir, "documents").select("doc_id"), nibbles = 2)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
 
     // Token-budget sequence packing: assign contiguous (per-source,
     // doc_id-ordered) documents to fixed-budget training bins via an
@@ -2295,6 +2310,15 @@ object TextAnalysis {
         |SELECT doc_id, substring(h, 1, 1) AS shard,
         |  CAST(ROW_NUMBER() OVER (
         |    PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // tx19's mirror at the 2-nibble production width (256 shards)
+    "tx37_shuffle_shards_wide" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, substring(h, 1, 2) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY substring(h, 1, 2) ORDER BY h, doc_id) AS INT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
     "tx15_subword_tokens" ->
       s"""$subwordCtePrelude

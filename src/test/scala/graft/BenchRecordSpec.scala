@@ -33,6 +33,15 @@ class BenchRecordSpec extends AnyFunSuite {
       results, None, soloIncomplete = true, load, 0, "/d", Nil, Nil)
     assert((parse(full) \ "solo_failed").values == true)
     assert((parse(compact) \ "solo_failed").values == true)
+    // ZERO-coverage attempted run (r18 verdict #1): the record must
+    // still carry the cross-round comparable total — degenerate to the
+    // in-suite value — plus an explicit solo_coverage: 0, so the round
+    // where every child dies on a hot box parses uniformly against every
+    // other round's record.
+    for (line <- Seq(full, compact)) {
+      assert((parse(line) \ "value_solo_adjusted").values == 3.75, line)
+      assert((parse(line) \ "solo_coverage").values == 0, line)
+    }
     // a PARTIAL pass carries the figures that landed, the flag, AND the
     // adjusted total (r17 verdict #1: partial adjustment beats a missing
     // artifact — the round that lost every solo figure also lost the one
@@ -44,6 +53,7 @@ class BenchRecordSpec extends AnyFunSuite {
       assert((parse(line) \ "queries_solo" \ "q_heavy").values == 1.5, line)
       assert((parse(line) \ "solo_failed").values == true, line)
       assert((parse(line) \ "value_solo_adjusted").values == 2.0, line)
+      assert((parse(line) \ "solo_coverage").values == 1, line)
     }
     val (f2, c2) = BenchRecord.render(
       results, None, soloIncomplete = false, load, 0, "/d", Nil, Nil)
@@ -131,6 +141,19 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!dm.contains("\"fast\""), dm)
     // no candidates at all -> empty fragment, not an empty object
     assert(BenchRecord.diagMeta(Seq("fast" -> 0.1), Nil, diag) == "")
+  }
+
+  test("boxPct renders run-wide steal/iowait as % of capacity, both or neither (r18 #2)") {
+    // 100 s on 32 cpus = 320,000 jiffies capacity; steal 640 = 0.20 %,
+    // iowait 320 = 0.10 %
+    val frag = BenchRecord.boxPct(100.0, 32, Some((300000L, 9000L, 320L, 640L)))
+    val j = parse("{" + frag.stripPrefix(",") + "}")
+    assert((j \ "steal_pct").values == 0.2, frag)
+    assert((j \ "iowait_pct").values == 0.1, frag)
+    // unreadable /proc/stat or a degenerate window → no fields at all,
+    // never a zero that reads as "measured quiet"
+    assert(BenchRecord.boxPct(100.0, 32, None) == "")
+    assert(BenchRecord.boxPct(0.0, 32, Some((1L, 1L, 1L, 1L))) == "")
   }
 
   test("a failed query keeps the sentinel total beside the solo field in both lines") {

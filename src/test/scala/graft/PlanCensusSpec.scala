@@ -54,6 +54,9 @@ class PlanCensusSpec extends SparkSpec {
     "q40_window_extras",
     "q33_range_frame", "qp01_training_manifest", "rj01_time_range_join",
     "tx14_pack_sequences", "tx16_pack_subword", "tx19_shuffle_shards",
+    // tx37 is tx19 at the 2-nibble shard width — same cardinality-
+    // preserving rank window, same legal collapse under a bare count
+    "tx37_shuffle_shards_wide",
     "tx20_bigram_logprob", "tx21_backoff_heldout", "tx22_nb_source_score",
     // the r11 evidence twins end in LEFT joins on unique keys, which
     // Catalyst eliminates under a bare count exactly like their score

@@ -737,6 +737,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byPos != byPos.sorted, "within-shard order must be shuffled, not doc_id order")
   }
 
+  test("tx37/tx19: shard rank logic is nibble-count-independent (r18 verdict #4)") {
+    // the width knob must only REFINE the shards and keep the within-
+    // shard order — the contract that licenses widening the prefix at
+    // 100 TB (16 → 256/4096 reducers) without changing what any trainer
+    // reads. Two properties over the declared 1- and 2-nibble outputs:
+    // (a) every 2-nibble shard key extends the doc's 1-nibble key;
+    // (b) any two docs sharing a 2-nibble shard keep the relative order
+    //     they have in the containing 1-nibble shard (same (h, doc_id)
+    //     sort at every width).
+    def grab(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf001)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val narrow = grab("tx19_shuffle_shards")
+    val wide = grab("tx37_shuffle_shards_wide")
+    assert(narrow.keySet == wide.keySet, "same docs at both widths")
+    wide.foreach { case (doc, (s2, _)) =>
+      assert(s2.startsWith(narrow(doc)._1), s"doc $doc: shard $s2 !⊇ ${narrow(doc)._1}")
+    }
+    assert(wide.values.map(_._1).toSet.size > 16, "2 nibbles must actually refine")
+    wide.groupBy(_._2._1).values.filter(_.size >= 2).foreach { docs =>
+      val byWide = docs.toSeq.sortBy(_._2._2).map(_._1)
+      val byNarrow = docs.toSeq.sortBy { case (d, _) => narrow(d)._2 }.map(_._1)
+      assert(byWide == byNarrow,
+        s"within-shard relative order changed with the width: $byWide vs $byNarrow")
+    }
+  }
+
   test("ngramHashes matches WordNgrams' tokenization on adversarial texts") {
     // the corpus shapes where shingleHashes diverges from WordNgrams —
     // trailing spaces (empty tokens kept by split limit -1) and <n-word
