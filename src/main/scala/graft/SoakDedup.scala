@@ -50,10 +50,15 @@ object SoakDedup {
     def wordAt(idExpr: String, keep: String): String =
       // position p's word for doc `idExpr`; positions matching `keep`
       // come from the base vocab ('w...'), others from a disjoint
-      // perturbation vocab ('x...') that shares no shingle with base
+      // perturbation vocab ('x...') that shares no shingle with base.
+      // Murmur3 hash(id, p) mixing, NOT a linear congruence: word(p) =
+      // (id·C + p·D) mod V gives every doc the same step D mod V, so
+      // docs whose id gap lands near a small multiple of the step are
+      // SHIFTED copies (the first cut measured 8k spurious j≥0.7 pairs
+      // at 2.4k docs — an arithmetic artifact, not a corpus property)
       s"""IF($keep,
-         |  concat('w', pmod($idExpr * 2654435761 + p * 40503, $V)),
-         |  concat('x', pmod($idExpr * 31 + p, $V)))""".stripMargin
+         |  concat('w', pmod(hash($idExpr, p), $V)),
+         |  concat('x', pmod(hash($idExpr, p, 7), $V)))""".stripMargin
     def textExpr(idExpr: String, keep: String) =
       expr(s"concat_ws(' ', transform(sequence(0, ${W - 1}), p -> ${wordAt(idExpr, keep)}))")
 

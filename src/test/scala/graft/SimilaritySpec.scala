@@ -835,6 +835,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ss24 production profile: linear plan, exact edges, fixture recall >= ss23's") {
+    // the DECLARED scale profile (r18 verdict #3): kWork 16 / bucketW 32 /
+    // 8 systems / 2 rounds — SOAK_r18 measured 0.91 at 100k where the
+    // fixture profile read 0.60; on the saturated 2k-vector fixture the
+    // wider profile must at least not LOSE recall, its edges stay exact
+    // integers, and the plan keeps ss23's linear shape (no trained-cell
+    // centroid cross join, map-side WindowGroupLimit heaps)
+    val feats = intFeats()
+    val df = Similarity.queries("ss24_nn_descent_scale")(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-vertex ranks must plan as WindowGroupLimit")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      "ss24's plan must not contain the trained-cell centroid cross join")
+    val e24 = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    val e23 = Similarity.queries("ss23_nn_descent_iter")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.Caches.releaseAll()
+    assert(e24.nonEmpty)
+    e24.foreach { case (v, n, _, d) =>
+      assert(v != n && BigInt(d) == sqd(feats(v), feats(n)),
+        s"edge ($v,$n) distance is not the exact integer L2")
+    }
+    e24.groupBy(_._1).foreach { case (_, es) => assert(es.length <= 4) }
+    val truth = feats.map { case (v, fv) =>
+      v -> feats.toSeq.filter(_._1 != v)
+        .map { case (n, fn) => (sqd(fv, fn), n) }.sorted.take(4)
+        .map(_._2).toSet
+    }
+    def recall(edges: Map[Long, Vector[Long]]): Double = {
+      val hits = truth.toSeq.map { case (v, t) =>
+        edges.getOrElse(v, Vector.empty).count(t).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    val r23 = recall(e23.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toVector })
+    val r24 = recall(e24.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toVector })
+    info(f"fixture recall@4: ss23 $r23%.4f -> ss24 $r24%.4f")
+    assert(r24 >= r23,
+      s"the production profile must not lose recall on the fixture: $r23 -> $r24")
+  }
+
   test("qp08 manifest: an edge-less corpus vector still gets a keep row with null evidence (r17 advice)") {
     import spark.implicits._
     // handcrafted graph: vectors 1 and 2 share an edge within ε, vector 3
