@@ -111,20 +111,31 @@ private[graft] object SoloScheduler {
   def anomalous(figs: Seq[(String, Double)], inSuite: Map[String, Double]): Seq[String] =
     figs.collect { case (n, v) if v > inSuite.getOrElse(n, Double.MaxValue) * 1.25 => n }
 
-  /** Back-window plan, once the suite has run: `_1` — the in-suite top-N
-    * targets the front window didn't land (slowest-first; the back
-    * window's own suspect ordering re-sorts, but a stable input keeps
-    * the record deterministic); `_2` — the tail-resample target: the
-    * FIRST pinned suspect with a front figure (its early slot is the one
-    * a front-of-run contention era would poison; the resample is now
-    * time-spaced by the entire suite, min kept — r12's bounded answer to
-    * multi-minute contention eras no load gate sees), else the heaviest
-    * back target (prior behavior when no suspects are configured). */
+  /** Back-window plan, once the suite has run: `_1` — pinned suspects
+    * the front window did NOT land (r19: a front pin whose child crashed
+    * or was budget-squeezed must get its second chance even when its
+    * in-suite wall keeps it out of the top-N — two r19 previews lost
+    * dd14's figure to exactly this gap: its ~4 s wall is never top-6, so
+    * a front timeout was final; pins lead the list because the suspect
+    * ordering in [[phase]] runs them first anyway, and a pin whose
+    * in-suite run FAILED is excluded — its child would fail the same
+    * way), then the in-suite top-N targets the front didn't land
+    * (slowest-first; the back window's own suspect ordering re-sorts,
+    * but a stable input keeps the record deterministic); `_2` — the
+    * tail-resample target: the FIRST pinned suspect with a front figure
+    * (its early slot is the one a front-of-run contention era would
+    * poison; the resample is now time-spaced by the entire suite, min
+    * kept — r12's bounded answer to multi-minute contention eras no
+    * load gate sees), else the heaviest back target (prior behavior
+    * when no suspects are configured). */
   def backPlan(frontFigs: Seq[(String, Double)], inSuite: Seq[(String, Double)],
       topN: Int, cfg: Config): (Seq[String], Option[String]) = {
     val landed = frontFigs.map(_._1).toSet
-    val topTargets = inSuite.filter(_._2 >= 0).sortBy(-_._2).take(topN).map(_._1)
-    val back = topTargets.filterNot(landed)
+    val ok = inSuite.filter(_._2 >= 0)
+    val okNames = ok.map(_._1).toSet
+    val topTargets = ok.sortBy(-_._2).take(topN).map(_._1)
+    val missedPins = cfg.suspects.filterNot(landed).filter(okNames)
+    val back = (missedPins ++ topTargets.filterNot(landed)).distinct
     val resample = cfg.suspects.find(landed).orElse(back.headOption)
     (back, resample)
   }

@@ -156,6 +156,19 @@ class SoloSchedulerSpec extends AnyFunSuite {
     // failed queries (wall -1) never become targets
     val (back3, _) = SoloScheduler.backPlan(Nil, Seq("a" -> -1.0, "b" -> 2.0), 2, cfg)
     assert(back3 == Seq("b"))
+    // a front-MISSED pin leads the back list even when its in-suite wall
+    // keeps it out of the top-N (r19: two previews lost dd14's ~4s-wall
+    // figure to a front timeout because only top-N queries got retried) —
+    // and a pin whose in-suite run FAILED stays excluded
+    val (back4, res4) = SoloScheduler.backPlan(
+      Seq("heavy" -> 3.0), suite, topN = 2, cfg)
+    assert(back4 == Seq("mid", "newbie"),
+      "the missed cheap pin must lead, then the unlanded top-N")
+    assert(res4.contains("heavy"))
+    val (back5, _) = SoloScheduler.backPlan(
+      Seq("heavy" -> 3.0), Seq("heavy" -> 20.0, "mid" -> -1.0, "newbie" -> 8.0),
+      topN = 2, cfg)
+    assert(back5 == Seq("newbie"), "an in-suite-failed pin is not retried")
   }
 
   test("front cap is fail-soft: hot front children cannot starve the back window (r17 verdict #1)") {
