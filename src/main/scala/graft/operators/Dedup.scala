@@ -878,6 +878,26 @@ object Dedup {
         table(s, dir, "documents").filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")),
 
+    // PRODUCTION-PROFILE fuzzy dedup (dd20, r19 — the ss24 pattern
+    // applied to the dedup family): dd10's end-to-end pipeline DECLARED
+    // at the signature/band parameters SOAK_r19 §2 measured as the clean
+    // production point on a ~96k-doc corpus with planted j ≈ 0.73 twins
+    // — k = 128 minhashes in 32 bands × 4 rows, where the S-curve
+    // 1-(1-j^4)^32 reads 0.9998 at j = 0.7 (vs the 16 × 4 default's
+    // 0.988) and the soak measured recall 1.0000 with only 1.2 % wasted
+    // verifies (doubling the signature budget sharpens each band without
+    // flattening the curve's high end; 32 × 2 buys the same recall for
+    // 1.46× the candidate volume, 16 × 8 is too sharp even at k = 128).
+    // Declaring it makes the production band config an oracle-checked
+    // contract rather than a soak footnote: the plan differs from dd10
+    // in every blocking stage (wider signatures, twice the band
+    // explosion, different bucket keys), while the OUTPUT equals the
+    // exact all-pairs survivors whenever recall is 1 — so it shares
+    // dd10's oracle verbatim (the tx36 ≡ tx15 / st06 / dd19 shared-
+    // oracle precedent), licensed by its own gate-scale recall-1 spec.
+    "dd20_fuzzy_dedup_wide" -> ((s, dir) =>
+      fuzzyDedupSurvivors(table(s, dir, "documents"), k = 128, bands = 32)),
+
     // Exact SUBSTRING dedup — the sequence-level recipe of Lee et al. 2021
     // ("Deduplicating Training Data Makes Language Models Better",
     // arXiv:2107.06499): a span that recurs VERBATIM across documents is
@@ -1547,6 +1567,30 @@ object Dedup {
         |LEFT JOIN hot ON d.source = hot.source
         |ORDER BY d.source""".stripMargin
 
+  /** The exact all-pairs fuzzy-dedup survivors — dd10's oracle, shared
+    * verbatim by dd20 (any banded config with recall 1 emits exactly
+    * this set; each sharer carries its own gate-scale recall-1 spec). */
+  private val exactSurvivorsOracleSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
+      |edges AS (
+      |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id_a, id_a FROM edges
+      |  UNION
+      |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id),
+      |drops AS (SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd09_dup_clusters_logn" -> clustersOracle,
     // Mirrors dd12 exactly: 8-token window hashes, cross-doc dup set,
@@ -1659,26 +1703,12 @@ object Dedup {
     // min. Valid as dd10's oracle because gate-scale recall is exactly 1
     // (DedupSpec asserts candidates ⊇ the all-pairs truth); the oracle's
     // all-pairs join is the O(n²) form the engine exists to avoid.
-    "dd10_fuzzy_dedup" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, rr.r FROM edges e JOIN reach rr ON e.id_b = rr.id),
-        |drops AS (SELECT id FROM reach GROUP BY id HAVING id != MIN(r))
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM drops) ORDER BY doc_id""".stripMargin,
+    "dd10_fuzzy_dedup" -> exactSurvivorsOracleSql,
+    // dd20 shares dd10's oracle verbatim: at recall 1 — spec-asserted
+    // for the (k 128, 32 × 4) config at gate scale, soak-measured at
+    // ~96k docs — any band configuration's survivors ARE the exact
+    // all-pairs survivors (the tx36 ≡ tx15 shared-oracle precedent).
+    "dd20_fuzzy_dedup_wide" -> exactSurvivorsOracleSql,
     // dd11: the same exact closure RESTRICTED to batch-touching edges
     // (odd = batch, even = existing — dd07's deterministic split), with
     // the greedy ingest rule: a batch doc survives iff its component has

@@ -241,6 +241,39 @@ class DedupSpec extends SparkSpec {
     assert(missed == 0, s"LSH missed $missed of $nTruth true pairs")
   }
 
+  test("dd20's production banding (k=128, 32x4) also covers the truth; survivors equal dd10's") {
+    // dd20's oracle license (SOAK_r19 §2's clean production point,
+    // declared the way ss24 declared the ANN scale profile): at the
+    // gate corpus the 32 × 4 banding over 128 minhashes must reach
+    // recall 1 vs the all-pairs j >= 0.7 truth — the S-curve reads
+    // 0.9998 at j = 0.7 vs the 16 × 4 default's 0.988 — and at recall
+    // 1 ANY banding's survivors are the exact all-pairs survivors, so
+    // dd20 must equal dd10 row-for-row even though every blocking
+    // stage (signature width, band explosion, bucket keys) differs.
+    val sfDir = "/root/testdata/sf0.01"
+    val gate = graft.sources.Tables.table(spark, sfDir, "documents")
+    val d = Dedup.fuzzySigs(gate, k = 128).cache()
+    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val truth = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("inter",
+        graft.functions.SketchExprs.sortedLongIntersectCount($"sh_a", $"sh_b"))
+      .filter($"inter" / (size($"sh_a") + size($"sh_b") - $"inter") >= 0.7)
+      .select("id_a", "id_b")
+    val cand = Dedup.fuzzyCandidatePairs(d, bands = 32, rows = 4)
+    val missed = truth.exceptAll(cand).count()
+    val nTruth = truth.count()
+    d.unpersist()
+    assert(nTruth > 0, "gate corpus must contain j >= 0.7 near-dup pairs")
+    assert(missed == 0, s"wide LSH missed $missed of $nTruth true pairs")
+    val dd10 = Dedup.queries("dd10_fuzzy_dedup")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val dd20 = Dedup.queries("dd20_fuzzy_dedup_wide")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(dd20 == dd10, "recall-1 bandings must emit identical survivor sets")
+    graft.Caches.releaseAll()
+  }
+
   test("dd11 ingest rule: existing-dup batch docs drop, batch-only chains keep their min") {
     // existing (even): 2, 4, 6; batch (odd): 1, 3, 5, 7, 9.
     //  - 1 near-dups existing 2         -> dropped (canonical in corpus)
