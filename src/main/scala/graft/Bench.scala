@@ -167,6 +167,26 @@ private[graft] object BenchRecord {
       s""","steal_pct":${f(st / cap * 100)},"iowait_pct":${f(iow / cap * 100)}"""
     }.getOrElse("")
 
+  /** The `solo_budget` record fragment, factored here so the spec can
+    * pin its shape (r19). `child_steal_pct` / `child_sys_pct` annotate
+    * EVERY attempted child's life steal / kernel share: steal names a
+    * hypervisor co-tenant (r18's carrier), sys a kernel-reclaim burst
+    * (preview 6's — sys jiffies 12× at identical user work, near-zero
+    * steal), so both failure classes are attributable from the artifact
+    * alone. Empty child maps omit their field. */
+  def soloBudgetMeta(budgetSec: Double, spent: Double, frontSpent: Double,
+      skipped: Seq[String], failed: Seq[String], failedHot: Seq[String],
+      anomalous: Seq[String], childSteal: Seq[(String, Double)],
+      childSys: Seq[(String, Double)]): String = {
+    def jlist(k: String, xs: Seq[String]): String =
+      if (xs.isEmpty) "" else xs.map("\"" + _ + "\"").mkString(s""","$k":[""", ",", "]")
+    val stealField =
+      if (childSteal.isEmpty) "" else ""","child_steal_pct":""" + qmap(childSteal)
+    val sysField =
+      if (childSys.isEmpty) "" else ""","child_sys_pct":""" + qmap(childSys)
+    s""","solo_budget":{"sec":${f(budgetSec)},"spent":${f(spent)},"front_spent":${f(frontSpent)}${jlist("skipped", skipped)}${jlist("failed", failed)}${jlist("failed_hot", failedHot)}${jlist("anomalous", anomalous)}$stealField$sysField}"""
+  }
+
   /** One timed run's JVM telemetry (r15 verdict #1 / optional #7): all
     * captured OUTSIDE the query clock. `gcMs`/`gcN` are collector deltas
     * across the timed region; `gcSettleSec` is the pre-run System.gc()'s
@@ -321,7 +341,7 @@ private[graft] object BenchRecord {
     // query_diag can reach several KB — whatever clips must be the
     // diagnostics, never the figures/total at the tail.
     val full =
-      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17/r18: solo children run their target UNTIMED before the min-of-2, repeating (max 3) until the warmup wall stops improving >20% — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 179 plans, and charging it to the solo figure read tx33 3.7x high at r16 and every r18-preview front child 1.3-1.8x high under one warmup; the stdout record caps query_diag to the 20 slowest queries (for the driver's tail-capture window) while the persisted BENCH_FULL record is uncensored; r18: the front solo window spends at most SOLO_FRONT_FRAC (default 0.6) of the budget so the back window ALWAYS gets its remainder — r17's front burned the whole 800 s on a hot box and no solo figure landed; query_diag adds box-wide /proc/stat cpu jiffy deltas per pass (user/sys/iowait/steal) so a dd14-class transient names its contention class from the round's own artifact; r19: value_solo_adjusted is emitted on EVERY solo-attempted run — zero landed figures degenerate it to value with solo_coverage:0 — steal_pct/iowait_pct in the load block are the run-wide /proc/stat deltas as % of box capacity, solo children over cap at measured steal >2% get one bounded extension (cap x min(0.5, steal x 5)) instead of a kill, every attempted child's life-steal rides solo_budget.child_steal_pct, and a child that died hot classifies as failed_hot, not failed); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
+      s"""{"metric":"total","unit":"sec","timing":"min-of-2 passes (pass_b reversed order) + targeted 3rd; System.gc() before each timed region; queries_solo = fresh-JVM rerun of the heavy set (r12: suite-context JVM pressure survives gc+reversal, so grade heavy-query regressions on solo, value stays the in-suite sum; r15: two windows inside ONE hard wall budget — the pinned heavy set runs FRONT, on the quiet pre-suite box with no settle; the post-suite window covers in-suite top-N queries the front missed plus one suite-spaced resample of the first suspect, min kept; solo_budget.skipped = budget-exhausted never-attempted targets, solo_budget.failed = attempted children that produced no figure, either flags solo_failed; a figure >1.25x its in-suite witness is listed anomalous; r16: value_solo_adjusted = in-suite sum with soloed queries at min(in-suite,solo) — the cross-round comparable total when one in-suite figure is suite-pressure-inflated; query_diag = per-pass wall/gc/heap vectors for slow+flagged queries, full line only, head-positioned so tail clipping sacrifices diagnostics before figures; r17/r18: solo children run their target UNTIMED before the min-of-2, repeating (max 3) until the warmup wall stops improving >20% — a fresh JVM's C2/codegen compile is one-time cost the suite amortizes across 179 plans, and charging it to the solo figure read tx33 3.7x high at r16 and every r18-preview front child 1.3-1.8x high under one warmup; the stdout record caps query_diag to the 20 slowest queries (for the driver's tail-capture window) while the persisted BENCH_FULL record is uncensored; r18: the front solo window spends at most SOLO_FRONT_FRAC (default 0.6) of the budget so the back window ALWAYS gets its remainder — r17's front burned the whole 800 s on a hot box and no solo figure landed; query_diag adds box-wide /proc/stat cpu jiffy deltas per pass (user/sys/iowait/steal) so a dd14-class transient names its contention class from the round's own artifact; r19: value_solo_adjusted is emitted on EVERY solo-attempted run — zero landed figures degenerate it to value with solo_coverage:0 — steal_pct/iowait_pct in the load block are the run-wide /proc/stat deltas as % of box capacity, solo children over cap at measured steal >2% get one bounded extension (cap x min(0.5, steal x 5)) instead of a kill, every attempted child's life-steal rides solo_budget.child_steal_pct and its life kernel share child_sys_pct (sys jiffies at flat user work with near-zero steal name a kernel-reclaim burst, the second exogenous class preview 6 measured), a child over cap at sys >25% of capacity gets the same single bounded extension at 0.5 x cap, and a child that died hot (steal >2% or sys >25%) classifies as failed_hot, not failed); e14 fixture + index-state memos pre-warmed; collapsing count plans timed via toRdd (see BenchAction); the end load sample is ungated and reads the suite's own decaying local[32] tail, not external contention",$load$diagMeta,"caches_pending_max":$maxPending,"queries":${qmap(results)},"sf":"$sfDir","n_queries":${results.size}$failedField$matField$prewarmedField$soloField$soloMeta$adjField,"value":${f(total)}}"""
     // Compact final line: guaranteed to fit the 2000-char tail whole, so a
     // last-line JSON parse always succeeds even when the full line clips.
     // Carries the total plus the 12 slowest queries (the perf signal), the
@@ -361,6 +381,21 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cap = wall * Runtime.getRuntime.availableProcessors() * 100.0
       if (cap <= 0) -1.0 else (b._4 - a._4) / cap * 100.0
+    }.getOrElse(-1.0)
+
+  /** Kernel (sys+irq+softirq) %-of-capacity over the same window — the
+    * OTHER exogenous-burst class preview 6 (r19) named: memory-reclaim
+    * storms during wide shuffles read as sys jiffies at FLAT user work
+    * and near-zero steal (ss23/ss24 sys 12× between same-day runs, user
+    * identical). Unlike steal, sys includes the child's own syscall
+    * work (~8 % for the NN-Descent children on a quiet box), so burst
+    * thresholds sit well above that own-work floor. */
+  private def sysPctSince(
+      c0: Option[(Long, Long, Long, Long)], t0: Long): Double =
+    c0.zip(cpuJiffies()).map { case (a, b) =>
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cap = wall * Runtime.getRuntime.availableProcessors() * 100.0
+      if (cap <= 0) -1.0 else (b._2 - a._2) / cap * 100.0
     }.getOrElse(-1.0)
 
   def main(args: Array[String]): Unit = {
@@ -492,14 +527,17 @@ object Bench {
     // (r18 verdict #1b: both front children died with nothing in the
     // record saying the box was being stolen from at up to 21 %/pass).
     val childSteal = scala.collection.mutable.Map.empty[String, Double]
+    val childSys = scala.collection.mutable.Map.empty[String, Double]
     def childRunner(witness: Map[String, Double]): (String, Double) => Option[Double] =
       if (sys.env.contains("SPARK_GRAFT_SOLO_DRYRUN"))
         (name, _) => { Thread.sleep(500); Some(witness.getOrElse(name, 1.0) * 0.9) }
       else
         (name, capSec) => {
-          val (figs, stealPct) = runSoloChild(Seq(name), sfDir, capSec)
+          val (figs, stealPct, sysPct) = runSoloChild(Seq(name), sfDir, capSec)
           if (stealPct >= 0)
             childSteal(name) = math.max(stealPct, childSteal.getOrElse(name, 0.0))
+          if (sysPct >= 0)
+            childSys(name) = math.max(sysPct, childSys.getOrElse(name, 0.0))
           figs.flatMap(_.get(name))
         }
     // FRONT solo window (r14 verdict #3): the fresh-JVM children used to
@@ -976,23 +1014,24 @@ object Bench {
     val budgetSkipped = (frontPhase.skipped ++ backPhase.skipped ++ resamplePhase.skipped)
       .distinct.filter(soloMissing.contains).filterNot(soloAttemptedNames)
     val soloFailedList = soloMissing.filterNot(budgetSkipped.contains)
-    // failed vs failed_hot (r18 verdict #1b): a child that died while
-    // the box was measurably being stolen from (>2 % of capacity across
-    // its life) is a box condition, not a query/machinery problem — the
-    // classification that was impossible in the r18 record, where both
-    // front children's deaths and the 21 %-steal pass they died under
-    // were in separate, unjoinable fields.
+    // failed vs failed_hot (r18 verdict #1b; sys class added after
+    // preview 6, r19): a child that died while the box was measurably
+    // being stolen from (>2 % of capacity across its life) OR under a
+    // kernel-time burst (>25 % sys — well above the ~8 % own-work floor
+    // the heaviest children read on a quiet box) is a box condition,
+    // not a query/machinery problem — the classification that was
+    // impossible in the r18 record, where both front children's deaths
+    // and the 21 %-steal pass they died under were in separate,
+    // unjoinable fields.
     val (soloFailedHot, soloFailedCold) =
-      soloFailedList.partition(n => childSteal.getOrElse(n, -1.0) > 2.0)
-    def jlist(k: String, xs: Seq[String]): String =
-      if (xs.isEmpty) "" else xs.map("\"" + _ + "\"").mkString(s""","$k":[""", ",", "]")
-    val stealField =
-      if (childSteal.isEmpty) ""
-      else ""","child_steal_pct":""" +
-        BenchRecord.qmap(childSteal.toSeq.sortBy(_._1))
+      soloFailedList.partition(n => childSteal.getOrElse(n, -1.0) > 2.0 ||
+        childSys.getOrElse(n, -1.0) > 25.0)
     val soloMeta =
       if (!soloAttempted) ""
-      else s""","solo_budget":{"sec":${f(soloCfg.budgetSec)},"spent":${f(soloSpent)},"front_spent":${f(frontPhase.spentSec)}${jlist("skipped", budgetSkipped)}${jlist("failed", soloFailedCold)}${jlist("failed_hot", soloFailedHot)}${jlist("anomalous", soloAnomalous)}$stealField}"""
+      else BenchRecord.soloBudgetMeta(soloCfg.budgetSec, soloSpent,
+        frontPhase.spentSec, budgetSkipped, soloFailedCold, soloFailedHot,
+        soloAnomalous, childSteal.toSeq.sortBy(_._1),
+        childSys.toSeq.sortBy(_._1))
     // Full record: per-query map FIRST, total LAST — the driver's record
     // keeps only the final 2000 chars of output, and at 87+ queries this
     // line is ~2.1k chars, so whatever clips must be the head, never the
@@ -1063,10 +1102,11 @@ object Bench {
     * the child's whole life (-1 when /proc/stat is unreadable) so the
     * record can annotate both landed and failed children. */
   private def runSoloChild(targets: Seq[String], sfDir: String,
-      capSec: Double): (Option[Map[String, Double]], Double) = {
+      capSec: Double): (Option[Map[String, Double]], Double, Double) = {
     val childCpu0 = cpuJiffies()
     val childT0 = System.nanoTime()
     def steal: Double = stealPctSince(childCpu0, childT0)
+    def sysPct: Double = sysPctSince(childCpu0, childT0)
     try {
       val out = java.nio.file.Files.createTempFile("graft_bench_solo_", ".json")
       val addOpens = Seq(
@@ -1094,12 +1134,24 @@ object Bench {
       if (!done) {
         // steal-scaled extension (doc above): one bounded second wait
         // when the box is measurably being stolen from — the cap the
-        // child just blew was priced for a quiet box.
+        // child just blew was priced for a quiet box. The sys branch
+        // (r19, preview 6): a kernel-reclaim burst slows the child the
+        // same way with near-zero steal; >25 % sys (vs the ~8 %
+        // own-work floor) gets the same single bounded extension at the
+        // max width, since sys share doesn't price the slowdown the
+        // way steal does.
         val s = steal
+        val sy = sysPct
         if (s > 2.0) {
           val extraSec = capSec * math.min(0.5, s / 100.0 * 5.0)
           System.err.println(
             f"[bench] solo child over cap at steal=$s%.1f%% — extending ${extraSec}%.0f s")
+          done = p.waitFor((extraSec * 1000).toLong,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+        } else if (sy > 25.0) {
+          val extraSec = capSec * 0.5
+          System.err.println(
+            f"[bench] solo child over cap at sys=$sy%.1f%% (kernel burst) — extending ${extraSec}%.0f s")
           done = p.waitFor((extraSec * 1000).toLong,
             java.util.concurrent.TimeUnit.MILLISECONDS)
         }
@@ -1110,11 +1162,12 @@ object Bench {
         // start while this one is still tearing down, briefly co-resident
         // and contaminating the next figure (ADVICE r13).
         p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
-        System.err.println(f"[bench] solo child timed out (steal=$steal%.1f%%)")
-        (None, steal)
+        System.err.println(
+          f"[bench] solo child timed out (steal=$steal%.1f%%, sys=$sysPct%.1f%%)")
+        (None, steal, sysPct)
       } else if (p.exitValue() != 0) {
         System.err.println(s"[bench] solo child rc=${p.exitValue()}")
-        (None, steal)
+        (None, steal, sysPct)
       } else {
         val record = java.nio.file.Files.readString(out)
         // Surface the child's own query_diag on stderr (r16 verdict #3's
@@ -1123,11 +1176,11 @@ object Bench {
         // GC/heap/dirty vectors in it are the only evidence of why.
         BenchRecord.extractQueryDiag(record).foreach(d =>
           System.err.println(s"[bench] solo child diag: $d"))
-        (BenchRecord.parseQueries(record), steal)
+        (BenchRecord.parseQueries(record), steal, sysPct)
       }
     } catch { case NonFatal(e) =>
       System.err.println(s"[bench] solo child failed: ${e.getMessage}")
-      (None, steal)
+      (None, steal, sysPct)
     }
   }
 }

@@ -156,6 +156,27 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(BenchRecord.boxPct(0.0, 32, Some((1L, 1L, 1L, 1L))) == "")
   }
 
+  test("soloBudgetMeta: child steal AND sys annotations ride the fragment; empty maps omit") {
+    // r19 (preview 6): a child can die under a kernel-reclaim burst with
+    // near-zero steal — the fragment must carry BOTH per-child life
+    // shares so either exogenous class is attributable from the record.
+    val frag = BenchRecord.soloBudgetMeta(800.0, 765.8, 304.47,
+      skipped = Seq("q_skip"), failed = Nil, failedHot = Seq("q_hot"),
+      anomalous = Nil, childSteal = Seq("q_hot" -> 2.51, "q_ok" -> 0.03),
+      childSys = Seq("q_hot" -> 38.2, "q_ok" -> 7.9))
+    val j = parse("{" + frag.stripPrefix(",") + "}")
+    assert((j \ "solo_budget" \ "sec").values == 800.0, frag)
+    assert((j \ "solo_budget" \ "failed_hot").values == List("q_hot"), frag)
+    assert((j \ "solo_budget" \ "child_steal_pct" \ "q_hot").values == 2.51, frag)
+    assert((j \ "solo_budget" \ "child_sys_pct" \ "q_hot").values == 38.2, frag)
+    assert((j \ "solo_budget" \ "child_sys_pct" \ "q_ok").values == 7.9, frag)
+    // no attempted children → neither per-child field, never "{}"
+    val bare = BenchRecord.soloBudgetMeta(800.0, 10.0, 10.0,
+      Nil, Nil, Nil, Nil, Nil, Nil)
+    assert(!bare.contains("child_steal_pct") && !bare.contains("child_sys_pct"), bare)
+    assert((parse("{" + bare.stripPrefix(",") + "}") \ "solo_budget" \ "spent").values == 10.0)
+  }
+
   test("a failed query keeps the sentinel total beside the solo field in both lines") {
     val (full, compact) = BenchRecord.render(
       Seq("a" -> 1.0, "b" -> -1.0), Some(Map("a" -> 0.9)),
