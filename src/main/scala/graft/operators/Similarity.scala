@@ -457,24 +457,57 @@ object Similarity {
     // joined the ~(4kG)²·n candidate rows back against fbin twice
     // instead: four full exchanges of the candidate set, two of them
     // vector-width — measured 4-5× this plan's wall at 10k vectors.
+    // NOT cached, deliberately (r19 optimization note): undN is consumed
+    // three times (both sides of the shared-vertex self-join + the
+    // seed-distance branch), but the three subtrees are plan-identical
+    // so ReusedExchange already dedups the exchange under the distinct;
+    // a tracked cache was MEASURED WORSE at sf0.1 (ss24 wall 18.9 →
+    // 33.9 s, stage CPU 171 → 210 s) — the InMemoryRelation store+scan
+    // of the packed vectors costs more than the post-exchange recompute.
     val undN = und.join(
       fbin.select(col("vec_id").as("neighbor_id"), col("fb").as("fnb")),
       Seq("neighbor_id"))
-    val pairs = undN.select(col("vec_id"), col("neighbor_id"), col("fnb"))
-      .join(undN.select(col("vec_id"), col("neighbor_id").as("nb2"),
-        col("fnb").as("fnb2")), Seq("vec_id"))
-      .filter(col("neighbor_id") =!= col("nb2"))
-      .select(col("neighbor_id").as("vec_id"), col("nb2").as("neighbor_id"),
-        expr("packed_sqdist(fnb, fnb2)").as("dist"))
+    // UNORDERED pair generation (r19 optimization): the shared-vertex
+    // self-join is symmetric — for every shared vertex it used to emit
+    // BOTH orderings of each neighbor pair, so every packed_sqdist was
+    // evaluated twice and the distinct exchange shipped every candidate
+    // twice (stage profile at sf0.1: the round-1 candidate stage alone
+    // burned 404 CPU-s and wrote 381 MB for ss24). Generating each pair
+    // once under `a < b`, deduping the UNORDERED triples, and mirroring
+    // both directions afterwards with a local explode halves the
+    // distance evals, the dedup hash input and the exchange bytes; the
+    // mirrored set is exactly the old ordered pair set because the old
+    // generator was symmetric (u,w and w,u always co-occurred).
+    val pairsU = undN.select(col("vec_id"), col("neighbor_id").as("a"),
+        col("fnb").as("fa"))
+      .join(undN.select(col("vec_id"), col("neighbor_id").as("b"),
+        col("fnb").as("fb2")), Seq("vec_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), expr("packed_sqdist(fa, fb2)").as("dist"))
+      .distinct()
+    val pairs = pairsU.select(explode(array(
+        struct(col("a").as("vec_id"), col("b").as("neighbor_id"), col("dist")),
+        struct(col("b").as("vec_id"), col("a").as("neighbor_id"), col("dist"))))
+        .as("e"))
+      .select(col("e.vec_id"), col("e.neighbor_id"), col("e.dist"))
     val undD = undN.join(fbin, Seq("vec_id"))
       .select(col("vec_id"), col("neighbor_id"),
         expr("packed_sqdist(fb, fnb)").as("dist"))
-    // dist is a pure function of the pair, so distinct over the thin
-    // triples IS the distinct pair set (candidates ∪ seed)
-    val cand = pairs.union(undD).distinct()
+    // pairs and undD are each internally distinct, so a candidate row
+    // appears AT MOST TWICE in the union (once per branch). dist is a
+    // pure function of the pair, so ties under (dist, neighbor_id) are
+    // exactly the duplicate rows — dense_rank over the ≤2-copy multiset
+    // therefore equals row_number over the distinct set (dense_rank
+    // counts distinct order keys), and the post-filter partition-local
+    // dropDuplicates removes the surviving copies without an exchange
+    // (the window already hash-partitioned by vec_id). This replaces
+    // the old full distinct over the ORDERED union — the second
+    // candidate-mass exchange — with partition-local work.
+    val cand = pairs.union(undD)
     val w = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
-    cand.withColumn("rk", row_number().over(w))
+    cand.withColumn("rk", dense_rank().over(w))
       .filter(col("rk") <= kG)
+      .dropDuplicates("vec_id", "neighbor_id")
       .select(col("vec_id"), col("neighbor_id"),
         col("rk").cast("int").as("rk"), col("dist"))
   }
