@@ -308,6 +308,13 @@ object TextAnalysis {
     // oracle is the five stages' proven mirrors chained as CTEs.
     "qp01_training_manifest" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
+      // (r19 optimization note) deliberately NOT pre-spread: a doc_id-
+      // keyed repartition elides the gram distinct's exchange but that
+      // exchange is the ReusedExchange point the gram consumers share
+      // (measured 5.5 → 6.7 s, CPU 3×, without it), and an unkeyed
+      // spread parallelizes the regex pass without moving the wall
+      // (measured flat at 5.3-5.8 s) — qp01's cost sits in its many
+      // small fuzzy-gate stages, not in the scan-side map work.
       val docs = table(s, dir, "documents")
       val scored = docs
         .withColumn("n_words", size(split(col("text"), " ")))
@@ -479,7 +486,17 @@ object TextAnalysis {
     // exchange — strictly cheaper than qp01's chain.
     "qp06_gopher_manifest" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val shaped = gopherQuality(table(s, dir, "documents"), minStopWords = 1)
+      // repartition by doc_id BEFORE the map-side shape screen (r19
+      // optimization): tx34's per-row rules and tx33's tokenize both
+      // parallelize past the scan's split count (single-task on the
+      // one-row-group fixtures), and the SAME exchange then serves
+      // gopherRepetition's doc_id-keyed aggregates — see its scaladoc.
+      // tx34's own declared query stays exchange-free; only this
+      // composition pays the one up-front exchange.
+      val shaped = gopherQuality(
+          table(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          minStopWords = 1)
         .filter(col("keep")).select("doc_id", "text")
       val screened = gopherRepetition(shaped)
         .filter(col("keep")).select("doc_id")
@@ -813,8 +830,18 @@ object TextAnalysis {
     // per token position, one (doc, n, gram) aggregate, two doc-keyed
     // reductions — per-doc state only, no cross-doc exchange at all
     // beyond the doc-keyed shuffles, no window over the corpus.
+    // (r19) the doc_id repartition feeds gopherRepetition's doc-keyed
+    // aggregates one deterministic text exchange up front — see its
+    // scaladoc for why that REPLACES the exploded-gram exchange. The
+    // partition count is EXPLICIT (defaultParallelism — total cores
+    // here and on a cluster) because AQE coalesces this exchange by its
+    // BYTES, which undercounts the work ~10-20×: each text byte fans
+    // out to ~4 gram rows per token downstream, an explosion factor the
+    // operator knows and the byte-based coalescer cannot.
     "tx33_gopher_repetition" -> ((s, dir) =>
-      gopherRepetition(table(s, dir, "documents")).orderBy("doc_id")),
+      gopherRepetition(table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+        .orderBy("doc_id")),
 
     // GOPHER quality rules (tx34, r14) — the document-level heuristic
     // half of Rae et al. 2021 Table A1, tx33's companion (repetition
@@ -1495,11 +1522,17 @@ object TextAnalysis {
     * counts — cluster on different keys, so no exchange is shareable and
     * each would re-run the md5 expansion. */
   private def dsirFeatures(s: SparkSession, dir: String): DataFrame =
+    // the spread runs BEFORE the tokenize (r19 optimization): it used to
+    // sit between the regexp pass and the md5 expansion, so the regexp
+    // tokenize ran at the SCAN's parallelism — one task on a fixture
+    // whose whole corpus is a single parquet split (3.0 s single-task
+    // stage in the tx23 profile); on raw rows the same exchange costs
+    // the same bytes and parallelizes both passes
     graft.Caches.track(table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
       .filter(size(col("ws")) >= 2)
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(2, size(ws)), i -> " +
           "substring(md5(cast(concat(element_at(ws, i - 1), ' ', element_at(ws, i)) AS binary)), 1, 2))"))
@@ -1847,6 +1880,19 @@ object TextAnalysis {
     * scaladoc for the full semantics and scale argument). No output
     * ordering; callers order or filter. */
   private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    // CALLERS hash-repartition `docs` by doc_id before this (r19
+    // optimization, guide §2.4/§2.5): every aggregate and join in this
+    // report is keyed by doc_id, so one deterministic exchange of the
+    // RAW TEXT up front (a) satisfies the (doc_id, n, gram) aggregate's
+    // distribution — the 4-grams-per-token exploded mass, several times
+    // the text bytes, never crosses the wire at all — and (b) spreads
+    // the regexp/gram CPU across the cluster even when the scan has
+    // fewer splits than cores (the sf fixtures are single-row-group
+    // files, so the whole tokenize pass ran as ONE task: stage profile
+    // read 2.3-3.0 s single-task stages under tx33/qp06). The
+    // repartition lives at the call sites, not here, so a composing
+    // pipeline that already established the doc_id partitioning (qp06)
+    // does not pay a second exchange of the text.
     val toks = docs
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
