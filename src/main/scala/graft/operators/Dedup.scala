@@ -300,9 +300,19 @@ object Dedup {
     * contract). One row per input document, computed in one codegen'd
     * projection — no shuffle. */
   def fuzzySigs(docs: DataFrame, k: Int = 64): DataFrame =
-    docs.select(col("doc_id"),
-      SketchExprs.shingleHashes(col("text"), 3).as("sh"),
-      SketchExprs.minhashSig(SketchExprs.wordShingles(col("text"), 3), k).as("sig"))
+    // deterministic round-robin spread BEFORE the per-row sketch work
+    // (r19 optimization): the k-permutation minhash + shingle hashing is
+    // the family's heaviest map pass, and it ran at the SCAN's split
+    // count — one task on a fixture whose corpus is a single parquet
+    // split (st15's profile showed it as a 3.5 s single-task stage).
+    // The exchange moves raw text once; every downstream consumer joins
+    // or aggregates behind its own keyed exchange, so placement here is
+    // free at any scale and the count (defaultParallelism = total
+    // cores) adapts to the session rather than hard-coding local[32].
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        SketchExprs.shingleHashes(col("text"), 3).as("sh"),
+        SketchExprs.minhashSig(SketchExprs.wordShingles(col("text"), 3), k).as("sig"))
 
   /** LSH banded bucket keys (doc_id, band, bucket) of a `sig` frame — the
     * blocking key shared by the in-plan pair stage

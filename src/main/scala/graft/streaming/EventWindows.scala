@@ -300,8 +300,13 @@ object EventWindows {
         .select(col("train_id"), col("tbb"),
           posexplode(col("tbb")).as(Seq("band", "bucket")))
       val sidecar = tsigs.select(col("doc_id").as("train_id"), col("sh").as("sh_t"))
+      // (r19) spread the eval fold before its tokenize/minhash passes —
+      // the per-row sketch work ran at the scan's one-split parallelism
+      // (2.4 s single-task stage); done HERE so the streaming helper's
+      // topology is untouched
       Stateful.ingestEvalScreen(
         Tables.table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .repartition(s.sparkContext.defaultParallelism)
           .select("doc_id", "text"),
         trainAggH, postings, sidecar, Dd.substringK)
         .orderBy("eval_doc_id")
