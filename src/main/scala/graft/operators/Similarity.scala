@@ -120,11 +120,15 @@ object Similarity {
       // Each round's centroid frame is k rows but is consumed TWICE (the
       // next assign + the empty-cell join) and its lineage holds a full
       // corpus scan — uncached, plan size and scan count grow
-      // exponentially in rounds. Tracked cache bounds it: one corpus
-      // scan per round, k cached rows per round.
-      graft.Caches.track(
-        prev.join(upd, Seq("cell"), "left")
-          .select(col("cell"), coalesce(col("cnew"), col("c")).as("c")))
+      // exponentially in rounds. A lazy localCheckpoint bounds it like
+      // the r12-r18 tracked cache did (one corpus scan per round, k
+      // materialized rows) and additionally TRUNCATES the plan, so
+      // downstream stages stop re-broadcasting every prior round's
+      // lineage in their task binaries (r19; the NN-Descent loop
+      // measured 67 → 47 stages from the same switch).
+      prev.join(upd, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cnew"), col("c")).as("c"))
+        .localCheckpoint(eager = false)
     }
     val init = feats.orderBy("vec_id").limit(k)
       .withColumn("cell", (row_number().over(W.orderBy("vec_id")) - 1).cast("int"))
@@ -405,8 +409,14 @@ object Similarity {
     // cache each reference's lineage holds the QUADRATIC cell-local
     // pair join, and exchange reuse is an optimization, not a contract
     // — the 3kG-edges/vertex seed is tiny, the join it pins is not.
-    val seed = graft.Caches.track(
-      cellG.union(idBucketSeed(feats, kG, bucketW)).distinct())
+    // localCheckpoint rather than a columnar cache (r19 optimization):
+    // the blocks pin the quadratic-lineage cut just as the tracked
+    // cache did, and additionally TRUNCATE the logical plan, so the
+    // round's ~10 downstream stages stop re-broadcasting the full
+    // seed lineage in every task binary (the iterated family measured
+    // 67 → 47 stages and ss24 17.4 → 10.5 s from the same switch).
+    val seed = cellG.union(idBucketSeed(feats, kG, bucketW)).distinct()
+      .localCheckpoint(eager = false)
     nnDescentRound(seed, packedFeatures(feats), kG)
   }
 
@@ -650,8 +660,13 @@ object Similarity {
     * its seed), recall 0.94 vs ss22's 0.41 on the fixture (SimilaritySpec
     * pins both), all-integer — hash-exact. SOAK_r17.md prices the 100k
     * wall against the 472 s quadratic seed SOAK_r16 measured. The
-    * intermediate round graphs are tracked-cached: each is consumed 4×
-    * by the next round and its lineage holds every prior round.
+    * intermediate round graphs are lazily localCheckpoint'ed: each is
+    * consumed 4× by the next round and its lineage holds every prior
+    * round — the checkpoint both pins one materialization and TRUNCATES
+    * the plan, so later rounds' task binaries stop carrying the whole
+    * history (r19: the columnar tracked cache did the first job but not
+    * the second; the switch measured 67 → 47 stages and halved stage
+    * CPU at sf0.1 — ss24 17.4 → 10.5 s, ss23 12.2 → 6.7 s).
     *
     * The DEFAULTS are fixture-scale settings. SOAK_r18.md measures the
     * recall curve at 100k vectors: (8/16/2) reads 0.60 where the 2k
@@ -706,7 +721,7 @@ object Similarity {
     var r = 1
     var out: DataFrame = null
     while (r <= rounds) {
-      out = nnDescentRound(graft.Caches.track(g), fbin, kWork)
+      out = nnDescentRound(g.localCheckpoint(eager = false), fbin, kWork)
       g = out.select("vec_id", "neighbor_id")
       r += 1
     }
@@ -848,7 +863,7 @@ object Similarity {
       // each round's seed frame is r rows consumed twice (the broadcast
       // pack + the union) with a corpus scan in its lineage — tracked
       // cache bounds the plan exactly as in kmeansFixedPoint
-      graft.Caches.track(sds.unionByName(next))
+      sds.unionByName(next).localCheckpoint(eager = false)
     }
     seeds.select(col("seed_rank"), col("vec_id"), col("sep"))
   }
@@ -904,7 +919,7 @@ object Similarity {
       // each round's candidate frame is consumed twice next round (the
       // broadcast pack + the union) with a corpus scan in its lineage —
       // tracked cache bounds the plan exactly as in kcenterSeeds
-      graft.Caches.track(cs.unionByName(picks))
+      cs.unionByName(picks).localCheckpoint(eager = false)
     }
     // weights: every corpus vector votes for its nearest candidate
     // (ties to the lower candidate vec_id) — one map-side scan + one

@@ -31,7 +31,11 @@ class PlanCensusSpec extends SparkSpec {
     "ss20_range_search", // ss14's Lloyd rounds + the query x one-row centroid pack under the prune bound
     "st13_ann_serving", // the offline index half (ss14's Lloyd) — the SERVING side joins on a constant key, streaming-legal
     "ss21_knn_graph", // ss14's Lloyd rounds vs the one-row centroid pack; the pair join itself is a cell equi-join
-    "ss22_nn_descent", // inherits ss21's Lloyd-vs-centroid-pack crosses; every ss22-added join (bucket seed, local join, re-rank) is an equi-join
+    // ss22_nn_descent left the list in r19: its seed (which inherited
+    // ss21's Lloyd-vs-centroid-pack crosses) is now behind a lazy
+    // localCheckpoint, so the census sees the truncated plan — the
+    // crosses still run at materialization time but belong to the same
+    // audited one-row-broadcast family as ss21's
     "qp05_curation_manifest") // ss14's Lloyd rounds + assignment, each vs the one-row centroid pack; the prune itself is a cell equi-join
   // ss17_kmeanspar_seeds runs its corpus-x-broadcast-candidate-row passes
   // EAGERLY inside the builder (the weighted reduction collects the
