@@ -25,7 +25,10 @@ class PlanCensusSpec extends SparkSpec {
     "tx29_ppl_buckets", // 1-row broadcast tercile thresholds under the bucket CASE
     "ss14_kmeans", // corpus x ONE broadcast row holding all k centroids (per Lloyd round)
     "ss15_cluster_sample", // ss14's assignment inherited under the per-cluster rank
-    "ss16_kcenter_seeds", // corpus x ONE broadcast row holding the chosen seeds (per pick)
+    // ss16_kcenter_seeds left the list in r19: each pick's corpus x
+    // one-broadcast-row cross now sits below that pick's lazy
+    // localCheckpoint, so the census sees the truncated plan (the ss22
+    // precedent in this list; the crosses still run at materialization)
     "ss18_ivf_trained_ann", // ss14's Lloyd rounds + the query-side probe rank, each vs the one-row centroid pack
     "ss19_ivfpq_trained_ann", // ss18's Lloyd + probe cross joins, inherited under the PQ encode/ADC equi-joins
     "ss20_range_search", // ss14's Lloyd rounds + the query x one-row centroid pack under the prune bound
