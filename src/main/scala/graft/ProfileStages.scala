@@ -46,6 +46,10 @@ object ProfileStages {
         catch { case scala.util.control.NonFatal(_) => false }
       for (r <- 1 to reps) {
         spark.catalog.clearCache(); Caches.releaseAll()
+        // drain the async listener bus BEFORE re-tagging, not just after
+        // the last rep: stages completing after the increment were being
+        // attributed to the wrong rep (r19 ADVICE)
+        Thread.sleep(300)
         rep = r
         val t0 = System.nanoTime()
         BenchAction.run(fn(spark, sfDir), collapses)

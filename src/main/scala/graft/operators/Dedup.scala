@@ -297,8 +297,11 @@ object Dedup {
     * sorted long hashes (`sh`, the exact-verify representation — a
     * merge-walk intersect, no per-pair set build) and as a k-hash MinHash
     * signature over the shingle strings (`sig`, MinHashSig's input
-    * contract). One row per input document, computed in one codegen'd
-    * projection — no shuffle. */
+    * contract). One row per input document. The body pays ONE up-front
+    * round-robin exchange of the raw text and then pins the sketch rows
+    * with a lazy localCheckpoint — see the body comments for why each
+    * exists; the checkpointed frame is rebuilt from the input on every
+    * invocation (within-plan reuse only, never a cross-run cache). */
   def fuzzySigs(docs: DataFrame, k: Int = 64): DataFrame =
     // deterministic round-robin spread BEFORE the per-row sketch work
     // (r19 optimization): the k-permutation minhash + shingle hashing is
@@ -313,6 +316,26 @@ object Dedup {
       .select(col("doc_id"),
         SketchExprs.shingleHashes(col("text"), 3).as("sh"),
         SketchExprs.minhashSig(SketchExprs.wordShingles(col("text"), 3), k).as("sig"))
+      // LAZY localCheckpoint (r20, guide §4.4/§5): every caller consumes
+      // this frame 2-3× (band postings + the sh sidecar + the id
+      // roster), and the spread exchange sits BELOW the sketch
+      // projection, so exchange reuse alone re-ran the 64-perm minhash
+      // once per consumer. Worse, the LSH bucket join's inferred
+      // isnotnull(bucket) filter was rewritten through the projection
+      // and pushed below the exchange, evaluating minhash_sig SIXTEEN
+      // times per row in the scan-side single-task Filter (st15's
+      // profile: a 2.8 s single-task stage, 60% of the query). The
+      // checkpoint leaf blocks the push and pins one materialization.
+      // A doc_id pin-exchange between projection and checkpoint (the
+      // batchToks pattern) was MEASURED WORSE here (+0.4-0.6 s on every
+      // consumer at sf0.1): these frames materialize through the eager
+      // CC builds mostly sequentially, so the concurrent-stage
+      // double-compute the exchange guards against rarely happens, and
+      // the extra hop of the wide sh/sig rows is pure cost. Rebuilt from
+      // the input on every invocation — within-plan reuse only;
+      // job-retry (not lineage-recovery) on executor loss, see Caches'
+      // scaladoc.
+      .localCheckpoint(eager = false)
 
   /** LSH banded bucket keys (doc_id, band, bucket) of a `sig` frame — the
     * blocking key shared by the in-plan pair stage
@@ -554,27 +577,52 @@ object Dedup {
         fs.exists(c => c.isDirectory && hasPartFile(c))
   }
 
+  /** The TOKENIZED batch slice shared by the incremental family's two
+    * query-time derivations ([[batchWindows]]/[[batchDocs]]): the odd
+    * doc_ids' (doc_id, source, ws) rows, spread past the scan's split
+    * count and pinned with a lazy localCheckpoint. Until r20 every
+    * consumer pair re-ran the regex tokenize independently (dd17/dd18/
+    * dd19/qp03 each paid it 2-3× per run); a real ingest tokenizes its
+    * batch ONCE and derives the window explode and the token-count
+    * sidecar from the same materialized rows — exactly this shape. The
+    * checkpoint is built per query invocation from `documents` (no
+    * cross-run reuse), holds array-per-doc rows (batch-text-sized), and
+    * carries the family's executor-loss caveat (job retry, not lineage
+    * recovery). */
+  private[graft] def batchToks(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      // pin-exchange + lazy checkpoint, the fuzzySigs pattern (see its
+      // body comment): the keyed exchange puts the tokenize on a shuffle
+      // map side (materialized exactly once, even under concurrent
+      // consumer stages), the checkpoint stops consumers' size(ws)
+      // filters from being rewritten onto the raw text below the spread
+      .repartition(col("doc_id"))
+      .localCheckpoint(eager = false)
+
   /** The BATCH side of the incremental substring family (dd17/dd18): the
     * odd-doc_id slice's K-token window frame, computed from `documents`
     * AT QUERY TIME — the same honesty contract dd11 adopted in r12 (a
     * real ingest always pays its own tokenize/explode/md5; only the
     * CORPUS side may come from a persisted index). Returns the window
     * occurrences (doc_id, source, pos, h); token counts for the batch
-    * come from [[batchDocs]] on the same slice. */
-  private[graft] def batchWindows(s: SparkSession, dir: String): DataFrame = {
+    * come from [[batchDocs]] on the same `toks` frame ([[batchToks]] —
+    * pass ONE frame to both so the tokenize runs once per query). */
+  private[graft] def batchWindows(toks: DataFrame): DataFrame = {
     val K = substringK
-    table(s, dir, "documents")
-      .filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("source"),
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+    toks
       .filter(size(col("ws")) >= K)
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         explode(expr(
           s"transform(sequence(1, size(ws) - ${K - 1}), i -> " +
             s"struct(i AS pos, md5(cast(concat_ws(' ', slice(ws, i, $K)) AS binary)) AS h))")).as("pw"))
       .select(col("doc_id"), col("source"), col("pw.pos").as("pos"), col("pw.h").as("h"))
   }
+  private[graft] def batchWindows(s: SparkSession, dir: String): DataFrame =
+    batchWindows(batchToks(s, dir))
 
   /** dd11's decision procedure over an ARBITRARY batch-doc set — factored
     * out (r12) so qp03 can apply the greedy ingest rule to its
@@ -623,12 +671,12 @@ object Dedup {
   }
 
   /** Batch-slice doc sidecar for dd17/dd18: (doc_id, source, n_ws),
-    * computed at query time like [[batchWindows]]. */
+    * derived from the same [[batchToks]] frame as the window explode so
+    * the tokenize runs once per query. */
+  private[graft] def batchDocs(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("source"), size(col("ws")).as("n_ws"))
   private[graft] def batchDocs(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
-      .filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("source"),
-        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_ws"))
+    batchDocs(batchToks(s, dir))
 
   /** dd16's health-stat aggregation over explicit window/doc frames —
     * factored out (r12) so dd19 can run the IDENTICAL stats over the
@@ -687,15 +735,23 @@ object Dedup {
     val corpusH = s.read.parquet(s"$idx/wins")
       .filter(col("par") === 0)
       .select("h").distinct()
-    // No explicit repartition: when the classify join runs as a shuffle
-    // join its output is already hash-partitioned on h (the rank window
-    // reuses it); when AQE broadcasts the corpus side instead, the rank
-    // pays the one h-exchange the family budgets anyway — an explicit
-    // repartition would be a guaranteed extra full exchange of the
-    // occurrence frame in the first case.
-    val flagged = graft.Caches.track(
+    // ONE h-keyed exchange pins the classified occurrence frame for its
+    // four consumers (r20, replacing a tracked cache): the corpus side
+    // broadcasts at gate scale, so the classify join is NARROW and a
+    // cache could not stop the consumers' concurrent stages from each
+    // re-running the window explode + join before any of them had filled
+    // it (the dd17 stage profile read the ~9 CPU-s expansion twice per
+    // run). An Exchange is the race-free once-only device — AQE's stage
+    // cache serves every consumer from one map-stage materialization —
+    // and hashpartitioning(h) is the clustering the dup-rank window and
+    // the batch-dup aggregate need anyway, so they run on top without a
+    // second exchange. When the join DOES run as a shuffle join at
+    // corpus scale, this repartition is one redundant hop of the
+    // occurrence frame — the price of the guarantee.
+    val flagged =
       bw.join(corpusH.withColumn("known", lit(true)), Seq("h"), "left")
-        .na.fill(false, Seq("known")))
+        .na.fill(false, Seq("known"))
+        .repartition(col("h"))
     // corpus-known occurrences: all cut (canonical lives in the corpus)
     val inCorpus = flagged.filter(col("known")).select("doc_id", "pos", "h")
     // batch-only hashes: dd12's rule within the batch
@@ -1261,11 +1317,9 @@ object Dedup {
         .filter(col("par") === 0).select("source", "h")
       val docsC = s.read.parquet(s"${ddWinIndexPath(s, dir)}/docs")
         .filter(col("doc_id") % 2 === 0).select("source", "n_ws", "fp")
-      val winsB = graft.Caches.track(batchWindows(s, dir).select("source", "h"))
-      val docsB = table(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 1)
-        .select(col("source"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      val toks = batchToks(s, dir) // shared tokenize (r20) — see its doc
+      val winsB = graft.Caches.track(batchWindows(toks).select("source", "h"))
+      val docsB = toks
         .select(col("source"), size(col("ws")).as("n_ws"),
           md5(concat_ws(" ", col("ws")).cast("binary")).as("fp"))
       indexStats(winsC.unionByName(winsB), docsC.unionByName(docsB))
@@ -1295,11 +1349,14 @@ object Dedup {
     // merge is one batch-sized doc_id exchange. Per-run cost is
     // batch-scan + index-probe — nothing corpus-wide recomputed, the
     // property that makes nightly ingests affordable at 100 TB.
-    "dd17_incremental_substring" -> ((s, dir) =>
+    "dd17_incremental_substring" -> ((s, dir) => {
+      // one batchToks frame feeds both derivations (r20) — see its doc
+      val toks = batchToks(s, dir)
       incrementalSubstringStats(s, dir,
-        batchWindows(s, dir).select("doc_id", "pos", "h"),
-        batchDocs(s, dir))
-        .orderBy("doc_id")),
+        batchWindows(toks).select("doc_id", "pos", "h"),
+        batchDocs(toks))
+        .orderBy("doc_id")
+    }),
 
     // Batch NOVELTY diagnostic — the pre-commit question an ingest
     // operator asks BEFORE paying dd17's surgery or growing the index:
@@ -1328,9 +1385,10 @@ object Dedup {
       // per-source totals AND the novelty anti-join both derive — the
       // two consumers share the identical subtree, so ReusedExchange
       // serves them from one shuffle.
-      val sh = batchWindows(s, dir)
+      val toks = batchToks(s, dir) // shared tokenize (r20) — see its doc
+      val sh = batchWindows(toks)
         .groupBy("source", "h").agg(count(lit(1)).as("n_occ"))
-      val docsS = batchDocs(s, dir).groupBy("source").agg(
+      val docsS = batchDocs(toks).groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_ws") >= K, 1L).otherwise(0L)).as("n_windowed"))
       val winsS = sh.groupBy("source").agg(

@@ -431,10 +431,12 @@ object TextAnalysis {
       // side-effect-free.
       val accepted =
         Dedup.incrementalFuzzyKeep(s, dir, exact).localCheckpoint(eager = false)
-      val ad = Dedup.batchDocs(s, dir)
+      // one batchToks frame feeds both derivations (r20) — see its doc
+      val btoks = Dedup.batchToks(s, dir)
+      val ad = Dedup.batchDocs(btoks)
         .join(accepted, Seq("doc_id"), "left_semi")
       val stats = Dedup.incrementalSubstringStats(s, dir,
-        Dedup.batchWindows(s, dir).select("doc_id", "pos", "h")
+        Dedup.batchWindows(btoks).select("doc_id", "pos", "h")
           .join(accepted, Seq("doc_id"), "left_semi"),
         ad)
       val tokensKept = ad.join(stats.select("doc_id", "n_cut_tokens"), "doc_id")
@@ -1124,15 +1126,18 @@ object TextAnalysis {
     // discipline as tx18 for the order-independent exact sum.
     "tx20_bigram_logprob" -> ((s, dir) => {
       val dt = org.apache.spark.sql.types.DecimalType(28, 6)
-      // dd12's two lessons applied to the token stream: repartition the
-      // narrow (doc, tokens) rows BEFORE the explode (the local corpus is
-      // one parquet row group — without this the 2.4M-tuple expansion at
-      // soak sf1.0 runs on 1-2 cores), and CACHE the exploded frame — its
-      // three consumers (unigram agg on w, bigram agg on (prev, w), the
-      // scoring join) cluster on different keys, so no exchange is
-      // shareable and each would re-run the expansion. 10.3 -> ~6 s at
-      // soak sf1.0 (the remaining cost is the scoring joins themselves).
-      val seq = graft.Caches.track(table(s, dir, "documents")
+      // dd12's lesson applied to the token stream: repartition the narrow
+      // (doc, tokens) rows BEFORE the explode (the local corpus is one
+      // parquet row group — without this the 2.4M-tuple expansion at soak
+      // sf1.0 runs on 1-2 cores). The exploded frame is NOT cached (r20,
+      // replacing the r12 cache): the model aggs and the scoring join
+      // launch as concurrent stages, and a cache dedups only after some
+      // stage has filled it — the stage profile read the expansion 3-4×
+      // per run THROUGH the cache. Instead (a) the tokenize sits below
+      // the spread exchange, whose map stage the scheduler materializes
+      // exactly once for all consumers, and (b) the three model frames
+      // derive from ONE checkpointed (prev, w) aggregate — see tx21.
+      val seq = table(s, dir, "documents")
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
         .repartition(s.sparkContext.defaultParallelism)
@@ -1141,11 +1146,14 @@ object TextAnalysis {
           // IS the previous token; i = 0 (the doc's first token) stays null
           "transform(ws, (x, i) -> struct(x AS w, CASE WHEN i > 0 THEN element_at(ws, i) END AS prev))"))
           .as("tp"))
-        .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev")))
-      val uni = seq.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev"))
+      val combined = seq.groupBy("prev", "w")
+        .agg(count(lit(1)).as("cpw"))
+        .localCheckpoint(eager = false)
+      val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("t"))
-      val big = seq.filter(col("prev").isNotNull)
-        .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      val big = combined.filter(col("prev").isNotNull)
+        .select(col("prev"), col("w"), col("cpw").as("c2"))
       val ctx = big.groupBy("prev").agg(sum(col("c2")).as("c1"))
       val unip = uni.crossJoin(broadcast(tot))
         .select(col("w"), round(log(col("cnt") / col("t")), 6).cast(dt).as("logp0"))
@@ -1172,17 +1180,22 @@ object TextAnalysis {
     // — sum_c2/sum_c1 change if any (prev, w) joined to the wrong bigram
     // or context row, so the hash pins the full tx20 join topology.
     "tx20e_bigram_evidence" -> ((s, dir) => {
-      val seq = graft.Caches.track(table(s, dir, "documents")
+      // spread below the tokenize + one checkpointed (prev, w) model
+      // aggregate, tx20's r20 shape — see there
+      val seq = table(s, dir, "documents")
         .select(col("doc_id"),
           expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(expr(
           "transform(ws, (x, i) -> struct(x AS w, CASE WHEN i > 0 THEN element_at(ws, i) END AS prev))"))
           .as("tp"))
-        .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev")))
-      val uni = seq.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val big = seq.filter(col("prev").isNotNull)
-        .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+        .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev"))
+      val combined = seq.groupBy("prev", "w")
+        .agg(count(lit(1)).as("cpw"))
+        .localCheckpoint(eager = false)
+      val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
+      val big = combined.filter(col("prev").isNotNull)
+        .select(col("prev"), col("w"), col("cpw").as("c2"))
       val ctx = big.groupBy("prev").agg(sum(col("c2")).as("c1"))
       seq.join(uni, "w")
         .join(big, Seq("prev", "w"), "left")
@@ -1210,11 +1223,6 @@ object TextAnalysis {
     // doc's score came from backoff (the filter's confidence signal).
     "tx21_backoff_heldout" -> ((s, dir) => {
       val dt = org.apache.spark.sql.types.DecimalType(28, 6)
-      // No repartition+cache (tx20 keeps them): A/B at soak scale was
-      // inside noise here — tx21's consumers split the stream into train/
-      // eval folds first, so each re-run explodes a FRACTION of the
-      // corpus, and the cache materializes all of it (tx18's reasoning,
-      // measured ambiguous rather than clearly positive).
       val seq = table(s, dir, "documents")
         .select(col("doc_id"),
           substring(md5(lower(trim(col("text"))).cast("binary")), 1, 1).as("nib"),
@@ -1225,10 +1233,24 @@ object TextAnalysis {
         .select(col("doc_id"), col("nib"), col("tp.w").as("w"), col("tp.prev").as("prev"))
       val train = seq.filter(!col("nib").isin("d", "e", "f"))
       val ev = seq.filter(col("nib").isin("d", "e"))
-      val uni = train.groupBy("w").agg(count(lit(1)).as("cnt"))
+      // ONE (prev, w) aggregate — prev-null rows included — is the whole
+      // model pass (r20): uni(w) = Σ_prev, big = the prev-not-null rows,
+      // ctx = Σ_w of big, all derived from the k-row result instead of
+      // three separate aggregates that each re-ran the tokenize+explode
+      // at the scan's one-split parallelism (the stage profile read a
+      // quadruplet of ~0.3-0.6 s single-task stages per run). The LAZY
+      // checkpoint pins the k-row frame: its own (prev, w) exchange
+      // already guarantees the heavy map side runs once, and the leaf
+      // stops uni/big/ctx's pushed filters from re-differentiating the
+      // subtrees (the model values are bit-identical — same counts,
+      // summed instead of recounted).
+      val combined = train.groupBy("prev", "w")
+        .agg(count(lit(1)).as("cpw"))
+        .localCheckpoint(eager = false)
+      val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("t"))
-      val big = train.filter(col("prev").isNotNull)
-        .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      val big = combined.filter(col("prev").isNotNull)
+        .select(col("prev"), col("w"), col("cpw").as("c2"))
       val ctx = big.groupBy("prev").agg(sum(col("c2")).as("c1"))
       val uniS = when(col("cnt").isNotNull, col("cnt") / col("t"))
         .otherwise(lit(0.4) / col("t"))
@@ -1268,9 +1290,14 @@ object TextAnalysis {
         .select(col("doc_id"), col("nib"), col("tp.w").as("w"), col("tp.prev").as("prev"))
       val train = seq.filter(!col("nib").isin("d", "e", "f"))
       val ev = seq.filter(col("nib").isin("d", "e"))
-      val uni = train.groupBy("w").agg(count(lit(1)).as("cnt"))
-      val big = train.filter(col("prev").isNotNull)
-        .groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      // one checkpointed (prev, w) model aggregate, tx21's r20 shape —
+      // see there; uni/big derive from the k-row frame bit-identically
+      val combined = train.groupBy("prev", "w")
+        .agg(count(lit(1)).as("cpw"))
+        .localCheckpoint(eager = false)
+      val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
+      val big = combined.filter(col("prev").isNotNull)
+        .select(col("prev"), col("w"), col("cpw").as("c2"))
       ev.join(uni, Seq("w"), "left")
         .join(big, Seq("prev", "w"), "left")
         .groupBy("doc_id")
@@ -1517,10 +1544,19 @@ object TextAnalysis {
     * keeps the tx23e twin hash-exact). Derived NARROWLY inside the token
     * array (tx20's lesson — tokenization never shuffles); the size ≥ 2
     * guard both drops featureless docs and dodges Spark's DESCENDING
-    * sequence(2, 1) for one-token docs. Cached (tx20's other lesson):
-    * its consumers — the target agg, the raw agg, the per-doc bucket
-    * counts — cluster on different keys, so no exchange is shareable and
-    * each would re-run the md5 expansion. */
+    * sequence(2, 1) for one-token docs. The feature stream ends in a
+    * bucket-keyed exchange rather than a cache (r20): the tracked cache
+    * could not stop concurrent consumers from each re-running the md5
+    * expansion — the target agg, raw agg and scoring probe launch as
+    * concurrent stages inside one action, and an InMemoryRelation dedups
+    * only AFTER some stage has filled it, so the tx23 stage profile read
+    * FOUR ~8 CPU-s copies of the expansion per run. An Exchange is the
+    * race-free once-only device (AQE's stage cache serves every consumer
+    * from one map-stage materialization), and hashpartitioning(b) is
+    * free clustering for the two bucket aggregates on top — they run
+    * without a second exchange. md5 buckets are uniform, so no skew; the
+    * partition count is the session's shuffle.partitions (scale-adaptive,
+    * never a local constant). */
   private def dsirFeatures(s: SparkSession, dir: String): DataFrame =
     // the spread runs BEFORE the tokenize (r19 optimization): it used to
     // sit between the regexp pass and the md5 expansion, so the regexp
@@ -1528,7 +1564,7 @@ object TextAnalysis {
     // whose whole corpus is a single parquet split (3.0 s single-task
     // stage in the tx23 profile); on raw rows the same exchange costs
     // the same bytes and parallelizes both passes
-    graft.Caches.track(table(s, dir, "documents")
+    table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"),
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
@@ -1536,7 +1572,16 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(2, size(ws)), i -> " +
           "substring(md5(cast(concat(element_at(ws, i - 1), ' ', element_at(ws, i)) AS binary)), 1, 2))"))
-        .as("b")))
+        .as("b"))
+      .repartition(col("b"))
+      // LAZY checkpoint above the pin-exchange: without it the target
+      // agg's lang = 'en' filter is pushed below BOTH exchanges, the
+      // three consumers' subtrees stop being canonical-identical, and
+      // each materializes its own copy of the expansion (measured: three
+      // ~6 CPU-s map stages instead of one). The checkpoint leaf makes
+      // every consumer read the one materialized frame; the en filter
+      // runs above it (a cheap post-read filter on 2 columns).
+      .localCheckpoint(eager = false)
 
   /** tx15/tx16's bigram-merge vocabulary: the corpus's 1024 most frequent
     * within-word character bigrams, ties broken lexicographically (the
