@@ -335,7 +335,7 @@ object Dedup {
       // the input on every invocation — within-plan reuse only;
       // job-retry (not lineage-recovery) on executor loss, see Caches'
       // scaladoc.
-      .localCheckpoint(eager = false)
+      .transform(graft.Ckpt.lazyCheckpoint(_, "fuzzy.sigs"))
 
   /** LSH banded bucket keys (doc_id, band, bucket) of a `sig` frame — the
     * blocking key shared by the in-plan pair stage
@@ -601,7 +601,7 @@ object Dedup {
       // consumer stages), the checkpoint stops consumers' size(ws)
       // filters from being rewritten onto the raw text below the spread
       .repartition(col("doc_id"))
-      .localCheckpoint(eager = false)
+      .transform(graft.Ckpt.lazyCheckpoint(_, "batch.toks"))
 
   /** The BATCH side of the incremental substring family (dd17/dd18): the
     * odd-doc_id slice's K-token window frame, computed from `documents`

@@ -128,7 +128,7 @@ object Similarity {
       // measured 67 → 47 stages from the same switch).
       prev.join(upd, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("cnew"), col("c")).as("c"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Ckpt.lazyCheckpoint(_, "lloyd.round"))
     }
     val init = feats.orderBy("vec_id").limit(k)
       .withColumn("cell", (row_number().over(W.orderBy("vec_id")) - 1).cast("int"))
@@ -416,7 +416,7 @@ object Similarity {
     // seed lineage in every task binary (the iterated family measured
     // 67 → 47 stages and ss24 17.4 → 10.5 s from the same switch).
     val seed = cellG.union(idBucketSeed(feats, kG, bucketW)).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.Ckpt.lazyCheckpoint(_, "nnDescent.seed"))
     nnDescentRound(seed, packedFeatures(feats), kG)
   }
 
@@ -480,21 +480,30 @@ object Similarity {
     // UNORDERED pair generation (r19 optimization): the shared-vertex
     // self-join is symmetric — for every shared vertex it used to emit
     // BOTH orderings of each neighbor pair, so every packed_sqdist was
-    // evaluated twice and the distinct exchange shipped every candidate
-    // twice (stage profile at sf0.1: the round-1 candidate stage alone
-    // burned 404 CPU-s and wrote 381 MB for ss24). Generating each pair
-    // once under `a < b`, deduping the UNORDERED triples, and mirroring
-    // both directions afterwards with a local explode halves the
-    // distance evals, the dedup hash input and the exchange bytes; the
-    // mirrored set is exactly the old ordered pair set because the old
-    // generator was symmetric (u,w and w,u always co-occurred).
+    // evaluated twice (stage profile at sf0.1: the round-1 candidate
+    // stage alone burned 404 CPU-s and wrote 381 MB for ss24).
+    // Generating each pair once under `a < b` and mirroring both
+    // directions afterwards with a local explode halves the distance
+    // evals; the mirrored set is exactly the old ordered pair set
+    // because the old generator was symmetric (u,w and w,u always
+    // co-occurred). NO distinct on the triples (r20): the rank below is
+    // MULTIPLICITY-BLIND — dist is a pure function of the pair, so for a
+    // fixed vec_id the order key (dist, neighbor_id) is unique per
+    // DISTINCT neighbor and identical across copies, hence dense_rank
+    // over the raw multiset equals row_number over the distinct set no
+    // matter how many shared vertices re-emit a pair, and the
+    // post-filter dropDuplicates removes the (fully identical) surviving
+    // copies. The r19 distinct was the suite's single largest exchange
+    // (~190 MB of candidate triples + a 25M-row hash aggregate on each
+    // side); the partial WindowGroupLimit heap below the rank exchange
+    // bounds what the window ships instead, so dropping the distinct
+    // removes that exchange outright (§2.4).
     val pairsU = undN.select(col("vec_id"), col("neighbor_id").as("a"),
         col("fnb").as("fa"))
       .join(undN.select(col("vec_id"), col("neighbor_id").as("b"),
         col("fnb").as("fb2")), Seq("vec_id"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), expr("packed_sqdist(fa, fb2)").as("dist"))
-      .distinct()
     val pairs = pairsU.select(explode(array(
         struct(col("a").as("vec_id"), col("b").as("neighbor_id"), col("dist")),
         struct(col("b").as("vec_id"), col("a").as("neighbor_id"), col("dist"))))
@@ -503,16 +512,6 @@ object Similarity {
     val undD = undN.join(fbin, Seq("vec_id"))
       .select(col("vec_id"), col("neighbor_id"),
         expr("packed_sqdist(fb, fnb)").as("dist"))
-    // pairs and undD are each internally distinct, so a candidate row
-    // appears AT MOST TWICE in the union (once per branch). dist is a
-    // pure function of the pair, so ties under (dist, neighbor_id) are
-    // exactly the duplicate rows — dense_rank over the ≤2-copy multiset
-    // therefore equals row_number over the distinct set (dense_rank
-    // counts distinct order keys), and the post-filter partition-local
-    // dropDuplicates removes the surviving copies without an exchange
-    // (the window already hash-partitioned by vec_id). This replaces
-    // the old full distinct over the ORDERED union — the second
-    // candidate-mass exchange — with partition-local work.
     val cand = pairs.union(undD)
     val w = Window.partitionBy("vec_id").orderBy("dist", "neighbor_id")
     cand.withColumn("rk", dense_rank().over(w))
@@ -721,7 +720,8 @@ object Similarity {
     var r = 1
     var out: DataFrame = null
     while (r <= rounds) {
-      out = nnDescentRound(g.localCheckpoint(eager = false), fbin, kWork)
+      out = nnDescentRound(
+        graft.Ckpt.lazyCheckpoint(g, "nnDescentIter.round"), fbin, kWork)
       g = out.select("vec_id", "neighbor_id")
       r += 1
     }
@@ -863,7 +863,7 @@ object Similarity {
       // each round's seed frame is r rows consumed twice (the broadcast
       // pack + the union) with a corpus scan in its lineage — tracked
       // cache bounds the plan exactly as in kmeansFixedPoint
-      sds.unionByName(next).localCheckpoint(eager = false)
+      graft.Ckpt.lazyCheckpoint(sds.unionByName(next), "kcenter.seeds")
     }
     seeds.select(col("seed_rank"), col("vec_id"), col("sep"))
   }
@@ -919,7 +919,7 @@ object Similarity {
       // each round's candidate frame is consumed twice next round (the
       // broadcast pack + the union) with a corpus scan in its lineage —
       // tracked cache bounds the plan exactly as in kcenterSeeds
-      cs.unionByName(picks).localCheckpoint(eager = false)
+      graft.Ckpt.lazyCheckpoint(cs.unionByName(picks), "kmeanspar.cands")
     }
     // weights: every corpus vector votes for its nearest candidate
     // (ties to the lower candidate vec_id) — one map-side scan + one

@@ -430,7 +430,8 @@ object TextAnalysis {
       // consumers share the materialized blocks, but construction is
       // side-effect-free.
       val accepted =
-        Dedup.incrementalFuzzyKeep(s, dir, exact).localCheckpoint(eager = false)
+        graft.Ckpt.lazyCheckpoint(
+          Dedup.incrementalFuzzyKeep(s, dir, exact), "qp03.accepted")
       // one batchToks frame feeds both derivations (r20) — see its doc
       val btoks = Dedup.batchToks(s, dir)
       val ad = Dedup.batchDocs(btoks)
@@ -1149,7 +1150,7 @@ object TextAnalysis {
         .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev"))
       val combined = seq.groupBy("prev", "w")
         .agg(count(lit(1)).as("cpw"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Ckpt.lazyCheckpoint(_, "tx20.model"))
       val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("t"))
       val big = combined.filter(col("prev").isNotNull)
@@ -1192,7 +1193,7 @@ object TextAnalysis {
         .select(col("doc_id"), col("tp.w").as("w"), col("tp.prev").as("prev"))
       val combined = seq.groupBy("prev", "w")
         .agg(count(lit(1)).as("cpw"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Ckpt.lazyCheckpoint(_, "tx20e.model"))
       val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
       val big = combined.filter(col("prev").isNotNull)
         .select(col("prev"), col("w"), col("cpw").as("c2"))
@@ -1246,7 +1247,7 @@ object TextAnalysis {
       // summed instead of recounted).
       val combined = train.groupBy("prev", "w")
         .agg(count(lit(1)).as("cpw"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Ckpt.lazyCheckpoint(_, "tx21.model"))
       val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("t"))
       val big = combined.filter(col("prev").isNotNull)
@@ -1294,7 +1295,7 @@ object TextAnalysis {
       // see there; uni/big derive from the k-row frame bit-identically
       val combined = train.groupBy("prev", "w")
         .agg(count(lit(1)).as("cpw"))
-        .localCheckpoint(eager = false)
+        .transform(graft.Ckpt.lazyCheckpoint(_, "tx21e.model"))
       val uni = combined.groupBy("w").agg(sum(col("cpw")).as("cnt"))
       val big = combined.filter(col("prev").isNotNull)
         .select(col("prev"), col("w"), col("cpw").as("c2"))
@@ -1581,7 +1582,7 @@ object TextAnalysis {
       // ~6 CPU-s map stages instead of one). The checkpoint leaf makes
       // every consumer read the one materialized frame; the en filter
       // runs above it (a cheap post-read filter on 2 columns).
-      .localCheckpoint(eager = false)
+      .transform(graft.Ckpt.lazyCheckpoint(_, "dsir.features"))
 
   /** tx15/tx16's bigram-merge vocabulary: the corpus's 1024 most frequent
     * within-word character bigrams, ties broken lexicographically (the

@@ -135,6 +135,48 @@ class PlanCensusSpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries no longer BNLJ: $stale")
   }
 
+  // Intentional BNLJ sites BELOW lazy localCheckpoint boundaries, by
+  // [[graft.Ckpt]] tag — the compensating census the r19 ADVICE asked
+  // for: the main census above reads final physical plans and is blind
+  // below every checkpoint leaf (ss16/ss22 left `allowedBnlj` in r19 for
+  // exactly that reason), so this audits the PRE-checkpoint subtrees the
+  // builders register under -Dgraft.census.capture. All entries are the
+  // same audited one-row-broadcast family as the visible allowlist:
+  // corpus x one broadcast row of packed centroids/seeds/candidates.
+  private val allowedCkptBnlj = Set(
+    "lloyd.round", // corpus x ONE broadcast centroid-pack row per Lloyd round
+    "nnDescent.seed", // ss22's seed inherits ss21's Lloyd/centroid crosses
+    "kcenter.seeds", // each pick: corpus x one broadcast seed row (ss16)
+    "kmeanspar.cands") // each pass: corpus x one broadcast candidate row (ss17)
+
+  test("pre-checkpoint subtrees carry no cartesian/unintended BNLJ (census below the truncation)") {
+    sys.props("graft.census.capture") = "true"
+    try {
+      Ckpt.drainCaptured() // drop frames captured by earlier tests' builds
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        fn(spark, sf001) // building registers every checkpointed subtree
+      }
+      val frames = Ckpt.drainCaptured()
+      assert(frames.nonEmpty, "capture flag on but no checkpointed frames registered")
+      val plans = frames.map { case (tag, df) =>
+        tag -> df.queryExecution.executedPlan.toString
+      }
+      val cartesian = plans.collect {
+        case (t, p) if p.contains("CartesianProduct") => t }
+      assert(cartesian.isEmpty, s"cartesian products below checkpoints: $cartesian")
+      val badBnlj = plans.collect {
+        case (t, p) if p.contains("BroadcastNestedLoopJoin") && !allowedCkptBnlj(t) => t }
+      assert(badBnlj.isEmpty, s"unexpected nested-loop joins below checkpoints: $badBnlj")
+      // the tag allowlist stays honest too
+      val stale = allowedCkptBnlj -- plans.collect {
+        case (t, p) if p.contains("BroadcastNestedLoopJoin") => t }.toSet
+      assert(stale.isEmpty, s"checkpoint allowlist entries no longer BNLJ: $stale")
+    } finally {
+      sys.props.remove("graft.census.capture")
+      graft.Caches.releaseAll()
+    }
+  }
+
   test("count-plan collapse set is exactly the pinned list (bench action honesty)") {
     val collapsed = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if BenchAction.countCollapses(fn(spark, sf001)) => name
